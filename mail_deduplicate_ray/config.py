@@ -1,0 +1,152 @@
+"""Engine configuration + fingerprinting.
+
+Mirrors the reference's config surface (ref: cli.py:616-638 Config TypedDict)
+and its cache-invalidation fingerprint (ref: cache.py:55-61 CACHED_SETTINGS,
+cache.py:103-109 fingerprint) — any change to a signature-affecting knob
+invalidates checkpoints wholesale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field, asdict
+
+
+# Strategy names (canonical + aliases), re-expressing strategy.py:197-273.
+# Time strategies operate on `ingest_ts`; size strategies on `dur_ms`.
+STRATEGY_ALIASES: dict[str, str] = {
+    # alias -> canonical  (ref: strategy.py:215-244 alias pairs)
+    "discard-newest": "select-older",
+    "discard-newer": "select-oldest",
+    "discard-oldest": "select-newer",
+    "discard-older": "select-newest",
+    "discard-biggest": "select-smaller",
+    "discard-bigger": "select-smallest",
+    "discard-smallest": "select-bigger",
+    "discard-smaller": "select-biggest",
+    "discard-non-matching-path": "select-matching-path",
+    "discard-matching-path": "select-non-matching-path",
+    "discard-all-but-one": "select-one",
+    "discard-one": "select-all-but-one",
+}
+
+CANONICAL_STRATEGIES = (
+    "select-older",
+    "select-oldest",
+    "select-newer",
+    "select-newest",
+    "select-smaller",
+    "select-smallest",
+    "select-bigger",
+    "select-biggest",
+    "select-matching-path",
+    "select-non-matching-path",
+    "select-one",
+    "select-all-but-one",
+)
+
+
+def canonicalize_strategies(names: list[str] | tuple[str, ...]) -> tuple[str, ...]:
+    """Resolve aliases and dedup while preserving order.
+
+    Ref: cli.py:155-166 ``unique_strategies`` (dedup by target function,
+    aliases included) and cli.py:145 order-preserving ``dict.fromkeys``.
+    """
+    out: list[str] = []
+    for n in names:
+        c = STRATEGY_ALIASES.get(n, n)
+        if c not in CANONICAL_STRATEGIES:
+            raise ValueError(f"unknown strategy {n!r}")
+        if c not in out:
+            out.append(c)
+    return tuple(out)
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """All signature/selection knobs of the engine.
+
+    Signature-affecting fields feed :meth:`fingerprint` — the analogue of the
+    reference's ``CACHED_SETTINGS`` (cache.py:55-61): hash_headers,
+    hash_body, hash_only, input sources.
+    """
+
+    # ---- signature config (fingerprinted) ----
+    # which metadata columns feed the canonical exact key
+    # (≙ --hash-headers, ref: cli.py:62-94 default header list)
+    key_columns: tuple[str, ...] = ("sr_hz", "codec_norm", "dur_bucket")
+    # transcript hashing mode: skip | raw | normalized
+    # (≙ --hash-body, ref: deduplicate.py:164-178 BodyHasher)
+    transcript_hash: str = "normalized"
+    # minimum usable metadata fields, else row rejected
+    # (≙ --minimal-headers floor, ref: cli.py:97-104, mail.py:480-504)
+    minimal_fields: int = 2
+    # duration bucket width (ms) used in the exact key — coarse quantization so
+    # re-encodes with ±jitter still share the metadata key
+    dur_bucket_ms: int = 50
+
+    # shingling / MinHash (new surface, per BASELINE.json north_star)
+    shingle_k: int = 5
+    num_perm: int = 128
+    lsh_bands: int = 16  # rows per band = num_perm // lsh_bands
+    minhash_seed: int = 0xC0FFEE
+    jaccard_threshold: float = 0.8
+
+    # SimHash / SRP over decoded-PCM spectral features
+    audio_bits: int = 64
+    audio_bands: int = 4  # split audio fingerprint into bands of bits/bands
+    audio_hamming_max: int = 3
+    spectral_dims: int = 48
+    audio_seed: int = 0xBEEF
+
+    # ---- grouping / selection config (not fingerprinted) ----
+    # pairwise-difference thresholds inside a cluster; -1 disables
+    # (≙ --size-threshold / --content-threshold, ref: deduplicate.py:270-359)
+    size_threshold: int = 512  # ms of duration difference allowed
+    content_threshold: int = 768  # bytes of 0-context unified transcript diff
+    strategies: tuple[str, ...] = ("select-newest", "select-biggest", "select-one")
+    regexp: str | None = None  # for select-(non-)matching-path
+    # skew control: max rows examined per LSH bucket before salting/splitting
+    max_bucket: int = 256
+    # connected-components iteration cap
+    cc_max_rounds: int = 10
+
+    dry_run: bool = False
+
+    def __post_init__(self) -> None:
+        object.__setattr__(self, "strategies", canonicalize_strategies(self.strategies))
+        if self.num_perm % self.lsh_bands:
+            raise ValueError("num_perm must be divisible by lsh_bands")
+        if self.audio_bits % self.audio_bands:
+            raise ValueError("audio_bits must be divisible by audio_bands")
+        if self.transcript_hash not in ("skip", "raw", "normalized"):
+            raise ValueError(f"bad transcript_hash {self.transcript_hash!r}")
+
+    # fields whose change invalidates signature checkpoints
+    _FINGERPRINTED = (
+        "key_columns",
+        "transcript_hash",
+        "minimal_fields",
+        "dur_bucket_ms",
+        "shingle_k",
+        "num_perm",
+        "lsh_bands",
+        "minhash_seed",
+        "jaccard_threshold",
+        "audio_bits",
+        "audio_bands",
+        "spectral_dims",
+        "audio_seed",
+    )
+
+    def fingerprint(self) -> str:
+        """sha256 of the signature-affecting config (ref: cache.py:103-109)."""
+        d = asdict(self)
+        payload = {k: d[k] for k in self._FINGERPRINTED}
+        blob = json.dumps(payload, sort_keys=True, default=list).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+    @property
+    def band_rows(self) -> int:
+        return self.num_perm // self.lsh_bands

@@ -1,0 +1,60 @@
+"""Character-shingle hashing (numpy-vectorized rolling polynomial hash).
+
+The unit the MinHash detector works over (BASELINE.json north_star: "batched
+MinHash over transcript character shingles").  The reference's analogue is
+the normalized body-line content that feeds ``hash_normalized_body``
+(ref: mail.py:431-439); near-dup generalizes the exact hash to a shingle set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_BASE = np.uint64(1099511628211)  # FNV prime, wraps mod 2^64
+_OFFS = np.uint64(14695981039346656037)
+
+
+def shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Unique uint64 hashes of all k-char shingles of ``text``.
+
+    Short texts (< k chars) hash as a single whole-string shingle so they
+    still participate in exact-match candidates.
+    """
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(data) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if len(data) < k:
+        win = data[None, :]
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(data, k)
+    # polynomial accumulate: h = ((OFFS*B + c0)*B + c1)*B + ...
+    h = np.full(win.shape[0], _OFFS, dtype=np.uint64)
+    for j in range(win.shape[1]):
+        h = h * _BASE + win[:, j].astype(np.uint64)
+    return np.unique(h)
+
+
+def batch_shingles(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Shingle a batch: returns (flat hashes, offsets) with offsets of
+    length len(texts)+1 delimiting each doc's slice (for reduceat-style
+    vectorized MinHash)."""
+    parts = [shingle_hashes(t or "", k) for t in texts]
+    offsets = np.zeros(len(parts) + 1, dtype=np.int64)
+    np.cumsum([len(p) for p in parts], out=offsets[1:])
+    flat = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
+    return flat, offsets
+
+
+def token_hashes(text: str) -> np.ndarray:
+    """uint64 hash per whitespace token (for token-level SimHash / Jaccard)."""
+    toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    out = np.empty(len(toks), dtype=np.uint64)
+    base, offs, mask = int(_BASE), int(_OFFS), (1 << 64) - 1
+    for i, t in enumerate(toks):
+        h = offs
+        for byte in t.encode("utf-8"):
+            h = (h * base + byte) & mask
+        out[i] = h
+    return out

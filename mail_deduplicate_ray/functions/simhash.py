@@ -1,0 +1,90 @@
+"""SimHash / sign-random-projection fingerprints.
+
+Two uses (BASELINE.json north_star):
+- 64-bit SRP over decoded-PCM **spectral features** (audio near-dup), and
+- 64-bit token-weighted SimHash over transcripts (text near-dup, cheap).
+
+Both are locality-sensitive for cosine similarity; candidates are generated
+by splitting the fingerprint into ``bands`` contiguous bit-bands — two
+fingerprints within Hamming distance d collide in >=1 band whenever
+d < bands (pigeonhole), so bands=4 guarantees recall for d<=3.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+
+
+def _pack_bits(bits: np.ndarray) -> np.ndarray:
+    """(n, 64) bool -> (n,) uint64."""
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+class SRP:
+    """Sign-random-projection planes, built once per actor."""
+
+    def __init__(self, dims: int, bits: int = 64, seed: int = 0xBEEF) -> None:
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dims, bits)).astype(np.float32)
+        self.bits = bits
+
+    def fingerprint(self, feats: np.ndarray) -> np.ndarray:
+        """(n, dims) float features -> (n,) uint64 fingerprints."""
+        if feats.ndim == 1:
+            feats = feats[None, :]
+        proj = feats.astype(np.float32) @ self.planes
+        return _pack_bits(proj >= 0)
+
+
+def spectral_features(pcm: np.ndarray, sr_hz: int, dims: int) -> np.ndarray:
+    """Codec-robust spectral descriptor of a clip: log-magnitude of the
+    whole-clip rFFT averaged into ``dims`` log-spaced frequency bins over
+    60 Hz..min(4 kHz, sr/2), L2-normalized.  Same waveform re-encoded
+    (pcm16 vs mu-law) lands within ~1-2 Hamming bits after SRP."""
+    if len(pcm) < 8:
+        return np.zeros(dims, dtype=np.float32)
+    mag = np.abs(np.fft.rfft(pcm.astype(np.float64)))
+    freqs = np.fft.rfftfreq(len(pcm), 1.0 / sr_hz)
+    hi = min(4000.0, sr_hz / 2.0)
+    edges = np.geomspace(60.0, hi, dims + 1)
+    idx = np.searchsorted(freqs, edges)
+    out = np.zeros(dims, dtype=np.float64)
+    for i in range(dims):
+        a, b = idx[i], max(idx[i] + 1, idx[i + 1])
+        out[i] = np.log1p(mag[a:b].mean() if b <= len(mag) else 0.0)
+    out -= out.mean()
+    n = np.linalg.norm(out)
+    return (out / n).astype(np.float32) if n > 0 else out.astype(np.float32)
+
+
+def token_simhash(token_h: np.ndarray, bits: int = 64) -> int:
+    """Classic SimHash: per-token 64-bit hashes vote ±1 per bit position."""
+    if len(token_h) == 0:
+        return 0
+    cols = ((token_h[:, None] >> np.arange(bits, dtype=np.uint64)[None, :])
+            & _U64(1)).astype(np.int32)
+    votes = (2 * cols - 1).sum(axis=0)
+    return int(_pack_bits((votes >= 0)[None, :])[0])
+
+
+def hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 arrays -> (n,) int."""
+    x = np.atleast_1d(np.bitwise_xor(np.asarray(a, dtype=np.uint64),
+                                     np.asarray(b, dtype=np.uint64)))
+    u8 = np.ascontiguousarray(x)[:, None].view(np.uint8)  # (n, 8)
+    return np.unpackbits(u8, axis=1).sum(axis=1)
+
+
+def band_keys_u64(fp: np.ndarray, bands: int, bits: int = 64) -> np.ndarray:
+    """(n,) uint64 fingerprints -> (n, bands) bucket keys (band bits + tag)."""
+    fp = np.asarray(fp, dtype=np.uint64)
+    w = bits // bands
+    mask = _U64((1 << w) - 1) if w < 64 else _U64(0xFFFFFFFFFFFFFFFF)
+    out = np.empty((len(fp), bands), dtype=np.uint64)
+    for i in range(bands):
+        piece = (fp >> _U64(i * w)) & mask
+        out[:, i] = piece ^ (_U64(0xA5A5 + i) << _U64(48))
+    return out

@@ -1,0 +1,102 @@
+"""Flagship pipeline: near-duplicate detection + clustering + selection.
+
+The target shape from SURVEY.md §3.1::
+
+    clips -> DecodeStage (actor pool; drops `bytes`)
+          -> SignatureStage (actor pool; exact key + MinHash + sketches)
+          -> candidate channels (explode -> groupby(bucket) -> verify)  [shuffle 1]
+          -> connected components (min-label propagation)
+          -> attach cluster_id -> groupby(cluster_id) settle             [shuffle 2]
+          -> kept/discarded rows + stats
+
+The signature dataset is materialized once (it is exactly the artifact the
+checkpoint stage persists — SURVEY.md §4.4) and is the scalars-only
+projection: `bytes` is gone, rows are ~1.5 KB regardless of clip size (the
+dehydration lesson, ref: mail.py:228-262).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from mail_deduplicate_ray.config import DedupConfig
+from mail_deduplicate_ray.stages import candidates, components
+from mail_deduplicate_ray.stages.decode import DecodeStage
+from mail_deduplicate_ray.stages.settle import make_settle
+from mail_deduplicate_ray.stages.signature import SignatureStage
+from mail_deduplicate_ray.stats import RunStats, collect_stats
+
+# columns the settle stage needs; heavy signature payloads are projected out
+SETTLE_COLUMNS = ["clip_id", "sr_hz", "dur_ms", "codec", "codec_norm",
+                  "transcript_norm", "ingest_ts", "exact_key", "audio_fp"]
+
+
+def clip_signatures(ds: "ray.data.Dataset", cfg: DedupConfig,
+                    concurrency: int | tuple[int, int] = (1, 8),
+                    batch_size: int = 256) -> "ray.data.Dataset":
+    """Decode + signature stages (both stateful actor pools).
+
+    ``batch_size`` is modest because input rows carry audio payloads
+    (tens of KB each) — batch x concurrency must fit worker heaps.
+    """
+    decoded = ds.map_batches(
+        DecodeStage, fn_constructor_args=(cfg,), batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency, num_cpus=1)
+    return decoded.map_batches(
+        SignatureStage, fn_constructor_args=(cfg,), batch_format="pyarrow",
+        batch_size=2048, concurrency=concurrency, num_cpus=1)
+
+
+@dataclass
+class DedupResult:
+    settled: "ray.data.Dataset"   # kept+discarded rows with cluster_id/keep/reason
+    rejected: "ray.data.Dataset"  # rejection rows (reason column)
+    edges: "ray.data.Dataset"     # verified dup pairs
+    stats: RunStats
+    overflow_dropped: int
+
+
+def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
+                channels: tuple[str, ...] = ("exact", "minhash", "audio",
+                                             "containment"),
+                ) -> DedupResult:
+    cfg = cfg or DedupConfig()
+    sigs = clip_signatures(ds, cfg).materialize()
+    n_found = sigs.count()
+
+    rejected = sigs.map_batches(
+        lambda t: t.filter(pc.or_kleene(t["rejected"],
+                                        pc.invert(t["decode_ok"]))),
+        batch_format="pyarrow")
+    # decode failures are rejections too (ref: deduplicate.py:563-576)
+    usable = sigs.map_batches(
+        lambda t: t.filter(pc.and_kleene(pc.invert(t["rejected"]),
+                                         t["decode_ok"])),
+        batch_format="pyarrow")
+
+    raw_edges = candidates.candidate_edges(usable, cfg, channels).materialize()
+    dropped = candidates.overflow_dropped(raw_edges)
+    edges = candidates.dedup_edges(raw_edges).materialize()
+
+    labels = components.connected_components(edges, cfg.cc_max_rounds)
+    rows = usable.select_columns(SETTLE_COLUMNS)
+    clustered = components.attach_cluster_ids(rows, labels)
+    settled = clustered.groupby("cluster_id").map_groups(
+        make_settle(cfg), batch_format="pandas").materialize()
+
+    n_rejected = n_found - settled.count()
+    stats = collect_stats(settled, n_found, n_rejected)
+    stats.check()
+    return DedupResult(settled=settled, rejected=rejected, edges=edges,
+                       stats=stats, overflow_dropped=dropped)
+
+
+def keep_table(result: DedupResult) -> "ray.data.Dataset":
+    """Rows surviving dedup (the reference's post-action mailbox content)."""
+    return result.settled.map_batches(
+        lambda t: t.filter(t["keep"]), batch_format="pyarrow")

@@ -1,0 +1,59 @@
+"""Decode stage: `bytes` -> audio fingerprint, then DROP the payload column.
+
+Actor-pool `map_batches` stage (callable class: decoders + SRP planes built
+once per actor — ref analogue: the process-pool initializer installing
+``_WORKER`` state, deduplicate.py:529-541).
+
+Mirrors the reference's resilience contract: a malformed payload becomes a
+rejection row, never an exception (ref: deduplicate.py:563-576 returns a
+rejection instead of raising; charset cascade mail.py:384-407).
+
+The `bytes` column is dropped on the way out — the dehydration lesson
+(ref: mail.py:228-262): after feature extraction downstream blocks carry
+only scalar columns, so object-store blocks stay small at 100 TB scale.
+"""
+
+from __future__ import annotations
+
+from struct import error as struct_error
+
+import numpy as np
+import pyarrow as pa
+
+from mail_deduplicate_ray import codecs
+from mail_deduplicate_ray.config import DedupConfig
+from mail_deduplicate_ray.functions import simhash
+
+
+class DecodeStage:
+    """map_batches(DecodeStage, fn_constructor_args=(cfg,), concurrency=N,
+    batch_format="pyarrow")."""
+
+    def __init__(self, cfg: DedupConfig) -> None:
+        self.cfg = cfg
+        self.srp = simhash.SRP(cfg.spectral_dims, cfg.audio_bits, cfg.audio_seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        payloads = batch["bytes"].to_pylist()
+        declared = batch["codec"].to_pylist()
+        fps = np.zeros(n, dtype=np.uint64)
+        ok = np.zeros(n, dtype=bool)
+        reasons = [""] * n
+        feats = np.zeros((n, self.cfg.spectral_dims), dtype=np.float32)
+        for i in range(n):
+            try:
+                pcm, sr = codecs.decode(payloads[i], declared[i] or None)
+                feats[i] = simhash.spectral_features(pcm, sr, self.cfg.spectral_dims)
+                ok[i] = True
+            except NotImplementedError:
+                reasons[i] = "codec_unavailable"
+            except (ValueError, struct_error):
+                reasons[i] = "decode_failed"
+        fps[ok] = self.srp.fingerprint(feats[ok]) if ok.any() else fps[ok]
+        out = batch.drop_columns(["bytes"])
+        return (
+            out.append_column("audio_fp", pa.array(fps))
+            .append_column("decode_ok", pa.array(ok))
+            .append_column("decode_reason", pa.array(reasons, pa.string()))
+        )

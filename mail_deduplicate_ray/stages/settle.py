@@ -1,0 +1,146 @@
+"""Settle stage: per-cluster thresholds + greedy eviction + strategy cascade.
+
+``groupby(cluster_id).map_groups(settle)`` — SURVEY.md §4.3 shuffle #2.
+Faithful to the reference's DuplicateSet.select flow (deduplicate.py:409-509):
+
+1. size-1 cluster  -> keep, reason ``unique`` (deduplicate.py:419-424).
+2. pairwise difference checks with greedy outlier eviction
+   (check_differences, deduplicate.py:270-359): duration diff >
+   size_threshold or transcript 0-context-unified-diff bytes >
+   content_threshold mark a pair "offending"; repeatedly evict the member
+   with the most offending pairs (tie-break min clip_id — the repr
+   tie-break at deduplicate.py:344-348) until no offending pair remains.
+   Evicted rows stay kept (reason ``evicted``).  If < 2 rows remain, the
+   whole cluster is skipped (kept, ``skipped_threshold`` — the raise at
+   deduplicate.py:354-358 caught as set-skip at :428-431).
+   Fast paths: threshold disabled (-1) skips that check; all transcript
+   hashes equal -> zero pairwise diffs (deduplicate.py:292-310); pair diffs
+   memoized by content-hash pair (deduplicate.py:310,323-326).
+3. strategy cascade (deduplicate.py:456-509): apply strategies in order; a
+   strategy selecting ALL or NONE, or raising MissingTimestamps, falls
+   through; first effective strategy wins; exhausted -> cluster skipped
+   (kept, ``skipped_strategies``).
+
+Output columns: keep(bool), reason(string), set_reason(string — constant
+per cluster, drives the SET_* counters), winner_clip_id(string — the
+min-clip_id kept row, ≙ link_targets deduplicate.py:1140-1170).
+"""
+
+from __future__ import annotations
+
+from difflib import unified_diff
+
+import pandas as pd
+
+from mail_deduplicate_ray.config import DedupConfig
+from mail_deduplicate_ray.stages.strategies import (
+    REGISTRY, MissingTimestamps, StrategyCtx)
+
+
+def _content_diff(a: str, b: str) -> int:
+    """Bytes of 0-context unified diff (ref: deduplicate.py:361-382)."""
+    return len("".join(unified_diff(a.splitlines(), b.splitlines(), n=0)))
+
+
+def _offending_pairs(df: pd.DataFrame, cfg: DedupConfig) -> set[tuple[int, int]]:
+    idx = list(df.index)
+    dur = df["dur_ms"]
+    texts = df["transcript_norm"] if "transcript_norm" in df else df["transcript"]
+    shas = texts.map(hash)  # memo key; same text -> same diff result
+    memo: dict[tuple[int, int], int] = {}
+    bad: set[tuple[int, int]] = set()
+    for ai in range(len(idx)):
+        for bi in range(ai + 1, len(idx)):
+            a, b = idx[ai], idx[bi]
+            if cfg.size_threshold >= 0 and \
+                    abs(int(dur[a]) - int(dur[b])) > cfg.size_threshold:
+                bad.add((a, b))
+                continue
+            if cfg.content_threshold >= 0:
+                ka, kb = shas[a], shas[b]
+                if ka == kb:
+                    continue  # identical content: 0 diff (fast path)
+                key = (ka, kb) if ka <= kb else (kb, ka)
+                if key not in memo:
+                    memo[key] = _content_diff(texts[a], texts[b])
+                if memo[key] > cfg.content_threshold:
+                    bad.add((a, b))
+    return bad
+
+
+def _evict(df: pd.DataFrame, cfg: DedupConfig) -> tuple[pd.DataFrame, list]:
+    """Greedy eviction loop; returns (clean core, evicted index labels)."""
+    if cfg.size_threshold < 0 and cfg.content_threshold < 0:
+        return df, []
+    core = df
+    evicted: list = []
+    while True:
+        bad = _offending_pairs(core, cfg)
+        if not bad:
+            return core, evicted
+        degree: dict = {}
+        for a, b in bad:
+            degree[a] = degree.get(a, 0) + 1
+            degree[b] = degree.get(b, 0) + 1
+        # most offending first; tie-break min clip_id (repr tie-break)
+        victim = min(degree, key=lambda i: (-degree[i], core.at[i, "clip_id"]))
+        evicted.append(victim)
+        core = core.drop(index=victim)
+        if len(core) < 2:
+            # whole set becomes incoherent -> skip (ref: deduplicate.py:354-358)
+            return df, ["__SKIP__"]
+
+
+def _cascade(core: pd.DataFrame, cfg: DedupConfig,
+             cluster_id: str) -> tuple[pd.Series | None, str]:
+    ctx = StrategyCtx(regexp=cfg.regexp, cluster_id=cluster_id)
+    for name in cfg.strategies:
+        fn = REGISTRY[name]
+        try:
+            mask = fn(core, ctx).astype(bool)
+        except MissingTimestamps:
+            continue
+        n = int(mask.sum())
+        if n == 0 or n == len(core):
+            continue  # useless strategy -> fall through (deduplicate.py:456-509)
+        return mask, name
+    return None, ""
+
+
+def make_settle(cfg: DedupConfig):
+    """Build the map_groups callable (cfg captured, pickled to workers)."""
+
+    def settle(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("clip_id").reset_index(drop=True)
+        cluster_id = str(df["cluster_id"].iloc[0])
+        out = df.copy()
+        out["keep"] = True
+        out["reason"] = ""
+        out["set_reason"] = ""
+        out["winner_clip_id"] = ""
+        if len(df) == 1:
+            out["reason"] = "unique"
+            out["set_reason"] = "single"
+            return out
+        core, evicted = _evict(df, cfg)
+        if evicted == ["__SKIP__"]:
+            out["reason"] = "skipped"
+            out["set_reason"] = "skipped_threshold"
+            return out
+        out.loc[evicted, "reason"] = "evicted"
+        mask, strat = _cascade(core, cfg, cluster_id)
+        if mask is None:
+            out.loc[core.index, "reason"] = "skipped"
+            out["set_reason"] = "skipped_strategies"
+            return out
+        sel_idx = core.index[mask]
+        dis_idx = core.index[~mask]
+        out.loc[sel_idx, "reason"] = "selected"
+        out.loc[dis_idx, "reason"] = "discarded"
+        out.loc[dis_idx, "keep"] = False
+        out["set_reason"] = "deduplicated"
+        winner = out.loc[sel_idx, "clip_id"].min()  # ≙ deduplicate.py:1168
+        out.loc[dis_idx, "winner_clip_id"] = winner
+        return out
+
+    return settle

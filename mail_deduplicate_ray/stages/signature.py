@@ -1,0 +1,62 @@
+"""Signature stage: normalized columns + exact key + MinHash sig + sketches.
+
+Actor-pool `map_batches` stage; the MinHash permutation matrix is built once
+per actor in ``__init__`` (ref analogue: _WORKER initializer,
+deduplicate.py:529-541).  Appends:
+
+    codec_norm: string          normalized codec (M3)
+    dur_bucket: int64           quantized duration (metadata-key component)
+    transcript_norm: string     canonical transcript for shingling
+    exact_key: string?          composite metadata+transcript sha (M9-M12)
+    rejected: bool, reject_reason: string   (M8 minimal-fields guard)
+    minhash_sig: binary         num_perm x uint64, little-endian
+    sketch: binary              bottom-k shingle hashes (containment verify)
+    set_size: int64             true shingle-set size
+    anchors: list<uint64>       m smallest shingle hashes (containment keys)
+
+Signatures/sketches are packed as fixed-width binary so band-explode stages
+can ``np.frombuffer`` them zero-copy and rows stay compact (~1.2 KB/row at
+num_perm=128, bottomk=64).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from mail_deduplicate_ray.config import DedupConfig
+from mail_deduplicate_ray.functions import hashing, minhash, normalize, shingles
+
+
+class SignatureStage:
+    def __init__(self, cfg: DedupConfig) -> None:
+        self.cfg = cfg
+        self.mh = minhash.MinHasher(cfg.num_perm, cfg.minhash_seed, cfg.lsh_bands)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        batch = batch.append_column(
+            "codec_norm", normalize.normalize_codec(batch["codec"]))
+        batch = batch.append_column(
+            "dur_bucket", normalize.dur_bucket(batch["dur_ms"], cfg.dur_bucket_ms))
+        tnorm = normalize.normalize_transcript(batch["transcript"])
+        batch = batch.append_column("transcript_norm", tnorm)
+        batch = hashing.add_exact_key(batch, cfg)
+
+        texts = tnorm.to_pylist()
+        flat, offsets = shingles.batch_shingles(
+            [t or "" for t in texts], cfg.shingle_k)
+        sig = self.mh.signatures(flat, offsets)
+        anchors, sketches, sizes = self.mh.anchors_and_sketch(flat, offsets)
+
+        sig_bin = pa.array([sig[i].tobytes() for i in range(sig.shape[0])],
+                           pa.binary())
+        sk_bin = pa.array([s.tobytes() for s in sketches], pa.binary())
+        anchors_arr = pa.array([a.tolist() for a in anchors],
+                               pa.list_(pa.uint64()))
+        return (
+            batch.append_column("minhash_sig", sig_bin)
+            .append_column("sketch", sk_bin)
+            .append_column("set_size", pa.array(sizes))
+            .append_column("anchors", anchors_arr)
+        )

@@ -1,0 +1,244 @@
+"""Deterministic synthetic `clips` corpus with planted duplicate structure.
+
+Re-expresses the reference's test-fixture factory (ref: tests/conftest.py:95-166
+``MailFactory`` + ``make_box``) over the target schema from
+``BASELINE.json:input_hint``::
+
+    clip_id: string, bytes: binary, sr_hz: int32, dur_ms: int32,
+    codec: string, transcript: string  (+ ingest_ts: float64, nullable)
+
+Every row is generated from ``default_rng(seed, i)`` so the corpus is
+bit-for-bit reproducible at any size and any prefix (sf0.01 is a prefix of
+sf0.1).  Planted group kinds mirror FIXTURES.md §2 / the duplicate shapes the
+reference's suite exercises (tests/test_strategy.py, tests/test_mail_integration.py):
+
+    unique            ~60%   singleton groups
+    exact             copies: identical waveform+transcript+codec (same bytes)
+    reencode          same waveform, other codec (re-encoded copy)
+    whitespace        same audio, transcript perturbed by extra whitespace only
+    nearedit          1-token transcript edit (half same audio / half fresh)
+    contained         transcript+audio is a contiguous slice of the base
+    outlier           A~B exact + C chained to B by transcript but 3x duration
+                      (drives greedy eviction, ref: deduplicate.py:270-359)
+    sparse            unusable metadata -> rejected (ref: mail.py:480-504)
+    null-ts groups    all-member ingest_ts null (MissingTimestamps fall-through,
+                      ref: deduplicate.py:228-248)
+
+Ground truth emitted alongside: ``pairs`` (recall denominator; outlier edges
+are marked and excluded from recall), ``clusters`` (connected closure).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from mail_deduplicate_ray import codecs
+
+VOCAB = (
+    "the quick brown fox jumps over lazy dog pack my box with five dozen "
+    "liquor jugs how vexingly daft zebras sphinx of black quartz judge vow "
+    "bright alpha delta echo golf hotel india kilo lima mike november oscar "
+    "papa romeo sierra tango uniform victor whiskey xray yankee zulu"
+).split()
+
+SR_CHOICES = np.array([8000, 16000, 22050], dtype=np.int64)
+_BASE_TS = 1_600_000_000.0
+
+KIND_P = {
+    "unique": 0.60,
+    "exact": 0.10,
+    "reencode": 0.08,
+    "whitespace": 0.06,
+    "nearedit": 0.06,
+    "contained": 0.04,
+    "outlier": 0.03,
+    "sparse": 0.01,
+    # remaining 0.02: exact group with all-null timestamps
+    "nullts": 0.02,
+}
+_KINDS = list(KIND_P)
+_KIND_CUM = np.cumsum([KIND_P[k] for k in _KINDS])
+
+
+def _tokens(rng: np.random.Generator, n: int) -> list[str]:
+    return [VOCAB[j] for j in rng.integers(0, len(VOCAB), n)]
+
+
+def _waveform(rng: np.random.Generator, sr_hz: int, dur_ms: int) -> np.ndarray:
+    n = max(1, int(sr_hz * dur_ms / 1000))
+    t = np.arange(n, dtype=np.float64) / sr_hz
+    x = np.zeros(n)
+    for _ in range(int(rng.integers(2, 5))):
+        f = float(rng.uniform(80.0, min(2000.0, sr_hz / 4)))
+        a = float(rng.uniform(0.1, 0.3))
+        ph = float(rng.uniform(0, 2 * np.pi))
+        x += a * np.sin(2 * np.pi * f * t + ph)
+    x += rng.normal(0.0, 0.005, n)
+    return np.clip(x, -0.99, 0.99).astype(np.float32)
+
+
+def _perturb_whitespace(rng: np.random.Generator, text: str) -> str:
+    toks = text.split(" ")
+    out = []
+    for tk in toks:
+        out.append(tk)
+        r = rng.random()
+        if r < 0.15:
+            out.append("")  # double space
+        elif r < 0.2:
+            out[-1] = tk + "\n"
+    s = " ".join(out).replace("\n ", "\n")
+    return "  " + s if rng.random() < 0.5 else s
+
+
+def _edit_one_token(rng: np.random.Generator, text: str) -> str:
+    toks = text.split(" ")
+    i = int(rng.integers(0, len(toks)))
+    repl = VOCAB[int(rng.integers(0, len(VOCAB)))]
+    while repl == toks[i]:
+        repl = VOCAB[int(rng.integers(0, len(VOCAB)))]
+    toks[i] = repl
+    return " ".join(toks)
+
+
+class _Builder:
+    def __init__(self) -> None:
+        self.clip_id: list[str] = []
+        self.bytes_: list[bytes] = []
+        self.sr_hz: list[int] = []
+        self.dur_ms: list[int] = []
+        self.codec: list[str] = []
+        self.transcript: list[str] = []
+        self.ingest_ts: list[float | None] = []
+        self.pairs: list[tuple[str, str, str]] = []
+
+    def add(self, cid: str, wave: np.ndarray, sr: int, codec: str,
+            transcript: str, ts: float | None) -> None:
+        dur = int(round(len(wave) * 1000 / sr))
+        self.clip_id.append(cid)
+        self.bytes_.append(codecs.encode(wave, sr, codec))
+        self.sr_hz.append(sr)
+        self.dur_ms.append(dur)
+        self.codec.append(codec)
+        self.transcript.append(transcript)
+        self.ingest_ts.append(ts)
+
+
+def generate_clips(
+    n_base: int,
+    seed: int = 42,
+    texts: list[str] | None = None,
+) -> tuple[pa.Table, dict]:
+    """Build the clips table + ground truth.
+
+    ``texts`` optionally supplies base transcripts (e.g. the driver's
+    ``documents.text`` column) instead of seeded token sequences; duplicate
+    planting is unchanged, so the pipeline always has structure to find.
+    """
+    b = _Builder()
+    for i in range(n_base):
+        rng = np.random.default_rng((seed, i))
+        kind = _KINDS[int(np.searchsorted(_KIND_CUM, rng.random(), side="right"))]
+        sr = int(SR_CHOICES[int(rng.integers(0, len(SR_CHOICES)))])
+        dur_ms = int(rng.integers(300, 1500))
+        codec = "pcm_s16le" if rng.random() < 0.7 else "ulaw"
+        if texts is not None:
+            text = texts[i % len(texts)]
+            if i >= len(texts):  # keep base transcripts distinct across wraps
+                text = f"{text} wrap{i // len(texts)}"
+        else:
+            text = " ".join(_tokens(rng, int(rng.integers(30, 60))))
+        ts: float | None = _BASE_TS + i * 37.0
+        base_id = f"clip-{i:08d}-0"
+
+        if kind == "sparse":
+            # unusable metadata: zero sr/dur, empty codec -> rejection path
+            wave = _waveform(rng, 8000, 100)
+            raw = codecs.encode(wave, 8000, "pcm_s16le")
+            b.clip_id.append(base_id)
+            b.bytes_.append(raw)
+            b.sr_hz.append(0)
+            b.dur_ms.append(0)
+            b.codec.append("")
+            b.transcript.append("")
+            b.ingest_ts.append(None)
+            continue
+
+        wave = _waveform(rng, sr, dur_ms)
+        if kind == "nullts":
+            ts = None
+        b.add(base_id, wave, sr, codec, text, ts)
+
+        if kind == "unique":
+            continue
+
+        n_copies = int(rng.integers(1, 3))
+        for j in range(1, n_copies + 1):
+            cid = f"clip-{i:08d}-{j}"
+            cts: float | None = None if kind == "nullts" else (
+                _BASE_TS + i * 37.0 + j * 11.0)
+            if kind in ("exact", "nullts"):
+                b.add(cid, wave, sr, codec, text, cts)
+                b.pairs.append((base_id, cid, "exact"))
+            elif kind == "reencode":
+                other = "ulaw" if codec == "pcm_s16le" else "pcm_s16le"
+                b.add(cid, wave, sr, other, text, cts)
+                b.pairs.append((base_id, cid, "reencode"))
+            elif kind == "whitespace":
+                b.add(cid, wave, sr, codec, _perturb_whitespace(rng, text), cts)
+                b.pairs.append((base_id, cid, "whitespace"))
+            elif kind == "nearedit":
+                w2 = wave if j % 2 else _waveform(rng, sr, dur_ms)
+                b.add(cid, w2, sr, codec, _edit_one_token(rng, text), cts)
+                b.pairs.append((base_id, cid, "nearedit"))
+            elif kind == "contained":
+                lo = len(wave) // 5
+                hi = lo + (len(wave) * 3) // 5
+                toks = text.split(" ")
+                sub = " ".join(toks[len(toks) // 5: (len(toks) * 4) // 5])
+                b.add(cid, wave[lo:hi], sr, codec, sub, cts)
+                b.pairs.append((base_id, cid, "contained"))
+            elif kind == "outlier":
+                if j == 1:  # true exact copy
+                    b.add(cid, wave, sr, codec, text, cts)
+                    b.pairs.append((base_id, cid, "exact"))
+                else:  # chained by transcript, 3x duration -> eviction target
+                    w3 = _waveform(rng, sr, dur_ms * 3)
+                    b.add(cid, w3, sr, codec, _edit_one_token(rng, text), cts)
+                    b.pairs.append((base_id, cid, "outlier"))
+
+    table = pa.table({
+        "clip_id": pa.array(b.clip_id, pa.string()),
+        "bytes": pa.array(b.bytes_, pa.binary()),
+        "sr_hz": pa.array(b.sr_hz, pa.int32()),
+        "dur_ms": pa.array(b.dur_ms, pa.int32()),
+        "codec": pa.array(b.codec, pa.string()),
+        "transcript": pa.array(b.transcript, pa.string()),
+        "ingest_ts": pa.array(b.ingest_ts, pa.float64()),
+    })
+    truth = {
+        "pairs": b.pairs,
+        "recall_pairs": [(a, c) for a, c, k in b.pairs if k != "outlier"],
+        "clusters": _closure([(a, c) for a, c, k in b.pairs if k != "outlier"]),
+    }
+    return table, truth
+
+
+def _closure(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Union-find closure -> {clip_id: min clip_id of its component}."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, c in pairs:
+        ra, rc = find(a), find(c)
+        if ra != rc:
+            lo, hi = sorted((ra, rc))
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
