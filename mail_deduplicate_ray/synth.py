@@ -153,13 +153,13 @@ def generate_clips(
         base_id = f"clip-{i:08d}-0"
 
         if kind == "sparse":
-            # unusable metadata: zero sr/dur, empty codec -> rejection path
+            # unusable metadata: null sr/dur, empty codec -> rejection path
             wave = _waveform(rng, 8000, 100)
             raw = codecs.encode(wave, 8000, "pcm_s16le")
             b.clip_id.append(base_id)
             b.bytes_.append(raw)
-            b.sr_hz.append(0)
-            b.dur_ms.append(0)
+            b.sr_hz.append(None)  # type: ignore[arg-type]
+            b.dur_ms.append(None)  # type: ignore[arg-type]
             b.codec.append("")
             b.transcript.append("")
             b.ingest_ts.append(None)

@@ -1,0 +1,192 @@
+"""Unit tests for codec + normalizer + hashing + sketch kernels
+(the reference's operator-unit layer, SURVEY.md §5 / tests/test_mail.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mail_deduplicate_ray import codecs
+from mail_deduplicate_ray.config import DedupConfig, canonicalize_strategies
+from mail_deduplicate_ray.functions import (hashing, minhash, normalize,
+                                            shingles, simhash)
+
+
+def _tone(sr=16000, dur_s=0.5, f=440.0):
+    t = np.arange(int(sr * dur_s)) / sr
+    return (0.4 * np.sin(2 * np.pi * f * t)
+            + 0.2 * np.sin(2 * np.pi * 3 * f * t)).astype(np.float32)
+
+
+class TestCodecs:
+    @pytest.mark.parametrize("codec,min_snr", [("pcm_s16le", 60), ("ulaw", 30)])
+    def test_roundtrip_snr(self, codec, min_snr):
+        # per-row invariant from BASELINE.json input_hint: SNR >= 30 dB
+        x = _tone()
+        y, sr = codecs.decode(codecs.encode(x, 16000, codec), codec)
+        assert sr == 16000 and len(y) == len(x)
+        assert codecs.snr_db(x, y) >= min_snr
+
+    def test_format_tag_wins_over_declared(self):
+        # mirror of the declared-charset-then-sniff cascade (mail.py:384-407)
+        x = _tone()
+        y, _ = codecs.decode(codecs.encode(x, 16000, "pcm_s16le"), "ulaw")
+        assert codecs.snr_db(x, y) >= 60
+
+    def test_malformed_raises_value_error(self):
+        with pytest.raises(ValueError):
+            codecs.decode(b"not a wav at all")
+        with pytest.raises(ValueError):
+            codecs.decode(codecs.encode(_tone(), 16000, "pcm_s16le")[:20])
+
+    def test_flac_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            codecs.encode(_tone(), 16000, "flac")
+        with pytest.raises(NotImplementedError):
+            codecs.decode(b"fLaC....", "flac")
+
+
+class TestNormalize:
+    def test_strip_leading_markers(self):
+        # same regex family as normalize_subject (mail.py:539-546)
+        arr = pa.array(["Re: hello world", "RE: re: fwd: x", "[list] body",
+                        "um uh hello", "plain"])
+        out = normalize.strip_leading_markers(arr).to_pylist()
+        assert out == ["hello world", "x", "body", "hello", "plain"]
+
+    def test_collapse_and_squash(self):
+        arr = pa.array(["a  b\t c\r\nd"])
+        assert normalize.collapse_whitespace(arr).to_pylist() == ["a b c d"]
+        assert normalize.squash_whitespace(arr).to_pylist() == ["abcd"]
+
+    def test_normalize_codec(self):
+        # keep only the type, drop params (mail.py:548-565)
+        arr = pa.array(["audio/WAV; rate=16000", " ulaw ;x", "pcm_s16le"])
+        assert normalize.normalize_codec(arr).to_pylist() == \
+            ["audio/wav", "ulaw", "pcm_s16le"]
+
+    def test_crlf_lf_equal_after_normalize(self):
+        # CRLF vs LF bodies are duplicates (tests/test_mail_integration.py:334)
+        a = pa.array(["line one\r\nline two", "line one\nline two"])
+        out = normalize.normalize_transcript(a).to_pylist()
+        assert out[0] == out[1]
+
+
+class TestExactKey:
+    CFG = DedupConfig()
+
+    def _batch(self, **over):
+        base = {
+            "sr_hz": [16000], "codec_norm": ["pcm_s16le"], "dur_bucket": [10],
+            "transcript": ["hello world"],
+        }
+        base.update(over)
+        return pa.table(base)
+
+    def test_transcript_modes(self):
+        t = self._batch()
+        raw = hashing.add_exact_key(t, DedupConfig(transcript_hash="raw"))
+        skip = hashing.add_exact_key(t, DedupConfig(transcript_hash="skip"))
+        norm = hashing.add_exact_key(t, DedupConfig(transcript_hash="normalized"))
+        k = lambda x: x["exact_key"][0].as_py()  # noqa: E731
+        assert k(raw) != k(skip) != k(norm)
+        # whitespace-perturbed transcript: same normalized key, diff raw key
+        t2 = self._batch(transcript=["  hello \n world "])
+        raw2 = hashing.add_exact_key(t2, DedupConfig(transcript_hash="raw"))
+        norm2 = hashing.add_exact_key(t2, DedupConfig(transcript_hash="normalized"))
+        assert k(norm2) == k(norm)
+        assert k(raw2) != k(raw)
+
+    def test_minimal_fields_rejection(self):
+        # ref: TooFewHeaders (mail.py:480-504, cli.py:97-104)
+        t = pa.table({"sr_hz": pa.array([None], pa.int32()),
+                      "codec_norm": [""],
+                      "dur_bucket": pa.array([None], pa.int64()),
+                      "transcript": ["x"]})
+        out = hashing.add_exact_key(t, DedupConfig(minimal_fields=2))
+        assert out["rejected"][0].as_py() is True
+        assert out["reject_reason"][0].as_py() == "too_few_fields"
+        assert out["exact_key"][0].as_py() is None
+
+
+class TestMinHash:
+    def test_jaccard_estimate_accuracy(self):
+        mh = minhash.MinHasher(128, 1, 16)
+        t1 = "the quick brown fox jumps over the lazy dog " * 4
+        t2 = t1.replace("dog", "cat")
+        flat, offs = shingles.batch_shingles([t1, t2], 5)
+        sig = mh.signatures(flat, offs)
+        s1 = set(shingles.shingle_hashes(t1, 5).tolist())
+        s2 = set(shingles.shingle_hashes(t2, 5).tolist())
+        true_j = len(s1 & s2) / len(s1 | s2)
+        assert abs(minhash.est_jaccard(sig[0], sig[1]) - true_j) < 0.12
+
+    def test_identical_docs_full_band_collision(self):
+        mh = minhash.MinHasher(128, 1, 16)
+        flat, offs = shingles.batch_shingles(["same text here"] * 2, 5)
+        keys = mh.band_keys(mh.signatures(flat, offs))
+        assert (keys[0] == keys[1]).all()
+
+    def test_empty_doc_never_collides(self):
+        mh = minhash.MinHasher(128, 1, 16)
+        flat, offs = shingles.batch_shingles(["", "real text longer"], 5)
+        sig = mh.signatures(flat, offs)
+        assert (sig[0] == np.iinfo(np.uint64).max).all()
+
+    def test_containment_estimate(self):
+        mh = minhash.MinHasher(128, 1, 16)
+        big = "alpha bravo charlie delta echo foxtrot golf hotel " * 6
+        small = big[40:200]
+        flat, offs = shingles.batch_shingles([big, small], 5)
+        anchors, sk, sz = mh.anchors_and_sketch(flat, offs)
+        assert len(np.intersect1d(anchors[0], anchors[1])) > 0
+        c = minhash.est_containment(sk[0], sz[0], sk[1], sz[1], 64)
+        assert c >= 0.9
+        # disjoint docs -> containment ~0
+        flat2, offs2 = shingles.batch_shingles(
+            [big, "zulu yankee xray whiskey victor uniform " * 6], 5)
+        _, sk2, sz2 = mh.anchors_and_sketch(flat2, offs2)
+        assert minhash.est_containment(sk2[0], sz2[0], sk2[1], sz2[1], 64) < 0.3
+
+
+class TestSimHash:
+    def test_reencode_within_hamming(self):
+        x = _tone()
+        srp = simhash.SRP(48, 64, 7)
+        y, _ = codecs.decode(codecs.encode(x, 16000, "ulaw"))
+        f = np.stack([simhash.spectral_features(x, 16000, 48),
+                      simhash.spectral_features(y, 16000, 48)])
+        fp = srp.fingerprint(f)
+        assert simhash.hamming(fp[:1], fp[1:])[0] <= 3
+
+    def test_different_audio_far(self):
+        srp = simhash.SRP(48, 64, 7)
+        f = np.stack([simhash.spectral_features(_tone(f=440), 16000, 48),
+                      simhash.spectral_features(_tone(f=1230), 16000, 48)])
+        fp = srp.fingerprint(f)
+        assert simhash.hamming(fp[:1], fp[1:])[0] > 10
+
+    def test_band_keys_guarantee(self):
+        # hamming d < bands -> at least one band equal (pigeonhole)
+        a = np.uint64(0xDEADBEEFCAFEF00D)
+        b = a ^ np.uint64(1 << 3) ^ np.uint64(1 << 40) ^ np.uint64(1 << 63)
+        ka = simhash.band_keys_u64(np.array([a]), 4)
+        kb = simhash.band_keys_u64(np.array([b]), 4)
+        assert (ka == kb).sum() >= 1
+
+
+class TestConfig:
+    def test_alias_resolution_dedups(self):
+        # ref: cli.py:155-166 unique_strategies incl. aliases
+        out = canonicalize_strategies(
+            ["discard-older", "select-newest", "select-one"])
+        assert out == ("select-newest", "select-one")
+
+    def test_fingerprint_sensitivity(self):
+        a, b = DedupConfig(), DedupConfig(shingle_k=7)
+        c = DedupConfig(size_threshold=9999)  # not signature-affecting
+        assert a.fingerprint() != b.fingerprint()
+        assert a.fingerprint() == c.fingerprint()
+
+    def test_unknown_strategy_rejected(self):
+        with pytest.raises(ValueError):
+            DedupConfig(strategies=("select-best",))
