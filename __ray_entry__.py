@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in mail_deduplicate_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column names match between queries() and oracle_sql() — the driver sorts
+columns by name and hash-compares values.  Float outputs are avoided in
+oracle-checked queries (integer cents/counts) so hashes are exact.
 """
 
 from __future__ import annotations
@@ -18,27 +13,143 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from mail_deduplicate_ray.functions.textstats import STOPWORDS
+from mail_deduplicate_ray.pipelines import ann, clips, docs, relational
+from mail_deduplicate_ray.pipelines.docs import REGEXP_PATTERN
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship near-dup pipeline over the clips corpus derived from
+    sf0.001 documents (decode -> signatures -> LSH/audio/containment
+    candidates -> connected components -> settle)."""
+    return clips.flagship_clusters("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # --- dedup family over documents (SQL-checkable) ---
+        "exact_dedup_docs": docs.exact_dedup_docs,
+        "normalized_dedup_docs": docs.normalized_dedup_docs,
+        "doc_hashes": docs.doc_hashes,
+        "keep_biggest_per_lang": docs.keep_biggest_per_lang,
+        "regexp_filter_docs": docs.regexp_filter_docs,
+        # --- text analysis ---
+        "token_stats_per_lang": docs.token_stats_per_lang,
+        "quality_scores": docs.quality_scores,
+        "bpe_token_counts": docs.bpe_token_counts,
+        "lang_id_docs": docs.lang_id_docs,          # rows-only
+        "doc_fingerprints": docs.doc_fingerprints,  # rows-only
+        "simhash_docs": docs.simhash_docs,          # rows-only
+        "minhash_clusters_docs": docs.minhash_clusters_docs,  # rows-only
+        # --- events / relational ---
+        "events_window_5m": relational.events_window_5m,
+        "keep_oldest_per_user": relational.keep_oldest_per_user,
+        "lineitem_pricing_summary": relational.lineitem_pricing_summary,
+        "top_spenders": relational.top_spenders,
+        # --- similarity search ---
+        "ann_bruteforce_top10": ann.ann_bruteforce_topk,
+        "embedding_neardup_pairs": ann.embedding_neardup_pairs,
+        "ann_lsh_buckets": ann.ann_lsh_buckets,     # rows-only
+        # --- clips flagship (non-SQL: synthesized audio corpus) ---
+        "clips_flagship": clips.flagship_clusters,          # rows-only
+        "clips_exact_dedup": clips.clips_exact_dedup,       # rows-only
+        "clips_signatures": clips.clips_signature_table,    # rows-only
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_docs": """
+            SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "normalized_dedup_docs": """
+            SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+            FROM documents
+            GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+        """,
+        "doc_hashes": """
+            SELECT doc_id, sha256(text) AS text_sha FROM documents
+        """,
+        "keep_biggest_per_lang": """
+            SELECT lang, doc_id, n_chars FROM (
+                SELECT lang, doc_id, n_chars,
+                       max(n_chars) OVER (PARTITION BY lang) AS mx
+                FROM documents)
+            WHERE n_chars = mx
+        """,
+        "regexp_filter_docs": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE regexp_matches(text, '{REGEXP_PATTERN}')
+        """,
+        "token_stats_per_lang": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS sum_tokens,
+                   sum(n_chars) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "quality_scores": f"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x IN ({_STOP_SQL}))) AS n_stopwords,
+                   length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct
+            FROM documents
+        """,
+        "bpe_token_counts": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "events_window_5m": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 300) AS BIGINT) AS window_id,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "keep_oldest_per_user": """
+            SELECT user_id, event_id FROM (
+                SELECT user_id, event_id, ts,
+                       min(ts) OVER (PARTITION BY user_id) AS mn
+                FROM events)
+            WHERE ts = mn
+        """,
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS sum_price_cents,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_spenders": """
+            SELECT o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+            FROM orders GROUP BY o_custkey
+            ORDER BY total_cents DESC, o_custkey ASC LIMIT 25
+        """,
+        "ann_bruteforce_top10": """
+            SELECT query_id, vec_id, rank FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.embedding,
+                                                           e.embedding) DESC,
+                                    e.vec_id ASC) AS rank
+                FROM embeddings q, embeddings e
+                WHERE q.vec_id < 8)
+            WHERE rank <= 10
+        """,
+        "embedding_neardup_pairs": """
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """,
+    }

@@ -18,8 +18,9 @@ _U64 = np.uint64
 
 
 def _pack_bits(bits: np.ndarray) -> np.ndarray:
-    """(n, 64) bool -> (n,) uint64."""
-    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    """(n, w<=64) bool -> (n,) uint64."""
+    w = bits.shape[1]
+    weights = (np.uint64(1) << np.arange(w, dtype=np.uint64))
     return (bits.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
 
 

@@ -1,0 +1,162 @@
+"""Similarity search over the embeddings table (vec_id, embedding[64], label).
+
+- brute-force cosine top-k: the baseline — numpy matmul per batch against a
+  broadcast query matrix (`ray.put` once, read per actor), streaming over
+  the corpus; scales linearly and shuffle-free.
+- LSH-bucketed (SRP) variant: the scale path — candidates only from
+  matching hyperplane-sign buckets (multi-probe by Hamming radius 1).
+- embedding near-dup pairs: cosine >= threshold via per-batch matmul
+  against the broadcast corpus (small side broadcast, no shuffle join);
+  at 10^12 scale the same code path runs per LSH bucket instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from mail_deduplicate_ray.functions import simhash
+
+
+def _read(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+
+
+def _to_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    return ids, emb
+
+
+def _norm(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t["vec_id"], n_queries))
+    return _to_matrix(t)
+
+
+class _TopKScorer:
+    """Actor-pool stage: queries broadcast once via ray.put, fetched in
+    __init__ (not re-shipped per batch)."""
+
+    def __init__(self, qref, k: int) -> None:
+        self.q_ids, q = ray.get(qref)
+        self.qn = _norm(q)          # (Q, d)
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, emb = _to_matrix(t)
+        sims = _norm(emb) @ self.qn.T           # (n, Q)
+        n, q = sims.shape
+        # per-batch local top-k per query -> tiny partials
+        kk = min(self.k, n)
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+        out_q, out_v, out_s = [], [], []
+        for j in range(q):
+            rows = part[:, j]
+            out_q.extend([int(self.q_ids[j])] * len(rows))
+            out_v.extend(ids[rows].tolist())
+            out_s.extend(sims[rows, j].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+        })
+
+
+def ann_bruteforce_topk(sf_dir: str, n_queries: int = 8,
+                        k: int = 10) -> "ray.data.Dataset":
+    """(query_id, vec_id, rank) — exact top-k by cosine, rank 1-based,
+    ties broken by vec_id ascending (deterministic across engines)."""
+    qref = ray.put(_load_queries(sf_dir, n_queries))
+    partials = _read(sf_dir).map_batches(
+        _TopKScorer, fn_constructor_args=(qref, k),
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+
+    def make_final(k_final: int):
+        def final(g: pa.Table) -> pa.Table:
+            order = pc.sort_indices(
+                g, sort_keys=[("cosine", "descending"),
+                              ("vec_id", "ascending")])
+            k_eff = min(g.num_rows, k_final)
+            top = g.take(order[:k_eff])
+            return pa.table({
+                "query_id": top["query_id"],
+                "vec_id": top["vec_id"],
+                "rank": pa.array(range(1, k_eff + 1), pa.int64()),
+            })
+        return final
+
+    return partials.groupby("query_id").map_groups(make_final(k),
+                                                   batch_format="pyarrow")
+
+
+class _NearDupScorer:
+    def __init__(self, corpus_ref, threshold: float) -> None:
+        self.ids, m = ray.get(corpus_ref)
+        self.mn = _norm(m)
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, emb = _to_matrix(t)
+        sims = _norm(emb) @ self.mn.T
+        ai, bj = np.nonzero(sims >= self.threshold)
+        a = ids[ai]
+        b = self.ids[bj]
+        keep = a < b  # each unordered pair once, no self-pairs
+        return pa.table({
+            "a_id": pa.array(a[keep].astype(np.int64), pa.int64()),
+            "b_id": pa.array(b[keep].astype(np.int64), pa.int64()),
+        })
+
+
+def embedding_neardup_pairs(sf_dir: str,
+                            threshold: float = 0.35) -> "ray.data.Dataset":
+    """All unordered pairs with cosine >= threshold.  The corpus side is
+    broadcast (embeddings tables are the small side of training pipelines);
+    the streaming side scans once — no shuffle."""
+    import pyarrow.parquet as pq
+    corpus = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    ref = ray.put(_to_matrix(corpus))
+    return _read(sf_dir).map_batches(
+        _NearDupScorer, fn_constructor_args=(ref, threshold),
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+
+
+class _SRPBucketer:
+    def __init__(self, dims: int, bits: int = 16, seed: int = 97) -> None:
+        self.srp = simhash.SRP(dims, bits, seed)
+        self.bits = bits
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        _, emb = _to_matrix(t)
+        fp = self.srp.fingerprint(emb)
+        return t.append_column("bucket",
+                               pa.array(fp.astype(np.uint64), pa.uint64()))
+
+
+def ann_lsh_buckets(sf_dir: str, bits: int = 12) -> "ray.data.Dataset":
+    """The scale path for ANN: SRP-bucketed corpus (bucket, vec_id) — a
+    query probes only its bucket (+ Hamming-1 neighbors).  Returned here as
+    the bucket assignment table (downstream probing is a lookup join)."""
+    import pyarrow.parquet as pq
+    first = next(pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+                 .iter_batches(batch_size=1, columns=["embedding"]))
+    dims = len(first["embedding"][0])
+    return _read(sf_dir).map_batches(
+        _SRPBucketer, fn_constructor_args=(dims, bits),
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
+    ).select_columns(["bucket", "vec_id"])

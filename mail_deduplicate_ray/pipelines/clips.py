@@ -1,0 +1,85 @@
+"""Clips-table entry points: synthesize the Lance-shaped clips corpus from a
+testdata dir (deterministic, seeded — per the driver note: the input_hint
+table is synthesized at small scale; no external data) and run the flagship
+near-dup pipeline on it.
+
+The corpus is cached as parquet under /tmp keyed by (sf_dir basename, n_base,
+seed) so repeated driver/bench invocations — including the two fresh
+processes of `bench.py --scaling` — read the identical bytes instead of
+regenerating.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pyarrow.parquet as pq
+
+import ray.data
+
+from mail_deduplicate_ray import synth
+from mail_deduplicate_ray.config import DedupConfig
+from mail_deduplicate_ray.pipelines import neardup
+
+CACHE_ROOT = Path(os.environ.get("MDR_CACHE", "/tmp/mdr_cache"))
+
+
+def _doc_texts(sf_dir: str) -> list[str]:
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    order = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    return [x for _, x in sorted(zip(order, texts))]
+
+
+def clips_path(sf_dir: str, n_base: int | None = None, seed: int = 42) -> Path:
+    texts = _doc_texts(sf_dir)
+    n = n_base or len(texts)
+    tag = Path(sf_dir).name or "sf"
+    out = CACHE_ROOT / f"clips-{tag}-{n}-{seed}.parquet"
+    if not out.exists():
+        CACHE_ROOT.mkdir(parents=True, exist_ok=True)
+        tbl, truth = synth.generate_clips(n, seed=seed, texts=texts)
+        tmp = out.with_suffix(".tmp")
+        pq.write_table(tbl, tmp)
+        tmp.rename(out)  # atomic publish (resume-safe)
+        # ground truth beside the corpus, for recall checks
+        import json
+        (CACHE_ROOT / f"{out.stem}.truth.json").write_text(
+            json.dumps({"recall_pairs": truth["recall_pairs"]}))
+    return out
+
+
+def read_clips(sf_dir: str, n_base: int | None = None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(str(clips_path(sf_dir, n_base)))
+
+
+def flagship(sf_dir: str, cfg: DedupConfig | None = None,
+             n_base: int | None = None) -> neardup.DedupResult:
+    """The full mdedup-equivalent run (SURVEY.md §3.1) over the clips
+    corpus derived from ``sf_dir``'s documents."""
+    return neardup.dedup_clips(read_clips(sf_dir, n_base), cfg or DedupConfig())
+
+
+def flagship_clusters(sf_dir: str) -> "ray.data.Dataset":
+    """queries() surface: (clip_id, cluster_id, keep, reason)."""
+    res = flagship(sf_dir)
+    return res.settled.select_columns(["clip_id", "cluster_id", "keep",
+                                       "reason"])
+
+
+def clips_exact_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Exact-only fast path (= reference with --hash-body normalized and no
+    near-dup detectors)."""
+    res = neardup.dedup_clips(read_clips(sf_dir), DedupConfig(),
+                              channels=("exact",))
+    return res.settled.select_columns(["clip_id", "cluster_id", "keep",
+                                       "reason"])
+
+
+def clips_signature_table(sf_dir: str) -> "ray.data.Dataset":
+    """--hash-only analogue over clips (ref: cli.py:656-674)."""
+    ds = read_clips(sf_dir)
+    sigs = neardup.clip_signatures(ds, DedupConfig())
+    return sigs.select_columns(["clip_id", "exact_key", "rejected",
+                                "audio_fp", "set_size"])

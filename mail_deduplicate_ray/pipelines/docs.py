@@ -1,0 +1,205 @@
+"""Document-table operators (the SQL-checkable query surface).
+
+Every function takes ``sf_dir`` and returns a Ray Dataset whose column
+names match the paired DuckDB oracle in ``__ray_entry__.py`` exactly
+(the driver hash-compares values after sorting columns by name).
+
+Scale shape: projections are pruned at the read (`columns=[...]`), content
+hashes are computed vectorized in map_batches, and heavy columns (text)
+are dropped BEFORE any shuffle so the groupby moves scalars only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from mail_deduplicate_ray.functions import normalize, shingles, simhash, textstats
+from mail_deduplicate_ray.functions.textstats import (bpe_ish_token_counts,
+                                                      quality_table,
+                                                      token_counts)
+
+REGEXP_PATTERN = r"\bmerge\b.*\bjoin\b"  # shared with the oracle
+
+
+def _docs(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _sha256_col(t: pa.Table, src: str, out: str) -> pa.Table:
+    vals = [hashlib.sha256((v or "").encode()).hexdigest()
+            for v in t[src].to_pylist()]
+    return t.append_column(out, pa.array(vals, pa.string()))
+
+
+def _dedup_by(ds: "ray.data.Dataset", key_fn) -> "ray.data.Dataset":
+    """hash-partitioned exact dedup: key in map_batches (text dropped before
+    the shuffle), groupby(key) -> (keeper_id, n_copies).
+    Ref semantics: G1 group-by-hash (deduplicate.py:1009) + min-id winner
+    (deduplicate.py:1168)."""
+    keyed = ds.map_batches(key_fn, batch_format="pyarrow")
+
+    def per_group(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "keeper_id": pa.array([pc.min(g["doc_id"]).as_py()], pa.int64()),
+            "n_copies": pa.array([g.num_rows], pa.int64()),
+        })
+
+    return keyed.groupby("text_key").map_groups(per_group,
+                                                batch_format="pyarrow")
+
+
+def exact_dedup_docs(sf_dir: str) -> "ray.data.Dataset":
+    def key(t: pa.Table) -> pa.Table:
+        t = _sha256_col(t, "text", "text_key")
+        return t.select(["doc_id", "text_key"])
+    return _dedup_by(_docs(sf_dir, ["doc_id", "text"]), key)
+
+
+def normalized_dedup_docs(sf_dir: str) -> "ray.data.Dataset":
+    def key(t: pa.Table) -> pa.Table:
+        norm = normalize.collapse_whitespace(pc.utf8_lower(t["text"]))
+        t = t.append_column("text_norm", norm)
+        t = _sha256_col(t, "text_norm", "text_key")
+        return t.select(["doc_id", "text_key"])
+    return _dedup_by(_docs(sf_dir, ["doc_id", "text"]), key)
+
+
+def doc_hashes(sf_dir: str) -> "ray.data.Dataset":
+    """--hash-only analogue (ref: cli.py:656-674): signatures, stop."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: _sha256_col(t, "text", "text_sha").select(
+            ["doc_id", "text_sha"]),
+        batch_format="pyarrow")
+
+
+def keep_biggest_per_lang(sf_dir: str) -> "ray.data.Dataset":
+    """select-biggest (X8) over lang groups: rows with the group-max
+    n_chars, ties kept (ref: strategy.py:146-153)."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def per_group(g: pa.Table) -> pa.Table:
+        mx = pc.max(g["n_chars"])
+        return g.filter(pc.equal(g["n_chars"], mx))
+
+    return ds.groupby("lang").map_groups(per_group, batch_format="pyarrow")
+
+
+def regexp_filter_docs(sf_dir: str) -> "ray.data.Dataset":
+    """select-matching-path analogue (X9, ref: strategy.py:156-167)."""
+    return _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        lambda t: t.filter(pc.match_substring_regex(t["text"], REGEXP_PATTERN))
+                   .select(["doc_id", "lang"]),
+        batch_format="pyarrow")
+
+
+def token_stats_per_lang(sf_dir: str) -> "ray.data.Dataset":
+    """Partial-aggregate pattern: per-batch (lang, n_docs, sum_tokens,
+    sum_chars) partials, then a tiny groupby-sum — the shuffle moves one
+    row per (batch, lang), not one per document."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "text", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.append_column("n_tokens", pc.cast(token_counts(t["text"]),
+                                                pa.int64()))
+        t = t.select(["lang", "n_tokens", "n_chars"])
+        g = t.group_by("lang").aggregate(
+            [("n_tokens", "sum"), ("n_chars", "sum"), ("lang", "count")])
+        return pa.table({
+            "lang": g["lang"],
+            "n_docs": pc.cast(g["lang_count"], pa.int64()),
+            "sum_tokens": pc.cast(g["n_tokens_sum"], pa.int64()),
+            "sum_chars": pc.cast(g["n_chars_sum"], pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": [g["lang"][0].as_py()],
+            "n_docs": pa.array([pc.sum(g["n_docs"]).as_py()], pa.int64()),
+            "sum_tokens": pa.array([pc.sum(g["sum_tokens"]).as_py()], pa.int64()),
+            "sum_chars": pa.array([pc.sum(g["sum_chars"]).as_py()], pa.int64()),
+        })
+
+    return partials.groupby("lang").map_groups(final, batch_format="pyarrow")
+
+
+def quality_scores(sf_dir: str) -> "ray.data.Dataset":
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: quality_table(t).select(
+            ["doc_id", "n_tokens", "n_stopwords", "n_punct"]),
+        batch_format="pyarrow")
+
+
+def bpe_token_counts(sf_dir: str) -> "ray.data.Dataset":
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.append_column(
+            "n_bpe_tokens", pc.cast(bpe_ish_token_counts(t["text"]), pa.int64())
+        ).select(["doc_id", "n_bpe_tokens"]),
+        batch_format="pyarrow")
+
+
+def lang_id_docs(sf_dir: str) -> "ray.data.Dataset":
+    def f(t: pa.Table) -> pa.Table:
+        pred = textstats.lang_id(t["text"].to_pylist())
+        return (t.select(["doc_id", "lang"])
+                 .append_column("lang_pred", pa.array(pred, pa.string())))
+    return _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def doc_fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    def f(t: pa.Table) -> pa.Table:
+        fps = [textstats.rolling_fingerprint(v or "")
+               for v in t["text"].to_pylist()]
+        return (t.select(["doc_id"])
+                 .append_column("fingerprint", pa.array(fps, pa.uint64())))
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def simhash_docs(sf_dir: str) -> "ray.data.Dataset":
+    def f(t: pa.Table) -> pa.Table:
+        hs = [simhash.token_simhash(shingles.token_hashes((v or "").lower()))
+              for v in t["text"].to_pylist()]
+        return (t.select(["doc_id"])
+                 .append_column("simhash", pa.array(hs, pa.uint64())))
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def minhash_clusters_docs(sf_dir: str) -> "ray.data.Dataset":
+    """MinHash-LSH near-dup clustering of the documents table (doc_id plays
+    clip_id, text plays transcript) — full candidate->verify->CC path."""
+    from mail_deduplicate_ray.config import DedupConfig
+    from mail_deduplicate_ray.stages import candidates, components
+    from mail_deduplicate_ray.stages.signature import SignatureStage
+
+    cfg = DedupConfig(key_columns=("lang",), minimal_fields=1)
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        lambda t: pa.table({
+            "clip_id": pc.cast(t["doc_id"], pa.string()),
+            "sr_hz": pa.nulls(t.num_rows, pa.int32()),
+            "dur_ms": pa.nulls(t.num_rows, pa.int32()),
+            "codec": t["lang"],
+            "transcript": t["text"],
+            "lang": t["lang"],
+        }), batch_format="pyarrow")
+    sigs = ds.map_batches(SignatureStage, fn_constructor_args=(cfg,),
+                          batch_format="pyarrow", batch_size=2048,
+                          concurrency=(1, 4)).materialize()
+    raw = candidates.candidate_edges(sigs, cfg, channels=("minhash",))
+    edges = candidates.dedup_edges(raw)
+    labels = components.connected_components(edges, cfg.cc_max_rounds)
+    rows = sigs.select_columns(["clip_id"])
+    out = components.attach_cluster_ids(rows, labels)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["clip_id"], pa.int64()),
+            "cluster_id": t["cluster_id"]}),
+        batch_format="pyarrow")
