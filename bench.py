@@ -1,0 +1,128 @@
+"""Benchmark harness.
+
+Plain run: one JSON line with the headline flagship time + per-query times
+over $GRAFT_SF_DIR (default /root/testdata/sf0.1) at
+ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32).
+
+--scaling: runs the same job in TWO fresh processes (num_cpus=8 then 32)
+on the same cached input and reports throughput at both + scaling
+efficiency  eff = (t_8 / t_32) / (32 / 8)  (1.0 = linear), per the driver's
+two-cluster-size criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# bench corpus: 4x the doc count (texts wrap with planted dup structure)
+N_BASE = int(os.environ.get("MDR_BENCH_NBASE", "0")) or None
+
+BENCH_QUERIES = [
+    "exact_dedup_docs", "normalized_dedup_docs", "token_stats_per_lang",
+    "quality_scores", "events_window_5m", "keep_oldest_per_user",
+    "lineitem_pricing_summary", "top_spenders", "ann_bruteforce_top10",
+    "embedding_neardup_pairs", "minhash_clusters_docs",
+]
+
+
+def _consume(res) -> int:
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        n = 0
+        for b in res.iter_batches(batch_format="pyarrow"):
+            n += b.num_rows
+        return n
+    if isinstance(res, (pa.Table, pd.DataFrame)):
+        return len(res)
+    return 0
+
+
+def run_bench() -> dict:
+    import logging
+
+    import ray
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+    from mail_deduplicate_ray.pipelines import clips
+
+    # build/warm the cached clips corpus (untimed; shared across processes)
+    n_base = N_BASE or 4 * _n_docs(SF_DIR)
+    path = clips.clips_path(SF_DIR, n_base)
+    n_clips = _n_rows(path)
+
+    t0 = time.time()
+    res = clips.flagship(SF_DIR, n_base=n_base)
+    headline = time.time() - t0
+
+    qtimes: dict[str, float] = {}
+    qs = entrymod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _consume(qs[name](SF_DIR))
+        qtimes[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "flagship_neardup_clips_pipeline",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "n_clips": n_clips,
+        "clips_per_sec": round(n_clips / headline, 1),
+        "stats": res.stats.to_dict(),
+    }
+    ray.shutdown()
+    return out
+
+
+def _n_docs(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+    return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
+def _n_rows(path) -> int:
+    import pyarrow.parquet as pq
+    return pq.read_metadata(path).num_rows
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "sec_8": t_lo, "sec_32": t_hi,
+        "clips_per_sec_8": r_lo["clips_per_sec"],
+        "clips_per_sec_32": r_hi["clips_per_sec"],
+        "n_clips": r_hi["n_clips"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,147 @@
+"""Actions: effects applied to the settled selection (ref: action.py).
+
+Verb x target routing (ref: Action enum action.py:281-339, OPERATIONS
+:268-278): the target subset is ``discard`` (keep == False) or
+``selection`` (keep == True); verbs re-expressed for immutable columnar
+storage:
+
+  copy   (A1 copy_mails action.py:75-91)   -> write target rows as parquet
+  move   (A2 move_mails :94-117)           -> write target + tombstone manifest
+                                              (columnar stores don't mutate in
+                                              place: deletion is a manifest)
+  delete (A3 delete_mails :120-136)        -> tombstone manifest only
+  dedup-storage (A4 hardlink_mails :139-265) -> discarded rows' payload
+         replaced by a reference to the winner's blob; the byte-equality
+         gate (:156-192 hardlink_blocker) ≙ equal exact_key unless
+         ``allow_differing`` (--hardlink-differing)
+  dry-run (A5 action.py:66-72)             -> counters only, no I/O
+
+Outputs land in per-partition parquet directories (resumable layout:
+atomic tmp+rename, one dir per action)."""
+
+from __future__ import annotations
+
+import shutil
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from mail_deduplicate_ray.pipelines.neardup import DedupResult
+
+
+@dataclass
+class ActionReport:
+    action: str
+    target: str
+    rows: int
+    dry_run: bool
+    out_path: str | None = None
+    extra: dict = field(default_factory=dict)
+
+
+def _subset(result: DedupResult, target: str) -> "ray.data.Dataset":
+    if target not in ("selection", "discard"):
+        raise ValueError(f"bad target {target!r}")  # ref: action.py:303-310
+    want = target == "selection"
+    return result.settled.map_batches(
+        lambda t: t.filter(pc.equal(t["keep"], want)),
+        batch_format="pyarrow")
+
+
+def _atomic_write(ds: "ray.data.Dataset", out_dir: str | Path) -> int:
+    out = Path(out_dir)
+    tmp = out.parent / f".{out.name}.tmp-{int(time.time() * 1e6)}"
+    ds.write_parquet(str(tmp))
+    if out.exists():
+        shutil.rmtree(out)
+    tmp.rename(out)
+    import pyarrow.parquet as pq
+    return sum(pq.ParquetFile(p).metadata.num_rows
+               for p in sorted(out.glob("*.parquet")))
+
+
+def copy_action(result: DedupResult, target: str, out_dir: str | Path,
+                dry_run: bool = False) -> ActionReport:
+    sub = _subset(result, target)
+    if dry_run:  # counters still produced (ref: action.py:66-72)
+        return ActionReport("copy", target, sub.count(), True)
+    n = _atomic_write(sub, out_dir)
+    return ActionReport("copy", target, n, False, str(out_dir))
+
+
+def move_action(result: DedupResult, target: str, out_dir: str | Path,
+                dry_run: bool = False) -> ActionReport:
+    """copy + tombstones for the moved rows (ref: action.py:94-117 —
+    'remove from source' becomes a deletion manifest)."""
+    rep = copy_action(result, target, out_dir, dry_run)
+    tomb = _subset(result, target).select_columns(["clip_id"])
+    if not dry_run:
+        _atomic_write(tomb, Path(out_dir).parent /
+                      f"{Path(out_dir).name}.tombstones")
+    return ActionReport("move", target, rep.rows, dry_run, rep.out_path,
+                        {"tombstones": rep.rows})
+
+
+def delete_action(result: DedupResult, target: str, out_dir: str | Path,
+                  dry_run: bool = False) -> ActionReport:
+    tomb = _subset(result, target).select_columns(["clip_id"])
+    if dry_run:
+        return ActionReport("delete", target, tomb.count(), True)
+    n = _atomic_write(tomb, out_dir)
+    return ActionReport("delete", target, n, False, str(out_dir))
+
+
+def dedup_storage_action(result: DedupResult, out_dir: str | Path,
+                         allow_differing: bool = False,
+                         dry_run: bool = False) -> ActionReport:
+    """Content-addressed storage dedup (hardlink analogue, A4): each
+    discarded row becomes (clip_id, blob_ref=winner_clip_id).  The
+    byte-equality gate compares exact keys — only rows whose composite
+    content hash equals the winner's may share a blob, unless
+    ``allow_differing`` (ref: hardlink_blocker action.py:156-192,
+    --hardlink-differing)."""
+    discarded = _subset(result, "discard")
+
+    def link(t: pa.Table) -> pa.Table:
+        linked = pa.table({
+            "clip_id": t["clip_id"],
+            "blob_ref": t["winner_clip_id"],
+            "exact_key": t["exact_key"],
+        })
+        return linked
+
+    links = discarded.map_batches(link, batch_format="pyarrow")
+    if not allow_differing:
+        # gate: the winner shares the blob only when content hashes match;
+        # winner's exact_key == discarded's exact_key within exact clusters.
+        # Rows linked across near-dup (not byte-identical) boundaries carry
+        # differing keys -> blocked (kept as their own blob).
+        winners = result.settled.map_batches(
+            lambda t: t.filter(t["keep"]).select(["clip_id", "exact_key"]),
+            batch_format="pyarrow").map_batches(
+            lambda t: pa.table({"winner_clip_id": t["clip_id"],
+                                "winner_key": t["exact_key"]}),
+            batch_format="pyarrow")
+        joined = links.map_batches(
+            lambda t: pa.table({"clip_id": t["clip_id"],
+                                "blob_ref": t["blob_ref"],
+                                "exact_key": t["exact_key"],
+                                "winner_clip_id": t["blob_ref"]}),
+            batch_format="pyarrow").join(
+            winners, "inner", 16, on=("winner_clip_id",),
+            right_on=("winner_clip_id",))
+        links = joined.map_batches(
+            lambda t: t.filter(pc.equal(t["exact_key"], t["winner_key"]))
+                       .select(["clip_id", "blob_ref"]),
+            batch_format="pyarrow")
+    else:
+        links = links.select_columns(["clip_id", "blob_ref"])
+    if dry_run:
+        return ActionReport("dedup_storage", "discard", links.count(), True)
+    n = _atomic_write(links, out_dir)
+    return ActionReport("dedup_storage", "discard", n, False, str(out_dir))

@@ -193,7 +193,9 @@ def minhash_clusters_docs(sf_dir: str) -> "ray.data.Dataset":
     sigs = ds.map_batches(SignatureStage, fn_constructor_args=(cfg,),
                           batch_format="pyarrow", batch_size=2048,
                           concurrency=(1, 4)).materialize()
-    raw = candidates.candidate_edges(sigs, cfg, channels=("minhash",))
+    usable = sigs.map_batches(
+        lambda t: t.filter(pc.invert(t["rejected"])), batch_format="pyarrow")
+    raw = candidates.candidate_edges(usable, cfg, channels=("minhash",))
     edges = candidates.dedup_edges(raw)
     labels = components.connected_components(edges, cfg.cc_max_rounds)
     rows = sigs.select_columns(["clip_id"])

@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from mail_deduplicate_ray.config import DedupConfig
-from mail_deduplicate_ray.stages import candidates, components
+from mail_deduplicate_ray.stages import bucketing, candidates, components
 from mail_deduplicate_ray.stages.decode import DecodeStage
 from mail_deduplicate_ray.stages.settle import make_settle
 from mail_deduplicate_ray.stages.signature import SignatureStage
@@ -86,8 +86,10 @@ def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
     labels = components.connected_components(edges, cfg.cc_max_rounds)
     rows = usable.select_columns(SETTLE_COLUMNS)
     clustered = components.attach_cluster_ids(rows, labels)
-    settled = clustered.groupby("cluster_id").map_groups(
-        make_settle(cfg), batch_format="pandas").materialize()
+    settled = bucketing.grouped(
+        clustered, "cluster_id",
+        bucketing.per_key_apply("cluster_id", make_settle(cfg)),
+    ).materialize()
 
     n_rejected = n_found - settled.count()
     stats = collect_stats(settled, n_found, n_rejected)

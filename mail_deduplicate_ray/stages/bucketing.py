@@ -1,0 +1,71 @@
+"""Bucketed group processing — the scale-critical shuffle idiom.
+
+A naive ``ds.groupby(key).map_groups(fn)`` with millions of distinct keys
+pays a per-group Python call and shuffles on wide string keys.  Instead we
+hash the key into ``nbuckets`` small integers, shuffle on the int bucket,
+and process ALL keys of a bucket in ONE partition call with a vectorized
+pandas/pyarrow body.  Shuffle cost: O(rows) on an int key; Python overhead:
+O(nbuckets), not O(distinct keys).  This is the explicit partitioned
+hash-join/aggregate pattern for every wide step in the engine.
+
+Hashing uses ``pandas.util.hash_array`` — deterministic across processes
+and vectorized (cluster-size independent results).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+BUCKET_COL = "__bucket"
+
+
+def hash_to_buckets(values, nbuckets: int) -> np.ndarray:
+    """Deterministic vectorized hash of any array-like -> int32 buckets."""
+    arr = np.asarray(values, dtype=object)
+    return (pd.util.hash_array(arr) % np.uint64(nbuckets)).astype(np.int32)
+
+
+def add_bucket(ds: "ray.data.Dataset", key: str,
+               nbuckets: int) -> "ray.data.Dataset":
+    def f(t: pa.Table) -> pa.Table:
+        b = hash_to_buckets(t[key].to_pylist(), nbuckets)
+        return t.append_column(BUCKET_COL, pa.array(b, pa.int32()))
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def grouped(ds: "ray.data.Dataset", key: str, part_fn: Callable,
+            nbuckets: int = 64,
+            batch_format: str = "pandas") -> "ray.data.Dataset":
+    """groupby(key) via bucketed partitions.
+
+    ``part_fn(df)`` receives one partition containing ALL rows of every key
+    hashed to that bucket (the ``__bucket`` column is already dropped) and
+    returns a DataFrame/Table; it is responsible for its own per-key logic
+    (typically a vectorized ``df.groupby(key)``).
+    """
+    bucketed = add_bucket(ds, key, nbuckets)
+
+    if batch_format == "pandas":
+        def runner(df: pd.DataFrame) -> pd.DataFrame:
+            return part_fn(df.drop(columns=[BUCKET_COL]))
+    else:
+        def runner(t: pa.Table) -> pa.Table:
+            return part_fn(t.drop_columns([BUCKET_COL]))
+
+    return bucketed.groupby(BUCKET_COL).map_groups(
+        runner, batch_format=batch_format)
+
+
+def per_key_apply(key: str, fn: Callable[[pd.DataFrame], pd.DataFrame]):
+    """Partition body: apply ``fn`` to each key-group inside the bucket
+    (for logic that is inherently per-group, e.g. the settle cascade)."""
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [fn(g) for _, g in df.groupby(key, sort=True)]
+        return pd.concat(outs, ignore_index=True) if outs else df.iloc[0:0]
+    return part

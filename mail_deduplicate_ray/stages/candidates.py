@@ -1,13 +1,14 @@
 """Candidate generation + in-bucket verification -> verified edge table.
 
-Four channels, each an explicit explode -> groupby(bucket) shuffle -> in-bucket
-verify (SURVEY.md §4.3 shuffle #1; ref analogue: the hash-index grouping
-deduplicate.py:1009 generalized from exact keys to LSH buckets):
+Four channels, each an explicit explode -> bucketed groupby shuffle ->
+in-partition verification (SURVEY.md §4.3 shuffle #1; ref analogue: the
+hash-index grouping deduplicate.py:1009 generalized from exact keys to LSH
+buckets):
 
-  exact        groupby(exact_key): same composite sha ≡ duplicate by
-               definition (ref: deduplicate.py:710-717) -> star edges, no
-               pairwise work (the all-identical fast path,
-               ref: deduplicate.py:292-310).
+  exact        same composite sha ≡ duplicate by definition
+               (ref: deduplicate.py:710-717) -> star edges, fully
+               vectorized (groupby-transform-min), no pairwise work
+               (the all-identical fast path, ref: deduplicate.py:292-310).
   minhash      per-band bucket keys from the MinHash signature; in-bucket
                est-Jaccard >= threshold.
   audio        16-bit bands of the 64-bit SRP audio fingerprint; in-bucket
@@ -16,15 +17,18 @@ deduplicate.py:1009 generalized from exact keys to LSH buckets):
                estimate >= containment_threshold (the suffix-array
                exact-substring analogue from BASELINE.json).
 
+Shuffle shape: explode emits (bucket:uint64, payload) rows; the shuffle key
+is ``bucket % nbuckets`` (small int), and ONE partition call verifies every
+bucket hashed into it (stages/bucketing.py idiom) — per-bucket Python cost
+without per-bucket task scheduling.
+
 In-bucket verification is **representative-based**: each member is compared
 against the bucket-local cluster representatives found so far, joining the
 first that passes; edges are a spanning set of the in-bucket transitive
 closure, so edge count is O(members), not O(members^2) — connected
-components downstream reconstructs the full clusters.  Oversized buckets are
-capped at ``cfg.max_bucket`` deterministically (sorted by clip_id) and the
-overflow is REPORTED via ``dropped`` rows, never silently (the skew story:
-salting refinement tracked for a later round; the dominant mega-bucket cause
-— all-identical keys — is already O(m) via the representative scheme).
+components downstream rebuilds full clusters.  Oversized buckets are capped
+at ``cfg.max_bucket`` deterministically (sorted by clip_id) and the
+overflow is REPORTED via ``dropped`` accounting rows, never silently.
 """
 
 from __future__ import annotations
@@ -32,59 +36,63 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
 from mail_deduplicate_ray.config import DedupConfig
 from mail_deduplicate_ray.functions import minhash, simhash
+from mail_deduplicate_ray.stages import bucketing
 
-EDGE_SCHEMA = pa.schema([
-    ("src", pa.string()), ("dst", pa.string()),
-    ("channel", pa.string()), ("dropped", pa.int64()),
-])
-
-
-def _edges_table(pairs: list[tuple[str, str]], channel: str,
-                 dropped: int = 0) -> pa.Table:
-    src = [min(a, b) for a, b in pairs]
-    dst = [max(a, b) for a, b in pairs]
-    n = len(pairs)
-    return pa.table({
-        "src": pa.array(src, pa.string()),
-        "dst": pa.array(dst, pa.string()),
-        "channel": pa.array([channel] * n, pa.string()),
-        "dropped": pa.array([dropped] + [0] * (n - 1) if n else [], pa.int64()),
-    })
+_EMPTY = pd.DataFrame({"src": pd.Series(dtype=str),
+                       "dst": pd.Series(dtype=str),
+                       "channel": pd.Series(dtype=str),
+                       "dropped": pd.Series(dtype="int64")})
 
 
-def _empty_edges() -> pa.Table:
-    return EDGE_SCHEMA.empty_table()
+def _edges_df(pairs: list[tuple[str, str]], channel: str,
+              dropped: int) -> pd.DataFrame:
+    rows = [(min(a, b), max(a, b), channel, 0) for a, b in pairs]
+    if dropped:
+        rows.append(("", "", channel, dropped))
+    if not rows:
+        return _EMPTY
+    return pd.DataFrame(rows, columns=["src", "dst", "channel", "dropped"])
 
 
-def _overflow_row(channel: str, dropped: int) -> pa.Table:
-    """A no-edge accounting row so bucket truncation is visible in metrics."""
-    return pa.table({
-        "src": pa.array([""], pa.string()),
-        "dst": pa.array([""], pa.string()),
-        "channel": pa.array([channel], pa.string()),
-        "dropped": pa.array([dropped], pa.int64()),
-    })
+# ---------------- exact channel (vectorized star edges) ----------------
+
+def _exact_partition(df: pd.DataFrame) -> pd.DataFrame:
+    mins = df.groupby("exact_key")["clip_id"].transform("min")
+    dup = df["clip_id"] != mins
+    if not dup.any():
+        return _EMPTY
+    return pd.DataFrame({"src": mins[dup], "dst": df.loc[dup, "clip_id"],
+                         "channel": "exact", "dropped": 0})
 
 
-def _cap_group(tbl: pa.Table, cap: int) -> tuple[pa.Table, int]:
-    if tbl.num_rows <= cap:
-        return tbl, 0
-    order = pa.compute.sort_indices(tbl["clip_id"])
-    return tbl.take(order[:cap]), tbl.num_rows - cap
+# ---------------- shared representative scan ----------------
+
+def _rep_scan(ids: np.ndarray, match_fn) -> list[tuple[str, str]]:
+    """Scan members in clip_id order; ``match_fn(i, reps) -> rep_index|None``.
+    Returns spanning edges (rep, member)."""
+    order = np.argsort(ids)
+    reps: list[int] = []
+    pairs: list[tuple[str, str]] = []
+    for i in order:
+        j = match_fn(int(i), reps) if reps else None
+        if j is None:
+            reps.append(int(i))
+        else:
+            pairs.append((ids[j], ids[i]))
+    return pairs
 
 
-# ---------------- exact channel ----------------
-
-def exact_star_edges(group: pa.Table) -> pa.Table:
-    ids = sorted(group["clip_id"].to_pylist())
-    if len(ids) < 2:
-        return _empty_edges()
-    return _edges_table([(ids[0], other) for other in ids[1:]], "exact")
+def _capped(g: pd.DataFrame, cap: int) -> tuple[pd.DataFrame, int]:
+    if len(g) <= cap:
+        return g, 0
+    keep = g["clip_id"].sort_values().index[:cap]
+    return g.loc[keep], len(g) - cap
 
 
 # ---------------- minhash channel ----------------
@@ -94,11 +102,11 @@ class ExplodeMinhashBands:
 
     def __init__(self, cfg: DedupConfig) -> None:
         self.cfg = cfg
-        self.mh = minhash.MinHasher(cfg.num_perm, cfg.minhash_seed, cfg.lsh_bands)
+        self.mh = minhash.MinHasher(cfg.num_perm, cfg.minhash_seed,
+                                    cfg.lsh_bands)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keep = pa.compute.greater(batch["set_size"], 0)
-        batch = batch.filter(keep)
+        batch = batch.filter(pc.greater(batch["set_size"], 0))
         n = batch.num_rows
         if n == 0:
             return pa.table({"bucket": pa.array([], pa.uint64()),
@@ -108,40 +116,33 @@ class ExplodeMinhashBands:
         raw = b"".join(batch["minhash_sig"].to_pylist())
         sig = np.frombuffer(raw, dtype=np.uint64).reshape(n, self.cfg.num_perm)
         keys = self.mh.band_keys(sig)  # (n, bands)
-        b = self.cfg.lsh_bands
-        idx = np.repeat(np.arange(n), b)
+        idx = np.repeat(np.arange(n), self.cfg.lsh_bands)
         rep = batch.select(["clip_id", "minhash_sig", "exact_key"]).take(idx)
         return rep.append_column("bucket", pa.array(keys.reshape(-1)))
 
 
-def verify_minhash_bucket(group: pa.Table, cfg: DedupConfig) -> pa.Table:
-    if group.num_rows < 2:
-        return _empty_edges()
-    # all-identical fast path (ref: deduplicate.py:292-310): exact channel
-    # already links these; emit nothing.
-    ek = group["exact_key"].to_pylist()
-    if len(set(ek)) == 1 and ek[0] is not None:
-        return _empty_edges()
-    group, dropped = _cap_group(group, cfg.max_bucket)
-    n = group.num_rows
-    sig = np.frombuffer(b"".join(group["minhash_sig"].to_pylist()),
-                        dtype=np.uint64).reshape(n, cfg.num_perm)
-    ids = group["clip_id"].to_pylist()
-    order = np.argsort(np.asarray(ids))
-    reps: list[int] = []
-    pairs: list[tuple[str, str]] = []
-    for i in order:
-        if reps:
+def _minhash_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
+    out: list[pd.DataFrame] = []
+    for _, g in df.groupby("bucket", sort=False):
+        if len(g) < 2:
+            continue
+        ek = g["exact_key"].to_numpy()
+        if (ek[0] is not None) and (ek == ek[0]).all():
+            continue  # exact channel already links these (fast path)
+        g, dropped = _capped(g, cfg.max_bucket)
+        sig = np.frombuffer(b"".join(g["minhash_sig"]),
+                            dtype=np.uint64).reshape(len(g), cfg.num_perm)
+        ids = g["clip_id"].to_numpy()
+
+        def match(i: int, reps: list[int]):
             sims = (sig[reps] == sig[i][None, :]).mean(axis=1)
             j = int(np.argmax(sims))
-            if sims[j] >= cfg.jaccard_threshold:
-                pairs.append((ids[reps[j]], ids[i]))
-                continue
-        reps.append(int(i))
-    out = _edges_table(pairs, "minhash") if pairs else _empty_edges()
-    if dropped:
-        out = pa.concat_tables([out, _overflow_row("minhash", dropped)])
-    return out
+            return reps[j] if sims[j] >= cfg.jaccard_threshold else None
+
+        pairs = _rep_scan(ids, match)
+        if pairs or dropped:
+            out.append(_edges_df(pairs, "minhash", dropped))
+    return pd.concat(out, ignore_index=True) if out else _EMPTY
 
 
 # ---------------- audio channel ----------------
@@ -160,40 +161,35 @@ class ExplodeAudioBands:
                              "dur_ms": pa.array([], pa.int32())})
         fp = np.asarray(batch["audio_fp"].to_numpy(zero_copy_only=False),
                         dtype=np.uint64)
-        keys = simhash.band_keys_u64(fp, self.cfg.audio_bands, self.cfg.audio_bits)
+        keys = simhash.band_keys_u64(fp, self.cfg.audio_bands,
+                                     self.cfg.audio_bits)
         idx = np.repeat(np.arange(n), self.cfg.audio_bands)
         rep = batch.select(["clip_id", "audio_fp", "dur_ms"]).take(idx)
         return rep.append_column("bucket", pa.array(keys.reshape(-1)))
 
 
-def verify_audio_bucket(group: pa.Table, cfg: DedupConfig) -> pa.Table:
-    if group.num_rows < 2:
-        return _empty_edges()
-    group, dropped = _cap_group(group, cfg.max_bucket)
-    fp = np.asarray(group["audio_fp"].to_numpy(zero_copy_only=False),
-                    dtype=np.uint64)
-    dur = np.asarray(group["dur_ms"].to_numpy(zero_copy_only=False),
-                     dtype=np.int64)
-    ids = group["clip_id"].to_pylist()
-    order = np.argsort(np.asarray(ids))
-    reps: list[int] = []
-    pairs: list[tuple[str, str]] = []
-    for i in order:
-        matched = False
-        if reps:
-            hd = simhash.hamming(fp[reps], np.full(len(reps), fp[i], np.uint64))
+def _audio_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
+    out: list[pd.DataFrame] = []
+    for _, g in df.groupby("bucket", sort=False):
+        if len(g) < 2:
+            continue
+        g, dropped = _capped(g, cfg.max_bucket)
+        fp = g["audio_fp"].to_numpy().astype(np.uint64)
+        dur = g["dur_ms"].to_numpy().astype(np.int64)
+        ids = g["clip_id"].to_numpy()
+
+        def match(i: int, reps: list[int]):
+            hd = simhash.hamming(fp[reps], np.full(len(reps), fp[i],
+                                                   np.uint64))
             dur_ok = np.abs(dur[reps] - dur[i]) <= np.maximum(
                 60, 0.05 * np.maximum(dur[reps], dur[i]))
             cand = np.flatnonzero((hd <= cfg.audio_hamming_max) & dur_ok)
-            if len(cand):
-                pairs.append((ids[reps[int(cand[0])]], ids[i]))
-                matched = True
-        if not matched:
-            reps.append(int(i))
-    out = _edges_table(pairs, "audio") if pairs else _empty_edges()
-    if dropped:
-        out = pa.concat_tables([out, _overflow_row("audio", dropped)])
-    return out
+            return reps[int(cand[0])] if len(cand) else None
+
+        pairs = _rep_scan(ids, match)
+        if pairs or dropped:
+            out.append(_edges_df(pairs, "audio", dropped))
+    return pd.concat(out, ignore_index=True) if out else _EMPTY
 
 
 # ---------------- containment channel ----------------
@@ -203,103 +199,116 @@ class ExplodeAnchors:
         self.cfg = cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pa.compute.greater(batch["set_size"], 0))
+        batch = batch.filter(pc.greater(batch["set_size"], 0))
         anchors = batch["anchors"].to_pylist()
         counts = [len(a) for a in anchors]
         idx = np.repeat(np.arange(batch.num_rows), counts)
-        flat = (np.concatenate([np.asarray(a, dtype=np.uint64) for a in anchors])
+        flat = (np.concatenate([np.asarray(a, dtype=np.uint64)
+                                for a in anchors])
                 if anchors and idx.size else np.empty(0, np.uint64))
         rep = batch.select(["clip_id", "sketch", "set_size"]).take(idx)
         return rep.append_column("bucket", pa.array(flat))
 
 
-def verify_containment_bucket(group: pa.Table, cfg: DedupConfig,
-                              threshold: float = 0.9) -> pa.Table:
-    if group.num_rows < 2:
-        return _empty_edges()
-    group, dropped = _cap_group(group, cfg.max_bucket)
-    ids = group["clip_id"].to_pylist()
-    sketches = [np.frombuffer(s, dtype=np.uint64)
-                for s in group["sketch"].to_pylist()]
-    sizes = group["set_size"].to_pylist()
-    order = np.argsort(np.asarray(ids))
-    k = 64
-    reps: list[int] = []
-    pairs: list[tuple[str, str]] = []
-    for i in order:
-        matched = False
-        for r in reps:
-            c = minhash.est_containment(sketches[r], sizes[r],
-                                        sketches[i], sizes[i], k)
-            if c >= threshold:
-                pairs.append((ids[r], ids[i]))
-                matched = True
-                break
-        if not matched:
-            reps.append(int(i))
-    out = _edges_table(pairs, "containment") if pairs else _empty_edges()
-    if dropped:
-        out = pa.concat_tables([out, _overflow_row("containment", dropped)])
-    return out
+def _containment_partition(df: pd.DataFrame, cfg: DedupConfig,
+                           threshold: float = 0.9) -> pd.DataFrame:
+    out: list[pd.DataFrame] = []
+    for _, g in df.groupby("bucket", sort=False):
+        if len(g) < 2:
+            continue
+        g, dropped = _capped(g, cfg.max_bucket)
+        ids = g["clip_id"].to_numpy()
+        sketches = [np.frombuffer(s, dtype=np.uint64) for s in g["sketch"]]
+        sizes = g["set_size"].to_numpy()
+
+        def match(i: int, reps: list[int]):
+            for r in reps:
+                c = minhash.est_containment(sketches[r], int(sizes[r]),
+                                            sketches[i], int(sizes[i]), 64)
+                if c >= threshold:
+                    return r
+            return None
+
+        pairs = _rep_scan(ids, match)
+        if pairs or dropped:
+            out.append(_edges_df(pairs, "containment", dropped))
+    return pd.concat(out, ignore_index=True) if out else _EMPTY
 
 
 # ---------------- channel drivers ----------------
 
+def _bucketed_verify(exploded: "ray.data.Dataset", part_fn,
+                     nbuckets: int) -> "ray.data.Dataset":
+    """Shuffle on bucket%nbuckets (int), verify all buckets per partition."""
+    def add_small(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        small = (b % np.uint64(nbuckets)).astype(np.int32)
+        return t.append_column(bucketing.BUCKET_COL, pa.array(small))
+
+    bucketed = exploded.map_batches(add_small, batch_format="pyarrow")
+    return bucketed.groupby(bucketing.BUCKET_COL).map_groups(
+        lambda df: part_fn(df.drop(columns=[bucketing.BUCKET_COL])),
+        batch_format="pandas")
+
+
 def candidate_edges(sigs: "ray.data.Dataset", cfg: DedupConfig,
                     channels: tuple[str, ...] = ("exact", "minhash", "audio",
                                                  "containment"),
-                    ) -> "ray.data.Dataset":
-    """All verified candidate edges (union of channels), deduplicated.
-
-    ``sigs`` is the output of DecodeStage + SignatureStage with
-    rejected rows still present (they are filtered here).
+                    nbuckets: int = 64) -> "ray.data.Dataset":
+    """All verified candidate edges (union of channels), overflow rows
+    included (``src == ''``).  ``sigs`` must already exclude rejected rows.
     """
-    usable = sigs.map_batches(
-        lambda t: t.filter(pa.compute.invert(t["rejected"])),
-        batch_format="pyarrow")
     parts = []
     if "exact" in channels:
-        parts.append(
-            usable.groupby("exact_key")
-            .map_groups(exact_star_edges, batch_format="pyarrow"))
+        keyed = sigs.map_batches(
+            lambda t: t.filter(pc.is_valid(t["exact_key"]))
+                       .select(["clip_id", "exact_key"]),
+            batch_format="pyarrow")
+        parts.append(bucketing.grouped(keyed, "exact_key", _exact_partition,
+                                       nbuckets))
     if "minhash" in channels:
-        exploded = usable.map_batches(
+        exploded = sigs.map_batches(
             ExplodeMinhashBands, fn_constructor_args=(cfg,),
-            batch_format="pyarrow", concurrency=(1, 8))
-        parts.append(exploded.groupby("bucket").map_groups(
-            lambda g: verify_minhash_bucket(g, cfg), batch_format="pyarrow"))
+            batch_format="pyarrow", batch_size=2048, concurrency=(1, 8))
+        parts.append(_bucketed_verify(
+            exploded, lambda df: _minhash_partition(df, cfg), nbuckets))
     if "audio" in channels:
-        exploded = usable.map_batches(
+        exploded = sigs.map_batches(
             ExplodeAudioBands, fn_constructor_args=(cfg,),
-            batch_format="pyarrow", concurrency=(1, 8))
-        parts.append(exploded.groupby("bucket").map_groups(
-            lambda g: verify_audio_bucket(g, cfg), batch_format="pyarrow"))
+            batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+        parts.append(_bucketed_verify(
+            exploded, lambda df: _audio_partition(df, cfg), nbuckets))
     if "containment" in channels:
-        exploded = usable.map_batches(
+        exploded = sigs.map_batches(
             ExplodeAnchors, fn_constructor_args=(cfg,),
-            batch_format="pyarrow", concurrency=(1, 8))
-        parts.append(exploded.groupby("bucket").map_groups(
-            lambda g: verify_containment_bucket(g, cfg), batch_format="pyarrow"))
+            batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+        parts.append(_bucketed_verify(
+            exploded, lambda df: _containment_partition(df, cfg), nbuckets))
     edges = parts[0]
     for p in parts[1:]:
         edges = edges.union(p)
     return edges
 
 
-def dedup_edges(raw_edges: "ray.data.Dataset") -> "ray.data.Dataset":
+def dedup_edges(raw_edges: "ray.data.Dataset",
+                nbuckets: int = 64) -> "ray.data.Dataset":
     """Drop overflow accounting rows + dedup pairs (a pair can surface from
-    up to ``lsh_bands`` buckets and several channels)."""
+    up to ``lsh_bands`` buckets and several channels) — bucketed
+    drop_duplicates, vectorized."""
     real = raw_edges.map_batches(
-        lambda t: t.filter(pa.compute.not_equal(t["src"], "")),
+        lambda t: t.filter(pc.not_equal(t["src"], ""))
+                   .select(["src", "dst", "channel"]),
         batch_format="pyarrow")
-    return real.groupby(["src", "dst"]).map_groups(
-        lambda g: g.slice(0, 1).select(["src", "dst", "channel"]),
-        batch_format="pyarrow")
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["src", "dst"])
+
+    return bucketing.grouped(real, "src", part, nbuckets)
 
 
 def overflow_dropped(raw_edges: "ray.data.Dataset") -> int:
     """Total rows dropped by bucket caps — reported, never silent."""
     only = raw_edges.map_batches(
-        lambda t: t.filter(pa.compute.equal(t["src"], "")),
+        lambda t: t.filter(pc.equal(t["src"], "")),
         batch_format="pyarrow")
     return int(only.sum("dropped") or 0)

@@ -1,29 +1,34 @@
 """Distributed connected components: min-label propagation over Ray Data.
 
 Replaces the reference's driver-held hash index (deduplicate.py:710-717) with
-a shuffle-native algorithm: every node starts labelled with its own id;
-each round every node sends its current label to its neighbors and adopts
-the minimum label it hears (hash-min propagation).  Rounds are two
-``groupby(node)`` shuffles each; convergence is detected by summing a
-``changed`` flag (labels are monotonically non-increasing, so sum==0 ⟺
-fixpoint).  LSH candidate clusters are near-cliques (the representative
-edge scheme in stages/candidates.py emits stars per bucket), so the
-diameter — and thus round count — is small (2-4 typical); ``max_rounds``
-caps it defensively.  At 10^12-node scale the same loop applies with
-large-star/small-star contraction to bound rounds at O(log n); tracked as a
-follow-up (PAPERS.md: BTS, ICDE 2024).
+a shuffle-native algorithm: every node starts labelled with its own id; each
+round every node's label flows to its neighbors and every node adopts the
+minimum label heard (hash-min propagation).  All grouping uses the bucketed
+partition idiom (stages/bucketing.py): the shuffle key is an int bucket,
+per-partition work is vectorized pandas (merge + groupby-min) — no
+per-node Python calls.
 
-Determinism: labels are clip_id strings, min is lexicographic — the same
-winner at any parallelism (≙ the reference's deterministic min-path link
-target, deduplicate.py:1168).
+Convergence: labels are monotonically non-increasing, so a round with
+``sum(changed) == 0`` is a fixpoint; LSH candidate clusters are near-stars
+(stages/candidates.py emits representative edges), so 2-4 rounds typical;
+``max_rounds`` caps defensively.  At 10^12-node scale the same loop gets
+large-star/small-star contraction to bound rounds at O(log n) (PAPERS.md:
+BTS, ICDE 2024) — the seam is this function.
+
+Determinism: labels are clip_id strings, min is lexicographic — identical
+output at any parallelism (≙ min-path link target, deduplicate.py:1168).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray.data
+
+from mail_deduplicate_ray.stages.bucketing import (BUCKET_COL, add_bucket,
+                                                   hash_to_buckets)
 
 
 def _both_directions(edges: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -34,92 +39,83 @@ def _both_directions(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     return edges.map_batches(flip, batch_format="pyarrow")
 
 
-def _gather_send(group: pd.DataFrame) -> pd.DataFrame:
-    """Group = all rows for one node: its L row(s) (label) + E rows (nbrs).
-    Emit the node's own label to itself (is_self=1) and to each neighbor."""
-    labels = group.loc[group["kind"] == 0, "label"]
-    lbl = labels.min() if len(labels) else group["node"].iloc[0]
-    nbrs = group.loc[group["kind"] == 1, "nbr"]
-    out_nodes = [group["node"].iloc[0], *nbrs.tolist()]
-    is_self = [1] + [0] * len(nbrs)
-    return pd.DataFrame({"node": out_nodes, "label": lbl, "is_self": is_self})
+def connected_components(edges: "ray.data.Dataset", max_rounds: int = 10,
+                         nbuckets: int = 64) -> "ray.data.Dataset":
+    """edges(src,dst) -> labels(node,label); covers nodes appearing in edges
+    (singletons are defaulted by attach_cluster_ids)."""
+    adj = add_bucket(_both_directions(edges), "node", nbuckets).materialize()
 
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = df["node"].drop_duplicates()
+        return pd.DataFrame({"node": nodes, "label": nodes})
 
-def _adopt_min(group: pd.DataFrame) -> pd.DataFrame:
-    new = group["label"].min()
-    own = group.loc[group["is_self"] == 1, "label"]
-    old = own.min() if len(own) else group["node"].iloc[0]
-    return pd.DataFrame({
-        "node": [group["node"].iloc[0]],
-        "label": [new],
-        "changed": [1 if new != old else 0],
-    })
+    labels = adj.groupby(BUCKET_COL).map_groups(
+        lambda df: init_labels(df), batch_format="pandas").materialize()
 
-
-def connected_components(edges: "ray.data.Dataset",
-                         max_rounds: int = 10) -> "ray.data.Dataset":
-    """edges(src,dst) -> labels(node,label); only nodes appearing in edges.
-
-    Singletons never enter: attach_cluster_ids defaults them to their own id.
-    """
-    adj = _both_directions(edges).materialize()  # reused every round; small
-    labels = adj.groupby("node").map_groups(
-        lambda g: pd.DataFrame({"node": [g["node"].iloc[0]],
-                                "label": [g["node"].iloc[0]]}),
-        batch_format="pandas").materialize()
     for _ in range(max_rounds):
-        tagged_l = labels.map_batches(
-            lambda t: pa.table({"node": t["node"], "label": t["label"],
-                                "nbr": pa.nulls(t.num_rows, pa.string()),
-                                "kind": pa.array([0] * t.num_rows, pa.int8())}),
+        # co-partition labels with adjacency by node-bucket, emit messages
+        lab_b = add_bucket(labels, "node", nbuckets)
+        tagged_l = lab_b.map_batches(
+            lambda t: t.append_column("nbr", pa.nulls(t.num_rows, pa.string())),
             batch_format="pyarrow")
         tagged_e = adj.map_batches(
             lambda t: pa.table({"node": t["node"],
                                 "label": pa.nulls(t.num_rows, pa.string()),
-                                "nbr": t["nbr"],
-                                "kind": pa.array([1] * t.num_rows, pa.int8())}),
+                                BUCKET_COL: t[BUCKET_COL],
+                                "nbr": t["nbr"]}),
             batch_format="pyarrow")
-        msgs = tagged_l.union(tagged_e).groupby("node").map_groups(
-            _gather_send, batch_format="pandas")
-        new_labels = msgs.groupby("node").map_groups(
-            _adopt_min, batch_format="pandas").materialize()
+
+        def send(df: pd.DataFrame) -> pd.DataFrame:
+            ldf = df[df["nbr"].isna()][["node", "label"]]
+            adf = df[df["nbr"].notna()][["node", "nbr"]]
+            m = adf.merge(ldf, on="node", how="left")
+            out = pd.DataFrame({"node": m["nbr"], "label": m["label"],
+                                "is_self": 0})
+            self_rows = pd.DataFrame({"node": ldf["node"],
+                                      "label": ldf["label"], "is_self": 1})
+            return pd.concat([out.dropna(subset=["label"]), self_rows],
+                             ignore_index=True)
+
+        msgs = tagged_l.union(tagged_e).groupby(BUCKET_COL).map_groups(
+            lambda df: send(df.drop(columns=[BUCKET_COL])),
+            batch_format="pandas")
+
+        def adopt(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("node", sort=False)["label"]
+            new = g.min()
+            old = df[df["is_self"] == 1].set_index("node")["label"]
+            old = old[~old.index.duplicated()]
+            out = new.reset_index()
+            out.columns = ["node", "label"]
+            out["changed"] = (out["label"]
+                              != old.reindex(out["node"]).values).astype(int)
+            return out
+
+        new_labels = add_bucket(msgs, "node", nbuckets) \
+            .groupby(BUCKET_COL).map_groups(
+                lambda df: adopt(df.drop(columns=[BUCKET_COL])),
+                batch_format="pandas").materialize()
         changed = int(new_labels.sum("changed") or 0)
-        labels = new_labels.drop_columns(["changed"]).materialize()
+        labels = new_labels.drop_columns(["changed"])
         if changed == 0:
             break
     return labels
 
 
 def attach_cluster_ids(rows: "ray.data.Dataset", labels: "ray.data.Dataset",
-                       key: str = "clip_id") -> "ray.data.Dataset":
-    """Join cluster labels back onto full rows without Dataset.join:
-    union-tag-groupby (one shuffle).  Rows absent from ``labels`` are
-    singletons -> cluster_id = own key."""
-    schema = rows.schema()
-    names = list(schema.names)
-    types = dict(zip(schema.names, schema.types))
+                       key: str = "clip_id",
+                       num_partitions: int = 32) -> "ray.data.Dataset":
+    """Hash-partitioned left-outer join of cluster labels onto full rows
+    (``Dataset.join``).  Rows absent from ``labels`` are singletons ->
+    cluster_id = own key."""
+    names = list(rows.schema().names)
+    joined = rows.join(labels, "left_outer", num_partitions,
+                       on=(key,), right_on=("node",))
 
-    def tag_rows(t: pa.Table) -> pa.Table:
-        return (t.append_column("__label", pa.nulls(t.num_rows, pa.string()))
-                 .append_column("__is_row", pa.array([True] * t.num_rows)))
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cluster = pc.coalesce(t["label"], t[key])
+        keepers = [n for n in t.schema.names if n in names]
+        return t.select(keepers).append_column("cluster_id", cluster)
 
-    def tag_labels(t: pa.Table) -> pa.Table:
-        cols = {name: pa.nulls(t.num_rows, types[name])
-                for name in names if name != key}
-        cols[key] = t["node"]
-        out = pa.table({name: cols[name] for name in names})
-        return (out.append_column("__label", t["label"])
-                   .append_column("__is_row", pa.array([False] * t.num_rows)))
-
-    def resolve(group: pa.Table) -> pa.Table:
-        mask = group["__is_row"]
-        real = group.filter(mask)
-        lbls = group.filter(pa.compute.invert(mask))["__label"].to_pylist()
-        cid = lbls[0] if lbls else real[key][0].as_py()
-        out = real.drop_columns(["__label", "__is_row"])
-        return out.append_column(
-            "cluster_id", pa.array([cid] * out.num_rows, pa.string()))
-
-    tagged = rows.map_batches(tag_rows, batch_format="pyarrow").union(
-        labels.map_batches(tag_labels, batch_format="pyarrow"))
-    return tagged.groupby(key).map_groups(resolve, batch_format="pyarrow")
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -143,11 +143,10 @@ def generate_clips(
         sr = int(SR_CHOICES[int(rng.integers(0, len(SR_CHOICES)))])
         dur_ms = int(rng.integers(300, 1500))
         codec = "pcm_s16le" if rng.random() < 0.7 else "ulaw"
-        if texts is not None:
-            text = texts[i % len(texts)]
-            if i >= len(texts):  # keep base transcripts distinct across wraps
-                text = f"{text} wrap{i // len(texts)}"
-        else:
+        if texts is not None and i < len(texts):
+            text = texts[i]
+        else:  # past the supplied texts: fresh seeded token sequences so
+            # base transcripts stay genuinely distinct (no accidental dups)
             text = " ".join(_tokens(rng, int(rng.integers(30, 60))))
         ts: float | None = _BASE_TS + i * 37.0
         base_id = f"clip-{i:08d}-0"

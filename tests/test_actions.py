@@ -1,0 +1,64 @@
+"""Action matrix over verbs x targets (ref: tests/test_action.py:82) +
+dedup-storage gate + dry-run leaves no output."""
+
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from mail_deduplicate_ray.config import DedupConfig
+from mail_deduplicate_ray.pipelines import actions, neardup
+
+
+@pytest.fixture(scope="module")
+def result(small_corpus):
+    tbl, _ = small_corpus
+    return neardup.dedup_clips(ray.data.from_arrow(tbl), DedupConfig())
+
+
+def _rows(path):
+    return sum(pq.ParquetFile(p).metadata.num_rows
+               for p in sorted(path.glob("*.parquet")))
+
+
+@pytest.mark.parametrize("target", ["selection", "discard"])
+def test_copy_matrix(result, tmp_path, target):
+    rep = actions.copy_action(result, target, tmp_path / "out")
+    assert rep.rows == _rows(tmp_path / "out")
+    d = result.stats.to_dict()
+    expect = d["mail_discarded"] if target == "discard" else \
+        d["mail_retained"] - d["mail_discarded"]
+    assert rep.rows == expect
+
+
+def test_dry_run_no_io(result, tmp_path):
+    # ref: action.py:66-72 — counters increment, no I/O
+    rep = actions.copy_action(result, "discard", tmp_path / "out", dry_run=True)
+    assert rep.dry_run and rep.rows > 0
+    assert not (tmp_path / "out").exists()
+
+
+def test_move_emits_tombstones(result, tmp_path):
+    rep = actions.move_action(result, "discard", tmp_path / "moved")
+    assert (tmp_path / "moved.tombstones").exists()
+    assert _rows(tmp_path / "moved.tombstones") == rep.rows
+
+
+def test_delete_writes_manifest_only(result, tmp_path):
+    rep = actions.delete_action(result, "discard", tmp_path / "deleted")
+    t = pq.read_table(str(tmp_path / "deleted"))
+    assert t.column_names == ["clip_id"]
+    assert t.num_rows == rep.rows
+
+
+def test_dedup_storage_gate(result, tmp_path):
+    # byte-equality gate: only discarded rows whose exact_key matches the
+    # winner's may share a blob (ref: hardlink_blocker action.py:156-192)
+    gated = actions.dedup_storage_action(result, tmp_path / "g", dry_run=True)
+    free = actions.dedup_storage_action(result, tmp_path / "f",
+                                        allow_differing=True, dry_run=True)
+    assert gated.rows <= free.rows
+    assert free.rows == result.stats["mail_discarded"]
+    rep = actions.dedup_storage_action(result, tmp_path / "links")
+    t = pq.read_table(str(tmp_path / "links"))
+    assert set(t.column_names) == {"clip_id", "blob_ref"}
+    assert t.num_rows == gated.rows

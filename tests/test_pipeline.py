@@ -127,16 +127,19 @@ def test_connected_components_two_components():
 
 
 def test_bucket_cap_reports_overflow():
+    import pandas as pd
     cfg = DedupConfig(max_bucket=4)
     n = 10
     sig = np.arange(128, dtype=np.uint64)
-    grp = pa.table({
+    grp = pd.DataFrame({
         "clip_id": [f"c{i}" for i in range(n)],
         "minhash_sig": [sig.tobytes()] * n,
         "exact_key": [f"k{i}" for i in range(n)],  # not all-identical
-        "bucket": pa.array([np.uint64(1)] * n, pa.uint64()),
+        "bucket": np.full(n, 1, dtype=np.uint64),
     })
-    out = candidates.verify_minhash_bucket(grp, cfg)
-    drop_rows = out.filter(pa.compute.equal(out["src"], ""))
-    assert drop_rows.num_rows == 1
-    assert drop_rows["dropped"][0].as_py() == 6
+    out = candidates._minhash_partition(grp, cfg)
+    drop_rows = out[out["src"] == ""]
+    assert len(drop_rows) == 1
+    assert drop_rows["dropped"].iloc[0] == 6
+    # capped members still produce spanning edges among themselves
+    assert (out["src"] != "").sum() == 3
