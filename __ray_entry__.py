@@ -43,8 +43,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters_docs": docs.minhash_clusters_docs,  # rows-only
         # --- events / relational ---
         "events_window_5m": relational.events_window_5m,
+        "events_per_day": relational.events_per_day,
         "keep_oldest_per_user": relational.keep_oldest_per_user,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
+        "orders_by_status": relational.orders_by_status,
         "top_spenders": relational.top_spenders,
         # --- similarity search ---
         "ann_bruteforce_top10": ann.ann_bruteforce_topk,
@@ -111,6 +113,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(ts) / 300) AS BIGINT) AS window_id,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "events_per_day": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+        "orders_by_status": """
+            SELECT o_orderstatus,
+                   count(*) AS n_orders,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
+                   min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents,
+                   max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
+            FROM orders GROUP BY o_orderstatus
         """,
         "keep_oldest_per_user": """
             SELECT user_id, event_id FROM (

@@ -48,6 +48,12 @@ def normalize_codec(arr: pa.Array) -> pa.Array:
     )
 
 
+def normalize_date(ts: pa.Array) -> pa.Array:
+    """Timestamp -> UTC 'YYYY-MM-DD' string (ref: mail.py:567-576
+    normalize_date — Date header parsed then truncated to a UTC day)."""
+    return pc.strftime(ts, format="%Y-%m-%d")
+
+
 def dur_bucket(dur_ms: pa.Array, width_ms: int) -> pa.Array:
     """Quantize duration so jittered re-encodes share the metadata key."""
     import pyarrow.compute as pc  # local alias for clarity

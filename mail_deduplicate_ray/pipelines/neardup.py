@@ -64,9 +64,19 @@ class DedupResult:
 def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
                 channels: tuple[str, ...] = ("exact", "minhash", "audio",
                                              "containment"),
-                ) -> DedupResult:
+                checkpoint_root: str | None = None) -> DedupResult:
+    """Full run.  With ``checkpoint_root``, the signature stage is
+    resumable: rows already checkpointed under this config fingerprint are
+    restored without decoding (state/checkpoint.py; ≙ the reference's
+    --cache re-run, SURVEY.md §3.3)."""
     cfg = cfg or DedupConfig()
-    sigs = clip_signatures(ds, cfg).materialize()
+    if checkpoint_root:
+        from mail_deduplicate_ray.state.checkpoint import (CheckpointStore,
+                                                           resumable_signatures)
+        store = CheckpointStore(checkpoint_root, cfg.fingerprint())
+        sigs = resumable_signatures(ds, cfg, store)
+    else:
+        sigs = clip_signatures(ds, cfg).materialize()
     n_found = sigs.count()
 
     rejected = sigs.map_batches(

@@ -98,6 +98,51 @@ def lineitem_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
         final, batch_format="pyarrow")
 
 
+def events_per_day(sf_dir: str) -> "ray.data.Dataset":
+    """Date normalization (M4, ref: mail.py:567-576) + native Ray
+    aggregate: events per UTC day via groupby().aggregate(Count)."""
+    from ray.data.aggregate import Count
+
+    from mail_deduplicate_ray.functions.normalize import normalize_date
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    days = ds.map_batches(
+        lambda t: pa.table({"day": normalize_date(t["ts"])}),
+        batch_format="pyarrow")
+    out = days.groupby("day").aggregate(Count(alias_name="n_events"))
+    return out.map_batches(
+        lambda t: pa.table({"day": t["day"],
+                            "n_events": pc.cast(t["n_events"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def orders_by_status(sf_dir: str) -> "ray.data.Dataset":
+    """Native Ray aggregates (Sum/Min/Max) over integer cents."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderstatus", "o_totalprice"])
+    cents = ds.map_batches(
+        lambda t: pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "cents": pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                             pa.int64())}),
+        batch_format="pyarrow")
+    out = cents.groupby("o_orderstatus").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("cents", alias_name="total_cents"),
+        Min("cents", alias_name="min_cents"),
+        Max("cents", alias_name="max_cents"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "n_orders": pc.cast(t["n_orders"], pa.int64()),
+            "total_cents": pc.cast(t["total_cents"], pa.int64()),
+            "min_cents": pc.cast(t["min_cents"], pa.int64()),
+            "max_cents": pc.cast(t["max_cents"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 def top_spenders(sf_dir: str, k: int = 25) -> "ray.data.Dataset":
     """Global top-k (sort + limit): customers by total order cents."""
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",

@@ -1,0 +1,10 @@
+"""Sources: readers that normalize heterogeneous clip containers into the
+one ``clips`` schema (≙ the reference's mailbox-format registry,
+mail_box.py:243-287 — every BoxFormat parses into the same Message shape).
+"""
+
+from mail_deduplicate_ray.sources.clips_io import (read_clips_parquet,
+                                                   read_clips_lance,
+                                                   write_clips)
+
+__all__ = ["read_clips_parquet", "read_clips_lance", "write_clips"]

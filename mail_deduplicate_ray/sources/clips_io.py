@@ -1,0 +1,59 @@
+"""Clips table I/O.
+
+The production store is Lance (BASELINE.json input_hint: "Lance table of
+audio clip + transcript pairs"); the sandbox has no ``lance`` package, so
+the Lance reader is import-gated with a parquet fallback that preserves the
+identical schema.  Readers validate/coerce the schema (S1/S2 analogue:
+format autodetect is a schema check, not filesystem sniffing —
+ref: mail_box.py:353-397).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+CLIPS_SCHEMA = pa.schema([
+    ("clip_id", pa.string()),
+    ("bytes", pa.binary()),
+    ("sr_hz", pa.int32()),
+    ("dur_ms", pa.int32()),
+    ("codec", pa.string()),
+    ("transcript", pa.string()),
+])
+OPTIONAL_COLUMNS = {"ingest_ts": pa.float64()}
+
+
+def _validate(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    names = set(ds.schema().names)
+    missing = {f.name for f in CLIPS_SCHEMA} - names
+    if missing:
+        raise ValueError(f"clips table missing columns: {sorted(missing)}")
+    return ds
+
+
+def read_clips_parquet(paths: str | list[str],
+                       columns: list[str] | None = None) -> "ray.data.Dataset":
+    return _validate(ray.data.read_parquet(paths, columns=columns))
+
+
+def read_clips_lance(uri: str,
+                     columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Lance scan when the lance package is present; parquet fallback
+    otherwise (same schema either way)."""
+    try:
+        import lance  # noqa: F401
+    except ImportError:
+        return read_clips_parquet(uri, columns)
+    return _validate(ray.data.read_lance(uri, columns=columns))
+
+
+def write_clips(ds: "ray.data.Dataset", out_dir: str,
+                min_rows_per_file: int = 100_000) -> None:
+    """Partitioned parquet sink (one part per block; resumable layout —
+    rerun skips by comparing manifest, see state/checkpoint.py)."""
+    try:
+        ds.write_parquet(out_dir, min_rows_per_file=min_rows_per_file)
+    except TypeError:  # older Ray: num_rows_per_file
+        ds.write_parquet(out_dir, num_rows_per_file=min_rows_per_file)

@@ -39,10 +39,48 @@ def _both_directions(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     return edges.map_batches(flip, batch_format="pyarrow")
 
 
+def _driver_union_find(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """In-memory union-find for small edge sets (the candidate-pair table is
+    orders of magnitude smaller than the corpus).  Produces the same
+    min-label output as the distributed path."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for b in edges.select_columns(["src", "dst"]) \
+                  .iter_batches(batch_format="pyarrow"):
+        for s, d in zip(b["src"].to_pylist(), b["dst"].to_pylist()):
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                lo, hi = (rs, rd) if rs < rd else (rd, rs)
+                parent[hi] = lo
+    nodes = list(parent)
+    labels = [find(n) for n in nodes]
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "label": pa.array(labels, pa.string())}))
+
+
 def connected_components(edges: "ray.data.Dataset", max_rounds: int = 10,
-                         nbuckets: int = 64) -> "ray.data.Dataset":
+                         nbuckets: int = 64,
+                         driver_threshold: int = 2_000_000,
+                         ) -> "ray.data.Dataset":
     """edges(src,dst) -> labels(node,label); covers nodes appearing in edges
-    (singletons are defaulted by attach_cluster_ids)."""
+    (singletons are defaulted by attach_cluster_ids).
+
+    Edge sets up to ``driver_threshold`` rows run in-memory union-find on
+    the driver (≙ the reference's driver-held hash index — the edge table
+    is the *duplicate pairs*, a small fraction of the corpus even at scale);
+    beyond it, the distributed min-label propagation below runs entirely as
+    bucketed shuffles.  Both produce identical min-label output."""
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        return _driver_union_find(edges)
     adj = add_bucket(_both_directions(edges), "node", nbuckets).materialize()
 
     def init_labels(df: pd.DataFrame) -> pd.DataFrame:
@@ -104,11 +142,35 @@ def connected_components(edges: "ray.data.Dataset", max_rounds: int = 10,
 
 def attach_cluster_ids(rows: "ray.data.Dataset", labels: "ray.data.Dataset",
                        key: str = "clip_id",
-                       num_partitions: int = 32) -> "ray.data.Dataset":
-    """Hash-partitioned left-outer join of cluster labels onto full rows
-    (``Dataset.join``).  Rows absent from ``labels`` are singletons ->
-    cluster_id = own key."""
+                       num_partitions: int = 32,
+                       broadcast_threshold: int = 5_000_000,
+                       ) -> "ray.data.Dataset":
+    """Attach cluster labels onto full rows.  Rows absent from ``labels``
+    are singletons -> cluster_id = own key.
+
+    Labels are the *duplicate* nodes only, so they are usually the small
+    side: up to ``broadcast_threshold`` rows they travel once via
+    ``ray.put`` and each batch does a dict lookup (no shuffle — the
+    broadcast-join idiom).  Bigger label sets use the hash-partitioned
+    ``Dataset.join``."""
     names = list(rows.schema().names)
+    n_labels = labels.count()
+
+    if n_labels <= broadcast_threshold:
+        mapping: dict[str, str] = {}
+        for b in labels.iter_batches(batch_format="pyarrow"):
+            mapping.update(zip(b["node"].to_pylist(), b["label"].to_pylist()))
+        ref = ray.put(mapping)
+
+        def lookup(t: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            keys = t[key].to_pylist()
+            return t.append_column(
+                "cluster_id",
+                pa.array([m.get(k, k) for k in keys], pa.string()))
+
+        return rows.map_batches(lookup, batch_format="pyarrow")
+
     joined = rows.join(labels, "left_outer", num_partitions,
                        on=(key,), right_on=("node",))
 

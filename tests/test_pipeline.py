@@ -106,22 +106,30 @@ def test_contained_channel_finds_substring_pairs(small_corpus):
     assert hits / len(pairs) >= 0.99
 
 
-def test_connected_components_chain():
-    # a path graph exercises multi-round propagation
+@pytest.mark.parametrize("driver_threshold", [2_000_000, 0],
+                         ids=["driver-uf", "distributed"])
+def test_connected_components_chain(driver_threshold):
+    # a path graph exercises multi-round propagation; both the driver
+    # union-find fast path and the distributed label propagation must
+    # produce identical min-label output
     edges = ray.data.from_items(
         [{"src": f"n{i}", "dst": f"n{i+1}"} for i in range(6)])
-    labels = components.connected_components(edges)
+    labels = components.connected_components(
+        edges, driver_threshold=driver_threshold)
     got = {r["node"]: r["label"] for r in labels.take_all()}
     assert all(v == "n0" for v in got.values())
     assert len(got) == 7
 
 
-def test_connected_components_two_components():
+@pytest.mark.parametrize("driver_threshold", [2_000_000, 0],
+                         ids=["driver-uf", "distributed"])
+def test_connected_components_two_components(driver_threshold):
     edges = ray.data.from_items([
         {"src": "a", "dst": "b"}, {"src": "b", "dst": "c"},
         {"src": "x", "dst": "y"},
     ])
-    labels = components.connected_components(edges)
+    labels = components.connected_components(
+        edges, driver_threshold=driver_threshold)
     got = {r["node"]: r["label"] for r in labels.take_all()}
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
