@@ -92,6 +92,10 @@ class DedupConfig:
     lsh_bands: int = 16  # rows per band = num_perm // lsh_bands
     minhash_seed: int = 0xC0FFEE
     jaccard_threshold: float = 0.8
+    # est-containment acceptance (see stages/candidates.py): 0.8 leaves
+    # ~2.5 sigma of MinHash-estimator noise below a true containment of 1.0
+    # while unrelated small-vocab docs peak near 0.7
+    containment_threshold: float = 0.8
 
     # SimHash / SRP over decoded-PCM spectral features
     audio_bits: int = 64
@@ -134,6 +138,7 @@ class DedupConfig:
         "lsh_bands",
         "minhash_seed",
         "jaccard_threshold",
+        "containment_threshold",
         "audio_bits",
         "audio_bands",
         "spectral_dims",

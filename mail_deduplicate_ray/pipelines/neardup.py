@@ -27,7 +27,7 @@ import ray.data
 from mail_deduplicate_ray.config import DedupConfig
 from mail_deduplicate_ray.stages import bucketing, candidates, components
 from mail_deduplicate_ray.stages.decode import DecodeStage
-from mail_deduplicate_ray.stages.settle import make_settle
+from mail_deduplicate_ray.stages.settle import make_settle_partition
 from mail_deduplicate_ray.stages.signature import SignatureStage
 from mail_deduplicate_ray.stats import RunStats, collect_stats
 
@@ -49,7 +49,7 @@ def clip_signatures(ds: "ray.data.Dataset", cfg: DedupConfig,
         batch_size=batch_size, concurrency=concurrency, num_cpus=1)
     return decoded.map_batches(
         SignatureStage, fn_constructor_args=(cfg,), batch_format="pyarrow",
-        batch_size=2048, concurrency=concurrency, num_cpus=1)
+        batch_size=512, concurrency=concurrency, num_cpus=1)
 
 
 @dataclass
@@ -97,8 +97,7 @@ def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
     rows = usable.select_columns(SETTLE_COLUMNS)
     clustered = components.attach_cluster_ids(rows, labels)
     settled = bucketing.grouped(
-        clustered, "cluster_id",
-        bucketing.per_key_apply("cluster_id", make_settle(cfg)),
+        clustered, "cluster_id", make_settle_partition(cfg),
     ).materialize()
 
     n_rejected = n_found - settled.count()

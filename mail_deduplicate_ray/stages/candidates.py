@@ -71,28 +71,42 @@ def _exact_partition(df: pd.DataFrame) -> pd.DataFrame:
                          "channel": "exact", "dropped": 0})
 
 
-# ---------------- shared representative scan ----------------
+# ---------------- shared spanning-edge extraction ----------------
 
-def _rep_scan(ids: np.ndarray, match_fn) -> list[tuple[str, str]]:
-    """Scan members in clip_id order; ``match_fn(i, reps) -> rep_index|None``.
-    Returns spanning edges (rep, member)."""
-    order = np.argsort(ids)
-    reps: list[int] = []
+def _spanning_edges(ids: np.ndarray, adj: np.ndarray) -> list[tuple[str, str]]:
+    """Reduce a boolean adjacency matrix (members sorted by clip_id) to a
+    spanning edge set of its in-bucket transitive closure via a tiny
+    union-find — O(true pairs) with path compression; edges emitted are
+    deterministic (row-major over sorted ids)."""
+    m = len(ids)
+    parent = np.arange(m)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
     pairs: list[tuple[str, str]] = []
-    for i in order:
-        j = match_fn(int(i), reps) if reps else None
-        if j is None:
-            reps.append(int(i))
-        else:
-            pairs.append((ids[j], ids[i]))
+    ii, jj = np.nonzero(np.triu(adj, 1))
+    for i, j in zip(ii.tolist(), jj.tolist()):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+            pairs.append((ids[i], ids[j]))
     return pairs
 
 
-def _capped(g: pd.DataFrame, cap: int) -> tuple[pd.DataFrame, int]:
+def _jaccard_matrix(sig: np.ndarray) -> np.ndarray:
+    """(m, num_perm) -> (m, m) estimated Jaccard (vectorized, one shot)."""
+    return (sig[:, None, :] == sig[None, :, :]).mean(axis=2)
+
+
+def _capped_sorted(g: pd.DataFrame, cap: int) -> tuple[pd.DataFrame, int]:
+    """Deterministic cap of an already clip_id-sorted group."""
     if len(g) <= cap:
         return g, 0
-    keep = g["clip_id"].sort_values().index[:cap]
-    return g.loc[keep], len(g) - cap
+    return g.iloc[:cap], len(g) - cap
 
 
 # ---------------- minhash channel ----------------
@@ -129,17 +143,12 @@ def _minhash_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
         ek = g["exact_key"].to_numpy()
         if (ek[0] is not None) and (ek == ek[0]).all():
             continue  # exact channel already links these (fast path)
-        g, dropped = _capped(g, cfg.max_bucket)
+        g = g.sort_values("clip_id")
+        g, dropped = _capped_sorted(g, cfg.max_bucket)
         sig = np.frombuffer(b"".join(g["minhash_sig"]),
                             dtype=np.uint64).reshape(len(g), cfg.num_perm)
-        ids = g["clip_id"].to_numpy()
-
-        def match(i: int, reps: list[int]):
-            sims = (sig[reps] == sig[i][None, :]).mean(axis=1)
-            j = int(np.argmax(sims))
-            return reps[j] if sims[j] >= cfg.jaccard_threshold else None
-
-        pairs = _rep_scan(ids, match)
+        adj = _jaccard_matrix(sig) >= cfg.jaccard_threshold
+        pairs = _spanning_edges(g["clip_id"].to_numpy(), adj)
         if pairs or dropped:
             out.append(_edges_df(pairs, "minhash", dropped))
     return pd.concat(out, ignore_index=True) if out else _EMPTY
@@ -173,20 +182,19 @@ def _audio_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
     for _, g in df.groupby("bucket", sort=False):
         if len(g) < 2:
             continue
-        g, dropped = _capped(g, cfg.max_bucket)
+        g = g.sort_values("clip_id")
+        g, dropped = _capped_sorted(g, cfg.max_bucket)
         fp = g["audio_fp"].to_numpy().astype(np.uint64)
         dur = g["dur_ms"].to_numpy().astype(np.int64)
-        ids = g["clip_id"].to_numpy()
-
-        def match(i: int, reps: list[int]):
-            hd = simhash.hamming(fp[reps], np.full(len(reps), fp[i],
-                                                   np.uint64))
-            dur_ok = np.abs(dur[reps] - dur[i]) <= np.maximum(
-                60, 0.05 * np.maximum(dur[reps], dur[i]))
-            cand = np.flatnonzero((hd <= cfg.audio_hamming_max) & dur_ok)
-            return reps[int(cand[0])] if len(cand) else None
-
-        pairs = _rep_scan(ids, match)
+        # pairwise Hamming: XOR matrix -> popcount via uint8 view
+        x = fp[:, None] ^ fp[None, :]
+        hd = np.unpackbits(x.view(np.uint8).reshape(len(g), len(g), 8),
+                           axis=2).sum(axis=2)
+        dmax = np.maximum(dur[:, None], dur[None, :])
+        dur_ok = np.abs(dur[:, None] - dur[None, :]) <= np.maximum(60,
+                                                                   0.05 * dmax)
+        adj = (hd <= cfg.audio_hamming_max) & dur_ok
+        pairs = _spanning_edges(g["clip_id"].to_numpy(), adj)
         if pairs or dropped:
             out.append(_edges_df(pairs, "audio", dropped))
     return pd.concat(out, ignore_index=True) if out else _EMPTY
@@ -206,30 +214,34 @@ class ExplodeAnchors:
         flat = (np.concatenate([np.asarray(a, dtype=np.uint64)
                                 for a in anchors])
                 if anchors and idx.size else np.empty(0, np.uint64))
-        rep = batch.select(["clip_id", "sketch", "set_size"]).take(idx)
+        rep = batch.select(["clip_id", "minhash_sig", "set_size"]).take(idx)
         return rep.append_column("bucket", pa.array(flat))
 
 
-def _containment_partition(df: pd.DataFrame, cfg: DedupConfig,
-                           threshold: float = 0.9) -> pd.DataFrame:
+def _containment_partition(df: pd.DataFrame,
+                           cfg: DedupConfig) -> pd.DataFrame:
+    """Containment estimated from MinHash signatures (vectorized):
+    j = est Jaccard; |A∩B| ≈ j(|A|+|B|)/(1+j); containment =
+    |A∩B| / min(|A|,|B|).  For B ⊂ A covering fraction f of A this is ~1.0
+    while plain Jaccard is only f."""
     out: list[pd.DataFrame] = []
     for _, g in df.groupby("bucket", sort=False):
         if len(g) < 2:
             continue
-        g, dropped = _capped(g, cfg.max_bucket)
-        ids = g["clip_id"].to_numpy()
-        sketches = [np.frombuffer(s, dtype=np.uint64) for s in g["sketch"]]
-        sizes = g["set_size"].to_numpy()
-
-        def match(i: int, reps: list[int]):
-            for r in reps:
-                c = minhash.est_containment(sketches[r], int(sizes[r]),
-                                            sketches[i], int(sizes[i]), 64)
-                if c >= threshold:
-                    return r
-            return None
-
-        pairs = _rep_scan(ids, match)
+        g = g.sort_values("clip_id")
+        g, dropped = _capped_sorted(g, cfg.max_bucket)
+        sig = np.frombuffer(b"".join(g["minhash_sig"]),
+                            dtype=np.uint64).reshape(len(g), cfg.num_perm)
+        sizes = g["set_size"].to_numpy().astype(np.float64)
+        jac = _jaccard_matrix(sig)
+        inter = jac * (sizes[:, None] + sizes[None, :]) / (1.0 + jac)
+        cont = inter / np.minimum(sizes[:, None], sizes[None, :])
+        # require genuinely nested sizes; same-size near-dups belong to the
+        # minhash channel (jaccard >= threshold there)
+        ratio = np.minimum(sizes[:, None], sizes[None, :]) / np.maximum(
+            sizes[:, None], sizes[None, :])
+        adj = (cont >= cfg.containment_threshold) & (ratio <= 0.95)
+        pairs = _spanning_edges(g["clip_id"].to_numpy(), adj)
         if pairs or dropped:
             out.append(_edges_df(pairs, "containment", dropped))
     return pd.concat(out, ignore_index=True) if out else _EMPTY

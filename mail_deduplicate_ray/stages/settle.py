@@ -107,6 +107,31 @@ def _cascade(core: pd.DataFrame, cfg: DedupConfig,
     return None, ""
 
 
+def make_settle_partition(cfg: DedupConfig):
+    """Partition body for bucketed settle: singleton clusters (the common
+    case — ~60% of groups, ref MAIL_UNIQUE accounting deduplicate.py:419-424)
+    are settled fully vectorized; only multi-row clusters run the per-group
+    cascade."""
+    settle = make_settle(cfg)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df.groupby("cluster_id")["cluster_id"].transform("size")
+        singles = df[counts == 1].copy()
+        singles["keep"] = True
+        singles["reason"] = "unique"
+        singles["set_reason"] = "single"
+        singles["winner_clip_id"] = ""
+        outs = [settle(g) for _, g in
+                df[counts > 1].groupby("cluster_id", sort=True)]
+        if not outs:
+            return singles
+        multi = pd.concat(outs, ignore_index=True)[singles.columns] \
+            if len(singles) else pd.concat(outs, ignore_index=True)
+        return pd.concat([singles, multi], ignore_index=True)
+
+    return part
+
+
 def make_settle(cfg: DedupConfig):
     """Build the map_groups callable (cfg captured, pickled to workers)."""
 

@@ -51,12 +51,10 @@ class SignatureStage:
 
         sig_bin = pa.array([sig[i].tobytes() for i in range(sig.shape[0])],
                            pa.binary())
-        sk_bin = pa.array([s.tobytes() for s in sketches], pa.binary())
         anchors_arr = pa.array([a.tolist() for a in anchors],
                                pa.list_(pa.uint64()))
         return (
             batch.append_column("minhash_sig", sig_bin)
-            .append_column("sketch", sk_bin)
             .append_column("set_size", pa.array(sizes))
             .append_column("anchors", anchors_arr)
         )
