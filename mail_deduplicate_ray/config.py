@@ -86,12 +86,17 @@ class DedupConfig:
     # re-encodes with ±jitter still share the metadata key
     dur_bucket_ms: int = 50
 
-    # shingling / MinHash (new surface, per BASELINE.json north_star)
-    shingle_k: int = 5
+    # shingling / MinHash (new surface, per BASELINE.json north_star).
+    # k=8 spans ~1.5 tokens: unrelated small-vocab docs measure j<=0.13 /
+    # containment<=0.42 while planted near-dups stay >=0.85 — wide margins
+    # (measured over the sf0.1 documents vocabulary).
+    shingle_k: int = 8
     num_perm: int = 128
     lsh_bands: int = 16  # rows per band = num_perm // lsh_bands
     minhash_seed: int = 0xC0FFEE
-    jaccard_threshold: float = 0.8
+    # 1-token edits on ~45-token transcripts give true j≈0.85; 0.72 leaves
+    # >2.5 sigma of 128-perm estimator noise while unrelated pairs peak ~0.13
+    jaccard_threshold: float = 0.72
     # est-containment acceptance (see stages/candidates.py): 0.8 leaves
     # ~2.5 sigma of MinHash-estimator noise below a true containment of 1.0
     # while unrelated small-vocab docs peak near 0.7
@@ -111,8 +116,14 @@ class DedupConfig:
     content_threshold: int = 768  # bytes of 0-context unified transcript diff
     strategies: tuple[str, ...] = ("select-newest", "select-biggest", "select-one")
     regexp: str | None = None  # for select-(non-)matching-path
+    # audio verification: true spectral-feature cosine floor (the SRP
+    # fingerprint is only the candidate filter; re-encodes measure >0.9999)
+    audio_cosine_min: float = 0.999
     # skew control: max rows examined per LSH bucket before salting/splitting
     max_bucket: int = 256
+    # settle: clusters larger than this skip pairwise threshold checks
+    # (O(m^2) diffs; the reference assumes small sets — deduplicate.py:270)
+    max_pairwise: int = 256
     # connected-components iteration cap
     cc_max_rounds: int = 10
 

@@ -164,16 +164,20 @@ class ExplodeAudioBands:
         batch = batch.filter(batch["decode_ok"])
         n = batch.num_rows
         if n == 0:
-            return pa.table({"bucket": pa.array([], pa.uint64()),
-                             "clip_id": pa.array([], pa.string()),
-                             "audio_fp": pa.array([], pa.uint64()),
-                             "dur_ms": pa.array([], pa.int32())})
+            return pa.table({
+                "bucket": pa.array([], pa.uint64()),
+                "clip_id": pa.array([], pa.string()),
+                "audio_fp": pa.array([], pa.uint64()),
+                "audio_feat": pa.array(
+                    [], pa.list_(pa.float32(), self.cfg.spectral_dims)),
+                "dur_ms": pa.array([], pa.int32())})
         fp = np.asarray(batch["audio_fp"].to_numpy(zero_copy_only=False),
                         dtype=np.uint64)
         keys = simhash.band_keys_u64(fp, self.cfg.audio_bands,
                                      self.cfg.audio_bits)
         idx = np.repeat(np.arange(n), self.cfg.audio_bands)
-        rep = batch.select(["clip_id", "audio_fp", "dur_ms"]).take(idx)
+        rep = batch.select(["clip_id", "audio_fp", "audio_feat",
+                            "dur_ms"]).take(idx)
         return rep.append_column("bucket", pa.array(keys.reshape(-1)))
 
 
@@ -194,6 +198,17 @@ def _audio_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
         dur_ok = np.abs(dur[:, None] - dur[None, :]) <= np.maximum(60,
                                                                    0.05 * dmax)
         adj = (hd <= cfg.audio_hamming_max) & dur_ok
+        if adj.any():
+            # verify with the true spectral features, not just the SRP
+            # sketch: re-encodes measure cosine > 0.9999; accidental SRP
+            # collisions between unrelated clips fall well below the floor
+            # (this is what stops transitive snowballing of audio clusters)
+            feat = np.asarray([np.asarray(v, dtype=np.float32)
+                               for v in g["audio_feat"]])
+            norms = np.linalg.norm(feat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            fn = feat / norms
+            adj &= (fn @ fn.T) >= cfg.audio_cosine_min
         pairs = _spanning_edges(g["clip_id"].to_numpy(), adj)
         if pairs or dropped:
             out.append(_edges_df(pairs, "audio", dropped))

@@ -52,8 +52,11 @@ class DecodeStage:
                 reasons[i] = "decode_failed"
         fps[ok] = self.srp.fingerprint(feats[ok]) if ok.any() else fps[ok]
         out = batch.drop_columns(["bytes"])
+        feat_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(feats.reshape(-1)), self.cfg.spectral_dims)
         return (
             out.append_column("audio_fp", pa.array(fps))
+            .append_column("audio_feat", feat_arr)
             .append_column("decode_ok", pa.array(ok))
             .append_column("decode_reason", pa.array(reasons, pa.string()))
         )

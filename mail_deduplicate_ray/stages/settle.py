@@ -42,52 +42,65 @@ def _content_diff(a: str, b: str) -> int:
     return len("".join(unified_diff(a.splitlines(), b.splitlines(), n=0)))
 
 
-def _offending_pairs(df: pd.DataFrame, cfg: DedupConfig) -> set[tuple[int, int]]:
-    idx = list(df.index)
-    dur = df["dur_ms"]
-    texts = df["transcript_norm"] if "transcript_norm" in df else df["transcript"]
-    shas = texts.map(hash)  # memo key; same text -> same diff result
-    memo: dict[tuple[int, int], int] = {}
-    bad: set[tuple[int, int]] = set()
-    for ai in range(len(idx)):
-        for bi in range(ai + 1, len(idx)):
-            a, b = idx[ai], idx[bi]
-            if cfg.size_threshold >= 0 and \
-                    abs(int(dur[a]) - int(dur[b])) > cfg.size_threshold:
-                bad.add((a, b))
-                continue
-            if cfg.content_threshold >= 0:
-                ka, kb = shas[a], shas[b]
-                if ka == kb:
-                    continue  # identical content: 0 diff (fast path)
-                key = (ka, kb) if ka <= kb else (kb, ka)
-                if key not in memo:
-                    memo[key] = _content_diff(texts[a], texts[b])
-                if memo[key] > cfg.content_threshold:
-                    bad.add((a, b))
+def _offending_matrix(df: pd.DataFrame, cfg: DedupConfig) -> "np.ndarray":
+    """(m, m) bool offending-pair adjacency, vectorized.
+
+    Size diffs: one matrix op.  Content diffs: computed once per DISTINCT
+    content pair (memoization ≙ body-hash-pair memo deduplicate.py:310,
+    323-326; identical contents cost zero — the linear fast path
+    deduplicate.py:292-310) then broadcast back to row pairs."""
+    import numpy as np
+    m = len(df)
+    bad = np.zeros((m, m), dtype=bool)
+    if cfg.size_threshold >= 0:
+        dur = df["dur_ms"].to_numpy().astype(np.int64)
+        bad |= np.abs(dur[:, None] - dur[None, :]) > cfg.size_threshold
+    if cfg.content_threshold >= 0:
+        texts = (df["transcript_norm"] if "transcript_norm" in df
+                 else df["transcript"])
+        codes, uniq = pd.factorize(texts, sort=True)
+        u = len(uniq)
+        if u > 1:
+            over = np.zeros((u, u), dtype=bool)
+            for a in range(u):
+                for b in range(a + 1, u):
+                    if _content_diff(uniq[a], uniq[b]) > cfg.content_threshold:
+                        over[a, b] = over[b, a] = True
+            bad |= over[np.ix_(codes, codes)]
+    np.fill_diagonal(bad, False)
     return bad
 
 
 def _evict(df: pd.DataFrame, cfg: DedupConfig) -> tuple[pd.DataFrame, list]:
     """Greedy eviction loop; returns (clean core, evicted index labels)."""
+    import numpy as np
     if cfg.size_threshold < 0 and cfg.content_threshold < 0:
         return df, []
-    core = df
+    if len(df) > cfg.max_pairwise:
+        # pairwise checks are O(m^2) content diffs; the reference assumes
+        # small sets (deduplicate.py:270).  Giant clusters skip the checks
+        # (reported via the `threshold_checked` column, never silently).
+        return df, ["__UNCHECKED__"]
+    bad = _offending_matrix(df, cfg)
+    labels = list(df.index)
+    clip_ids = df["clip_id"].to_numpy()
+    alive = np.ones(len(df), dtype=bool)
     evicted: list = []
     while True:
-        bad = _offending_pairs(core, cfg)
-        if not bad:
+        deg = (bad & alive[None, :] & alive[:, None]).sum(axis=1)
+        deg[~alive] = 0
+        if deg.max(initial=0) == 0:
+            core = df.loc[[lb for lb, a in zip(labels, alive) if a]]
             return core, evicted
-        degree: dict = {}
-        for a, b in bad:
-            degree[a] = degree.get(a, 0) + 1
-            degree[b] = degree.get(b, 0) + 1
-        # most offending first; tie-break min clip_id (repr tie-break)
-        victim = min(degree, key=lambda i: (-degree[i], core.at[i, "clip_id"]))
-        evicted.append(victim)
-        core = core.drop(index=victim)
-        if len(core) < 2:
-            # whole set becomes incoherent -> skip (ref: deduplicate.py:354-358)
+        # most offending first; tie-break min clip_id (repr tie-break,
+        # ref: deduplicate.py:344-348)
+        top = deg == deg.max()
+        cand = np.flatnonzero(top & alive)
+        victim = cand[np.argmin(clip_ids[cand])]
+        alive[victim] = False
+        evicted.append(labels[victim])
+        if alive.sum() < 2:
+            # whole set incoherent -> skip (ref: deduplicate.py:354-358)
             return df, ["__SKIP__"]
 
 
@@ -121,6 +134,7 @@ def make_settle_partition(cfg: DedupConfig):
         singles["reason"] = "unique"
         singles["set_reason"] = "single"
         singles["winner_clip_id"] = ""
+        singles["threshold_checked"] = True
         outs = [settle(g) for _, g in
                 df[counts > 1].groupby("cluster_id", sort=True)]
         if not outs:
@@ -143,6 +157,7 @@ def make_settle(cfg: DedupConfig):
         out["reason"] = ""
         out["set_reason"] = ""
         out["winner_clip_id"] = ""
+        out["threshold_checked"] = True
         if len(df) == 1:
             out["reason"] = "unique"
             out["set_reason"] = "single"
@@ -152,6 +167,9 @@ def make_settle(cfg: DedupConfig):
             out["reason"] = "skipped"
             out["set_reason"] = "skipped_threshold"
             return out
+        if evicted == ["__UNCHECKED__"]:
+            core, evicted = df, []
+            out["threshold_checked"] = False
         out.loc[evicted, "reason"] = "evicted"
         mask, strat = _cascade(core, cfg, cluster_id)
         if mask is None:
