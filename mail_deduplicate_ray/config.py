@@ -101,6 +101,13 @@ class DedupConfig:
     # ~2.5 sigma of MinHash-estimator noise below a true containment of 1.0
     # while unrelated small-vocab docs peak near 0.7
     containment_threshold: float = 0.8
+    # containment ANCHOR shingle length: anchors bucket docs for the
+    # exact-substring channel, so they must be RARE across unrelated docs
+    # (24 chars ≈ 4.5 tokens) or common-shingle mega-buckets swallow the
+    # cap; verification still runs on shingle_k sets.  A true substring of
+    # the normalized text shares its long shingles with the container by
+    # construction (the suffix-array-matching semantics, BASELINE.json).
+    anchor_k: int = 24
 
     # SimHash / SRP over decoded-PCM spectral features
     audio_bits: int = 64
@@ -150,6 +157,7 @@ class DedupConfig:
         "minhash_seed",
         "jaccard_threshold",
         "containment_threshold",
+        "anchor_k",
         "audio_bits",
         "audio_bands",
         "spectral_dims",

@@ -43,11 +43,14 @@ class SignatureStage:
         batch = batch.append_column("transcript_norm", tnorm)
         batch = hashing.add_exact_key(batch, cfg)
 
-        texts = tnorm.to_pylist()
-        flat, offsets = shingles.batch_shingles(
-            [t or "" for t in texts], cfg.shingle_k)
+        texts = [t or "" for t in tnorm.to_pylist()]
+        flat, offsets = shingles.batch_shingles(texts, cfg.shingle_k)
         sig = self.mh.signatures(flat, offsets)
-        anchors, sketches, sizes = self.mh.anchors_and_sketch(flat, offsets)
+        _, _, sizes = self.mh.anchors_and_sketch(flat, offsets)
+        # anchors from LONG shingles (cfg.anchor_k) — rare across unrelated
+        # docs, shared by construction for true substrings (see config.py)
+        lflat, loffs = shingles.batch_shingles(texts, cfg.anchor_k)
+        anchors, _, _ = self.mh.anchors_and_sketch(lflat, loffs)
 
         sig_bin = pa.array([sig[i].tobytes() for i in range(sig.shape[0])],
                            pa.binary())
