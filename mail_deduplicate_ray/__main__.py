@@ -1,0 +1,94 @@
+"""CLI entry point — the ``mdedup`` analogue (ref: cli.py:571-686).
+
+    python -m mail_deduplicate_ray dedup --input clips.parquet --out /tmp/out \
+        --strategy select-newest --strategy select-biggest \
+        --size-threshold 512 --content-threshold 768 [--dry-run] [--hash-only]
+
+Steps mirror the reference lifecycle (SURVEY.md §3.1): read -> signatures
+[-> stop if --hash-only, ref cli.py:656-674] -> candidates -> components ->
+settle -> action -> report + stats self-check.  This script owns the Ray
+session (the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mail_deduplicate_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    d = sub.add_parser("dedup", help="run the dedup pipeline")
+    d.add_argument("--input", required=True,
+                   help="clips parquet file/dir (or Lance uri)")
+    d.add_argument("--out", default=None, help="output dir for kept rows")
+    d.add_argument("--strategy", action="append", default=[],
+                   help="selection strategy (repeatable, cascade order; "
+                        "aliases accepted)")
+    d.add_argument("--regexp", default=None)
+    d.add_argument("--hash-body", default="normalized",
+                   choices=["skip", "raw", "normalized"])
+    d.add_argument("--size-threshold", type=int, default=512)
+    d.add_argument("--content-threshold", type=int, default=768)
+    d.add_argument("--channels", default="exact,minhash,audio,containment")
+    d.add_argument("--checkpoint-root", default=None)
+    d.add_argument("--dry-run", action="store_true")
+    d.add_argument("--hash-only", action="store_true",
+                   help="print signatures and stop (ref: cli.py:656-674)")
+    d.add_argument("--num-cpus", type=int, default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from mail_deduplicate_ray.config import DedupConfig
+    from mail_deduplicate_ray.pipelines import actions, neardup
+    from mail_deduplicate_ray.sources import read_clips_parquet
+
+    cfg = DedupConfig(
+        transcript_hash=args.hash_body,
+        size_threshold=args.size_threshold,
+        content_threshold=args.content_threshold,
+        strategies=tuple(args.strategy) or
+        ("select-newest", "select-biggest", "select-one"),
+        regexp=args.regexp,
+        dry_run=args.dry_run,
+    )
+    ds = read_clips_parquet(args.input)
+
+    if args.hash_only:
+        sigs = neardup.clip_signatures(ds, cfg)
+        for b in sigs.select_columns(
+                ["clip_id", "exact_key", "rejected"]).iter_batches(
+                batch_format="pyarrow"):
+            for cid, key, rej in zip(b["clip_id"].to_pylist(),
+                                     b["exact_key"].to_pylist(),
+                                     b["rejected"].to_pylist()):
+                print(f"{cid}\t{'REJECTED' if rej else key}")
+        ray.shutdown()
+        return 0
+
+    res = neardup.dedup_clips(ds, cfg,
+                              channels=tuple(args.channels.split(",")),
+                              checkpoint_root=args.checkpoint_root)
+    if args.out and not args.dry_run:
+        rep = actions.copy_action(res, "selection", args.out)
+        print(f"wrote {rep.rows} kept rows -> {rep.out_path}", file=sys.stderr)
+    print(json.dumps({"stats": res.stats.to_dict(),
+                      "overflow_dropped": res.overflow_dropped,
+                      "dry_run": args.dry_run}))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

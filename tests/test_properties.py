@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) for the core kernels — the reference
+has no property testing (SURVEY.md §5); these harden the from-scratch
+numeric code paths."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mail_deduplicate_ray import codecs
+from mail_deduplicate_ray.functions import minhash, shingles, simhash
+
+TEXT = st.text(alphabet="abcdefgh ", min_size=0, max_size=400)
+
+
+@settings(max_examples=30, deadline=None)
+@given(TEXT, TEXT)
+def test_minhash_estimates_jaccard(t1, t2):
+    mh = minhash.MinHasher(128, 11, 16)
+    flat, offs = shingles.batch_shingles([t1, t2], 5)
+    sig = mh.signatures(flat, offs)
+    s1 = set(shingles.shingle_hashes(t1, 5).tolist())
+    s2 = set(shingles.shingle_hashes(t2, 5).tolist())
+    if not s1 or not s2:
+        # empty docs never collide
+        assert minhash.est_jaccard(sig[0], sig[1]) == 0.0 or (s1 == s2)
+        return
+    true_j = len(s1 & s2) / len(s1 | s2)
+    est = minhash.est_jaccard(sig[0], sig[1])
+    assert abs(est - true_j) < 0.2  # 128 perms: >4 sigma bound
+
+
+@settings(max_examples=30, deadline=None)
+@given(TEXT)
+def test_identical_texts_identical_signatures(t):
+    mh = minhash.MinHasher(64, 3, 8)
+    flat, offs = shingles.batch_shingles([t, t], 5)
+    sig = mh.signatures(flat, offs)
+    assert (sig[0] == sig[1]).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.floats(min_value=-0.96875, max_value=0.96875, width=32,
+                          allow_nan=False), min_size=8, max_size=2000),
+       st.sampled_from([8000, 16000]))
+def test_codec_roundtrip_snr_property(samples, sr):
+    x = np.asarray(samples, dtype=np.float32)
+    for codec, floor in (("pcm_s16le", 50.0), ("ulaw", 15.0)):
+        y, sr2 = codecs.decode(codecs.encode(x, sr, codec), codec)
+        assert sr2 == sr and len(y) == len(x)
+        if np.abs(x).max() > 1e-3:  # SNR meaningless on silence
+            assert codecs.snr_db(x, y) >= floor
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                min_size=2, max_size=40))
+def test_hamming_metric_properties(vals):
+    a = np.array(vals, dtype=np.uint64)
+    # identity, symmetry, triangle inequality on a few triples
+    assert (simhash.hamming(a, a) == 0).all()
+    b = np.roll(a, 1)
+    assert (simhash.hamming(a, b) == simhash.hamming(b, a)).all()
+    c = np.roll(a, 2)
+    assert (simhash.hamming(a, c)
+            <= simhash.hamming(a, b) + simhash.hamming(b, c)).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=0, max_size=60))
+def test_driver_union_find_matches_bruteforce(edge_ints):
+    """_driver_union_find's min-label output == brute-force closure."""
+    from mail_deduplicate_ray.synth import _closure
+    pairs = [(f"n{a:02d}", f"n{b:02d}") for a, b in edge_ints if a != b]
+    want = _closure(pairs)
+
+    # independent brute force: repeated relaxation
+    nodes = {n for p in pairs for n in p}
+    label = {n: n for n in nodes}
+    for _ in range(len(nodes) + 1):
+        changed = False
+        for a, b in pairs:
+            m = min(label[a], label[b])
+            if label[a] != m or label[b] != m:
+                label[a] = label[b] = m
+                changed = True
+        if not changed:
+            break
+    assert want == label
