@@ -37,19 +37,21 @@ SETTLE_COLUMNS = ["clip_id", "sr_hz", "dur_ms", "codec", "codec_norm",
 
 
 def clip_signatures(ds: "ray.data.Dataset", cfg: DedupConfig,
-                    concurrency: int | tuple[int, int] = (1, 8),
+                    concurrency: int | tuple[int, int] | None = None,
                     batch_size: int = 256) -> "ray.data.Dataset":
     """Decode + signature stages (both stateful actor pools).
 
     ``batch_size`` is modest because input rows carry audio payloads
     (tens of KB each) — batch x concurrency must fit worker heaps.
+    Pool bounds scale with the cluster (bucketing.pool_size).
     """
+    conc = concurrency or bucketing.pool_size()
     decoded = ds.map_batches(
         DecodeStage, fn_constructor_args=(cfg,), batch_format="pyarrow",
-        batch_size=batch_size, concurrency=concurrency, num_cpus=1)
+        batch_size=batch_size, concurrency=conc, num_cpus=1)
     return decoded.map_batches(
         SignatureStage, fn_constructor_args=(cfg,), batch_format="pyarrow",
-        batch_size=512, concurrency=concurrency, num_cpus=1)
+        batch_size=512, concurrency=conc, num_cpus=1)
 
 
 @dataclass

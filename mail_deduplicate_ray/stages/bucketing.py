@@ -25,6 +25,18 @@ import ray.data
 BUCKET_COL = "__bucket"
 
 
+def pool_size(frac: float = 1.0, lo: int = 1) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster: (1, frac x CPUs).
+    Pools hard-capped at a constant starve large sessions — size to the
+    node (ray_guide: 'concurrency x num_cpus so the pool fits the node')."""
+    import ray
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001 — before init, fall back
+        ncpu = 8
+    return (lo, max(2, int(ncpu * frac)))
+
+
 def hash_to_buckets(values, nbuckets: int) -> np.ndarray:
     """Deterministic vectorized hash of any array-like -> int32 buckets."""
     arr = np.asarray(values, dtype=object)

@@ -296,19 +296,22 @@ def candidate_edges(sigs: "ray.data.Dataset", cfg: DedupConfig,
     if "minhash" in channels:
         exploded = sigs.map_batches(
             ExplodeMinhashBands, fn_constructor_args=(cfg,),
-            batch_format="pyarrow", batch_size=2048, concurrency=(1, 8))
+            batch_format="pyarrow", batch_size=2048,
+            concurrency=bucketing.pool_size())
         parts.append(_bucketed_verify(
             exploded, lambda df: _minhash_partition(df, cfg), nbuckets))
     if "audio" in channels:
         exploded = sigs.map_batches(
             ExplodeAudioBands, fn_constructor_args=(cfg,),
-            batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+            batch_format="pyarrow", batch_size=4096,
+            concurrency=bucketing.pool_size())
         parts.append(_bucketed_verify(
             exploded, lambda df: _audio_partition(df, cfg), nbuckets))
     if "containment" in channels:
         exploded = sigs.map_batches(
             ExplodeAnchors, fn_constructor_args=(cfg,),
-            batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+            batch_format="pyarrow", batch_size=4096,
+            concurrency=bucketing.pool_size())
         parts.append(_bucketed_verify(
             exploded, lambda df: _containment_partition(df, cfg), nbuckets))
     edges = parts[0]
