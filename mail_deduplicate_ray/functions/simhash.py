@@ -40,22 +40,27 @@ class SRP:
         return _pack_bits(proj >= 0)
 
 
+_FFT_WINDOW = 16384  # power-of-two prefix window: fast FFT, stable features
+
+
 def spectral_features(pcm: np.ndarray, sr_hz: int, dims: int) -> np.ndarray:
     """Codec-robust spectral descriptor of a clip: log-magnitude of the
-    whole-clip rFFT averaged into ``dims`` log-spaced frequency bins over
-    60 Hz..min(4 kHz, sr/2), L2-normalized.  Same waveform re-encoded
+    rFFT over the first ``_FFT_WINDOW`` samples (re-encodes share the
+    prefix bit-for-bit) averaged into ``dims`` log-spaced frequency bins
+    over 60 Hz..min(4 kHz, sr/2), L2-normalized.  Same waveform re-encoded
     (pcm16 vs mu-law) lands within ~1-2 Hamming bits after SRP."""
     if len(pcm) < 8:
         return np.zeros(dims, dtype=np.float32)
-    mag = np.abs(np.fft.rfft(pcm.astype(np.float64)))
-    freqs = np.fft.rfftfreq(len(pcm), 1.0 / sr_hz)
+    x = pcm[:_FFT_WINDOW].astype(np.float64)
+    mag = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(len(x), 1.0 / sr_hz)
     hi = min(4000.0, sr_hz / 2.0)
     edges = np.geomspace(60.0, hi, dims + 1)
-    idx = np.searchsorted(freqs, edges)
-    out = np.zeros(dims, dtype=np.float64)
-    for i in range(dims):
-        a, b = idx[i], max(idx[i] + 1, idx[i + 1])
-        out[i] = np.log1p(mag[a:b].mean() if b <= len(mag) else 0.0)
+    idx = np.minimum(np.searchsorted(freqs, edges), len(mag) - 1)
+    idx = np.maximum.accumulate(np.maximum(idx, np.arange(dims + 1)))
+    sums = np.add.reduceat(mag, idx[:-1])
+    counts = np.maximum(np.diff(idx), 1)
+    out = np.log1p(sums / counts)
     out -= out.mean()
     n = np.linalg.norm(out)
     return (out / n).astype(np.float32) if n > 0 else out.astype(np.float32)

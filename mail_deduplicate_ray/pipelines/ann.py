@@ -20,6 +20,7 @@ import ray
 import ray.data
 
 from mail_deduplicate_ray.functions import simhash
+from mail_deduplicate_ray.stages.bucketing import pool_size as _pool
 
 
 def _read(sf_dir: str) -> "ray.data.Dataset":
@@ -83,7 +84,8 @@ def ann_bruteforce_topk(sf_dir: str, n_queries: int = 8,
     qref = ray.put(_load_queries(sf_dir, n_queries))
     partials = _read(sf_dir).map_batches(
         _TopKScorer, fn_constructor_args=(qref, k),
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=_pool())
 
     def make_final(k_final: int):
         def final(g: pa.Table) -> pa.Table:
@@ -133,7 +135,8 @@ def embedding_neardup_pairs(sf_dir: str,
     ref = ray.put(_to_matrix(corpus))
     return _read(sf_dir).map_batches(
         _NearDupScorer, fn_constructor_args=(ref, threshold),
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=_pool())
 
 
 class _SRPBucketer:
@@ -158,5 +161,5 @@ def ann_lsh_buckets(sf_dir: str, bits: int = 12) -> "ray.data.Dataset":
     dims = len(first["embedding"][0])
     return _read(sf_dir).map_batches(
         _SRPBucketer, fn_constructor_args=(dims, bits),
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
+        batch_format="pyarrow", batch_size=4096, concurrency=_pool()
     ).select_columns(["bucket", "vec_id"])

@@ -41,7 +41,9 @@ def clips_path(sf_dir: str, n_base: int | None = None, seed: int = 42) -> Path:
         CACHE_ROOT.mkdir(parents=True, exist_ok=True)
         tbl, truth = synth.generate_clips(n, seed=seed, texts=texts)
         tmp = out.with_suffix(".tmp")
-        pq.write_table(tbl, tmp)
+        # small row groups -> ray.data.read_parquet gets parallel read tasks
+        # (one giant row group serializes the scan)
+        pq.write_table(tbl, tmp, row_group_size=2048)
         tmp.rename(out)  # atomic publish (resume-safe)
         # ground truth beside the corpus, for recall checks
         import json
@@ -51,7 +53,15 @@ def clips_path(sf_dir: str, n_base: int | None = None, seed: int = 42) -> Path:
 
 
 def read_clips(sf_dir: str, n_base: int | None = None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(str(clips_path(sf_dir, n_base)))
+    """Parallel scan: a single parquet file yields ONE read task by default
+    (serial decompress of the whole corpus) — split it across the cluster."""
+    import ray
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        ncpu = 8
+    return ray.data.read_parquet(str(clips_path(sf_dir, n_base)),
+                                 override_num_blocks=max(16, ncpu * 2))
 
 
 def flagship(sf_dir: str, cfg: DedupConfig | None = None,

@@ -177,7 +177,7 @@ def minhash_clusters_docs(sf_dir: str) -> "ray.data.Dataset":
     """MinHash-LSH near-dup clustering of the documents table (doc_id plays
     clip_id, text plays transcript) — full candidate->verify->CC path."""
     from mail_deduplicate_ray.config import DedupConfig
-    from mail_deduplicate_ray.stages import candidates, components
+    from mail_deduplicate_ray.stages import bucketing, candidates, components
     from mail_deduplicate_ray.stages.signature import SignatureStage
 
     cfg = DedupConfig(key_columns=("lang",), minimal_fields=1)
@@ -192,7 +192,7 @@ def minhash_clusters_docs(sf_dir: str) -> "ray.data.Dataset":
         }), batch_format="pyarrow")
     sigs = ds.map_batches(SignatureStage, fn_constructor_args=(cfg,),
                           batch_format="pyarrow", batch_size=2048,
-                          concurrency=(1, 4)).materialize()
+                          concurrency=bucketing.pool_size()).materialize()
     usable = sigs.map_batches(
         lambda t: t.filter(pc.invert(t["rejected"])), batch_format="pyarrow")
     raw = candidates.candidate_edges(usable, cfg, channels=("minhash",))
