@@ -26,9 +26,8 @@ import ray.data
 
 from mail_deduplicate_ray.config import DedupConfig
 from mail_deduplicate_ray.stages import bucketing, candidates, components
-from mail_deduplicate_ray.stages.decode import DecodeStage
 from mail_deduplicate_ray.stages.settle import make_settle_partition
-from mail_deduplicate_ray.stages.signature import SignatureStage
+from mail_deduplicate_ray.stages.signature import FusedDecodeSignatureStage
 from mail_deduplicate_ray.stats import RunStats, collect_stats
 
 # columns the settle stage needs; heavy signature payloads are projected out
@@ -46,12 +45,10 @@ def clip_signatures(ds: "ray.data.Dataset", cfg: DedupConfig,
     Pool bounds scale with the cluster (bucketing.pool_size).
     """
     conc = concurrency or bucketing.pool_size()
-    decoded = ds.map_batches(
-        DecodeStage, fn_constructor_args=(cfg,), batch_format="pyarrow",
-        batch_size=batch_size, concurrency=conc, num_cpus=1)
-    return decoded.map_batches(
-        SignatureStage, fn_constructor_args=(cfg,), batch_format="pyarrow",
-        batch_size=512, concurrency=conc, num_cpus=1)
+    return ds.map_batches(
+        FusedDecodeSignatureStage, fn_constructor_args=(cfg,),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=conc,
+        num_cpus=1)
 
 
 @dataclass
@@ -91,9 +88,10 @@ def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
                                          t["decode_ok"])),
         batch_format="pyarrow")
 
-    raw_edges = candidates.candidate_edges(usable, cfg, channels).materialize()
-    dropped = candidates.overflow_dropped(raw_edges)
-    edges = candidates.dedup_edges(raw_edges).materialize()
+    # single execution: explode -> verify -> dedup (overflow rows ride along)
+    deduped = candidates.dedup_edges(
+        candidates.candidate_edges(usable, cfg, channels)).materialize()
+    edges, dropped = candidates.split_edges(deduped)
 
     labels = components.connected_components(edges, cfg.cc_max_rounds)
     rows = usable.select_columns(SETTLE_COLUMNS)
@@ -102,8 +100,7 @@ def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
         clustered, "cluster_id", make_settle_partition(cfg),
     ).materialize()
 
-    n_rejected = n_found - settled.count()
-    stats = collect_stats(settled, n_found, n_rejected)
+    stats = collect_stats(settled, n_found)
     stats.check()
     return DedupResult(settled=settled, rejected=rejected, edges=edges,
                        stats=stats, overflow_dropped=dropped)

@@ -322,18 +322,30 @@ def candidate_edges(sigs: "ray.data.Dataset", cfg: DedupConfig,
 
 def dedup_edges(raw_edges: "ray.data.Dataset",
                 nbuckets: int = 64) -> "ray.data.Dataset":
-    """Drop overflow accounting rows + dedup pairs (a pair can surface from
-    up to ``lsh_bands`` buckets and several channels) — bucketed
-    drop_duplicates, vectorized."""
-    real = raw_edges.map_batches(
+    """Dedup pairs (a pair can surface from up to ``lsh_bands`` buckets and
+    several channels) — bucketed drop_duplicates, vectorized.  Overflow
+    accounting rows (src=='') pass through untouched so one materialize
+    serves both the edge list and the dropped-rows metric (split with
+    :func:`split_edges`)."""
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        real = df[df["src"] != ""].drop_duplicates(subset=["src", "dst"])
+        return pd.concat([real, df[df["src"] == ""]], ignore_index=True)
+
+    return bucketing.grouped(
+        raw_edges.map_batches(
+            lambda t: t.select(["src", "dst", "channel", "dropped"]),
+            batch_format="pyarrow"),
+        "src", part, nbuckets)
+
+
+def split_edges(deduped: "ray.data.Dataset",
+                ) -> tuple["ray.data.Dataset", int]:
+    """(real edges, total overflow-dropped rows) from dedup_edges output."""
+    real = deduped.map_batches(
         lambda t: t.filter(pc.not_equal(t["src"], ""))
                    .select(["src", "dst", "channel"]),
         batch_format="pyarrow")
-
-    def part(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(subset=["src", "dst"])
-
-    return bucketing.grouped(real, "src", part, nbuckets)
+    return real, overflow_dropped(deduped)
 
 
 def overflow_dropped(raw_edges: "ray.data.Dataset") -> int:

@@ -28,6 +28,19 @@ from mail_deduplicate_ray.config import DedupConfig
 from mail_deduplicate_ray.functions import hashing, minhash, normalize, shingles
 
 
+class FusedDecodeSignatureStage:
+    """Decode + signature in ONE actor pool — halves pool spin-up and skips
+    the inter-stage object-store hop (the two stages are always chained)."""
+
+    def __init__(self, cfg: DedupConfig) -> None:
+        from mail_deduplicate_ray.stages.decode import DecodeStage
+        self.decode = DecodeStage(cfg)
+        self.signature = SignatureStage(cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.signature(self.decode(batch))
+
+
 class SignatureStage:
     def __init__(self, cfg: DedupConfig) -> None:
         self.cfg = cfg

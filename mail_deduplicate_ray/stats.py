@@ -49,7 +49,7 @@ _REASON_TO_MAIL = {
 
 
 def collect_stats(settled: "ray.data.Dataset", n_found: int,
-                  n_rejected: int) -> RunStats:
+                  n_rejected: int | None = None) -> RunStats:
     """One streaming pass over the settled output: per-batch partial
     counters, summed on the driver (≙ Counter merge deduplicate.py:1110)."""
 
@@ -87,6 +87,10 @@ def collect_stats(settled: "ray.data.Dataset", n_found: int,
                     stats.counters["set_total"] += 1
             else:
                 stats.counters[kind] += int(value)
+    retained = sum(v for k, v in stats.counters.items()
+                   if k.startswith("mail_"))
+    if n_rejected is None:  # derive from the same pass — no extra count()
+        n_rejected = n_found - retained
     stats.counters["mail_found"] = n_found
     stats.counters["mail_rejected"] = n_rejected
     stats.counters["mail_retained"] = n_found - n_rejected
