@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- events / relational ---
         "events_window_5m": relational.events_window_5m,
         "events_per_day": relational.events_per_day,
+        "events_sessions": relational.events_sessions,
         "keep_oldest_per_user": relational.keep_oldest_per_user,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "orders_by_status": relational.orders_by_status,
@@ -113,6 +114,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(ts) / 300) AS BIGINT) AS window_id,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH ordered AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us,
+                       CASE WHEN epoch_us(ts)
+                                 - lag(epoch_us(ts)) OVER w > 1800000000
+                            OR lag(epoch_us(ts)) OVER w IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), tagged AS (
+                SELECT *, sum(new_session) OVER (
+                    PARTITION BY user_id ORDER BY us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM ordered)
+            SELECT user_id,
+                   min(us) AS session_start_us,
+                   max(us) AS session_end_us,
+                   count(*) AS n_events
+            FROM tagged GROUP BY user_id, sid
         """,
         "events_per_day": """
             SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events

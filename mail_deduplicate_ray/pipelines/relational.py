@@ -98,6 +98,37 @@ def lineitem_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
         final, batch_format="pyarrow")
 
 
+def events_sessions(sf_dir: str, gap_s: int = 1800) -> "ray.data.Dataset":
+    """Session windows per user (gap > ``gap_s`` starts a new session):
+    groupby(user) -> sort-by-ts inside the group -> cumulative gap count
+    (the streaming-shaped pattern from SURVEY.md §2.9: ordered, partitioned
+    log + per-group windowing; ordering assumption: ts within one user fits
+    one group).  Output: one row per session with integer-exact bounds."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts"])
+
+    def per_user(g):
+        import pandas as pd
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("int64")  # epoch us
+        new = (us.diff() > gap_s * 1_000_000).fillna(True)
+        sid = new.cumsum()
+        out = g.assign(__sid=sid, __us=us).groupby("__sid").agg(
+            user_id=("user_id", "first"),
+            session_start_us=("__us", "min"),
+            session_end_us=("__us", "max"),
+            n_events=("event_id", "count"),
+        )
+        return pd.DataFrame({
+            "user_id": out["user_id"].astype("int64"),
+            "session_start_us": out["session_start_us"].astype("int64"),
+            "session_end_us": out["session_end_us"].astype("int64"),
+            "n_events": out["n_events"].astype("int64"),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
 def events_per_day(sf_dir: str) -> "ray.data.Dataset":
     """Date normalization (M4, ref: mail.py:567-576) + native Ray
     aggregate: events per UTC day via groupby().aggregate(Count)."""
