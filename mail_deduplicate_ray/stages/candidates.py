@@ -22,13 +22,15 @@ is ``bucket % nbuckets`` (small int), and ONE partition call verifies every
 bucket hashed into it (stages/bucketing.py idiom) — per-bucket Python cost
 without per-bucket task scheduling.
 
-In-bucket verification is **representative-based**: each member is compared
-against the bucket-local cluster representatives found so far, joining the
-first that passes; edges are a spanning set of the in-bucket transitive
-closure, so edge count is O(members), not O(members^2) — connected
-components downstream rebuilds full clusters.  Oversized buckets are capped
-at ``cfg.max_bucket`` deterministically (sorted by clip_id) and the
-overflow is REPORTED via ``dropped`` accounting rows, never silently.
+In-bucket verification computes the pairwise similarity MATRIX in one
+vectorized shot (est-Jaccard / Hamming+feature-cosine / containment) and
+reduces it to a SPANNING edge set via a tiny union-find, so edge count is
+O(members) — connected components downstream rebuilds full clusters.
+Bucket iteration is numpy sort + boundary slicing (``_bucket_slices``) —
+never per-bucket pandas objects (partitions hold hundreds of thousands of
+tiny buckets).  Oversized buckets are capped at ``cfg.max_bucket``
+deterministically (clip_id order) and the overflow is REPORTED via
+``dropped`` accounting rows, never silently.
 """
 
 from __future__ import annotations
@@ -102,13 +104,6 @@ def _jaccard_matrix(sig: np.ndarray) -> np.ndarray:
     return (sig[:, None, :] == sig[None, :, :]).mean(axis=2)
 
 
-def _capped_sorted(g: pd.DataFrame, cap: int) -> tuple[pd.DataFrame, int]:
-    """Deterministic cap of an already clip_id-sorted group."""
-    if len(g) <= cap:
-        return g, 0
-    return g.iloc[:cap], len(g) - cap
-
-
 # ---------------- minhash channel ----------------
 
 class ExplodeMinhashBands:
@@ -135,20 +130,45 @@ class ExplodeMinhashBands:
         return rep.append_column("bucket", pa.array(keys.reshape(-1)))
 
 
-def _minhash_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
-    out: list[pd.DataFrame] = []
-    for _, g in df.groupby("bucket", sort=False):
-        if len(g) < 2:
+def _bucket_slices(df: pd.DataFrame, cap: int):
+    """Iterate (index-array, dropped) per multi-member bucket — pure numpy
+    sort + boundary slicing; per-bucket cost is O(size), never a pandas
+    group object (hundreds of thousands of tiny buckets per partition)."""
+    buckets = df["bucket"].to_numpy()
+    ids = df["clip_id"].to_numpy()
+    order = np.lexsort((ids, buckets))  # bucket-major, clip_id within
+    b_sorted = buckets[order]
+    bounds = np.flatnonzero(np.concatenate(
+        ([True], b_sorted[1:] != b_sorted[:-1], [True])))
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s < 2:
             continue
-        ek = g["exact_key"].to_numpy()
+        idx = order[s:e]
+        dropped = 0
+        if len(idx) > cap:
+            dropped = len(idx) - cap
+            idx = idx[:cap]  # already clip_id-sorted -> deterministic cap
+        yield idx, dropped
+
+
+def _minhash_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
+    n = len(df)
+    sig_all = np.frombuffer(b"".join(df["minhash_sig"]),
+                            dtype=np.uint64).reshape(n, cfg.num_perm)
+    ids_all = df["clip_id"].to_numpy()
+    ek_all = df["exact_key"].to_numpy()
+    out: list[pd.DataFrame] = []
+    for idx, dropped in _bucket_slices(df, cfg.max_bucket):
+        ek = ek_all[idx]
         if (ek[0] is not None) and (ek == ek[0]).all():
             continue  # exact channel already links these (fast path)
-        g = g.sort_values("clip_id")
-        g, dropped = _capped_sorted(g, cfg.max_bucket)
-        sig = np.frombuffer(b"".join(g["minhash_sig"]),
-                            dtype=np.uint64).reshape(len(g), cfg.num_perm)
-        adj = _jaccard_matrix(sig) >= cfg.jaccard_threshold
-        pairs = _spanning_edges(g["clip_id"].to_numpy(), adj)
+        sig = sig_all[idx]
+        if (sig == sig[0]).all():
+            # identical signatures: every pair passes -> star edges, no matrix
+            pairs = [(ids_all[idx[0]], ids_all[j]) for j in idx[1:]]
+        else:
+            adj = _jaccard_matrix(sig) >= cfg.jaccard_threshold
+            pairs = _spanning_edges(ids_all[idx], adj)
         if pairs or dropped:
             out.append(_edges_df(pairs, "minhash", dropped))
     return pd.concat(out, ignore_index=True) if out else _EMPTY
@@ -182,17 +202,21 @@ class ExplodeAudioBands:
 
 
 def _audio_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
+    fp_all = df["audio_fp"].to_numpy().astype(np.uint64)
+    dur_all = df["dur_ms"].to_numpy().astype(np.int64)
+    ids_all = df["clip_id"].to_numpy()
+    feat_all = np.asarray([np.asarray(v, dtype=np.float32)
+                           for v in df["audio_feat"]])
+    norms = np.linalg.norm(feat_all, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    feat_all = feat_all / norms
     out: list[pd.DataFrame] = []
-    for _, g in df.groupby("bucket", sort=False):
-        if len(g) < 2:
-            continue
-        g = g.sort_values("clip_id")
-        g, dropped = _capped_sorted(g, cfg.max_bucket)
-        fp = g["audio_fp"].to_numpy().astype(np.uint64)
-        dur = g["dur_ms"].to_numpy().astype(np.int64)
+    for idx, dropped in _bucket_slices(df, cfg.max_bucket):
+        m = len(idx)
+        fp, dur = fp_all[idx], dur_all[idx]
         # pairwise Hamming: XOR matrix -> popcount via uint8 view
         x = fp[:, None] ^ fp[None, :]
-        hd = np.unpackbits(x.view(np.uint8).reshape(len(g), len(g), 8),
+        hd = np.unpackbits(x.view(np.uint8).reshape(m, m, 8),
                            axis=2).sum(axis=2)
         dmax = np.maximum(dur[:, None], dur[None, :])
         dur_ok = np.abs(dur[:, None] - dur[None, :]) <= np.maximum(60,
@@ -203,13 +227,9 @@ def _audio_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
             # sketch: re-encodes measure cosine > 0.9999; accidental SRP
             # collisions between unrelated clips fall well below the floor
             # (this is what stops transitive snowballing of audio clusters)
-            feat = np.asarray([np.asarray(v, dtype=np.float32)
-                               for v in g["audio_feat"]])
-            norms = np.linalg.norm(feat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            fn = feat / norms
+            fn = feat_all[idx]
             adj &= (fn @ fn.T) >= cfg.audio_cosine_min
-        pairs = _spanning_edges(g["clip_id"].to_numpy(), adj)
+        pairs = _spanning_edges(ids_all[idx], adj)
         if pairs or dropped:
             out.append(_edges_df(pairs, "audio", dropped))
     return pd.concat(out, ignore_index=True) if out else _EMPTY
@@ -239,24 +259,27 @@ def _containment_partition(df: pd.DataFrame,
     j = est Jaccard; |A∩B| ≈ j(|A|+|B|)/(1+j); containment =
     |A∩B| / min(|A|,|B|).  For B ⊂ A covering fraction f of A this is ~1.0
     while plain Jaccard is only f."""
+    n = len(df)
+    sig_all = np.frombuffer(b"".join(df["minhash_sig"]),
+                            dtype=np.uint64).reshape(n, cfg.num_perm)
+    ids_all = df["clip_id"].to_numpy()
+    sizes_all = df["set_size"].to_numpy().astype(np.float64)
     out: list[pd.DataFrame] = []
-    for _, g in df.groupby("bucket", sort=False):
-        if len(g) < 2:
-            continue
-        g = g.sort_values("clip_id")
-        g, dropped = _capped_sorted(g, cfg.max_bucket)
-        sig = np.frombuffer(b"".join(g["minhash_sig"]),
-                            dtype=np.uint64).reshape(len(g), cfg.num_perm)
-        sizes = g["set_size"].to_numpy().astype(np.float64)
-        jac = _jaccard_matrix(sig)
-        inter = jac * (sizes[:, None] + sizes[None, :]) / (1.0 + jac)
-        cont = inter / np.minimum(sizes[:, None], sizes[None, :])
+    for idx, dropped in _bucket_slices(df, cfg.max_bucket):
+        sizes = sizes_all[idx]
         # require genuinely nested sizes; same-size near-dups belong to the
         # minhash channel (jaccard >= threshold there)
         ratio = np.minimum(sizes[:, None], sizes[None, :]) / np.maximum(
             sizes[:, None], sizes[None, :])
+        if not (ratio <= 0.95).any():
+            if dropped:
+                out.append(_edges_df([], "containment", dropped))
+            continue
+        jac = _jaccard_matrix(sig_all[idx])
+        inter = jac * (sizes[:, None] + sizes[None, :]) / (1.0 + jac)
+        cont = inter / np.minimum(sizes[:, None], sizes[None, :])
         adj = (cont >= cfg.containment_threshold) & (ratio <= 0.95)
-        pairs = _spanning_edges(g["clip_id"].to_numpy(), adj)
+        pairs = _spanning_edges(ids_all[idx], adj)
         if pairs or dropped:
             out.append(_edges_df(pairs, "containment", dropped))
     return pd.concat(out, ignore_index=True) if out else _EMPTY
