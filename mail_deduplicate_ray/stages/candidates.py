@@ -120,13 +120,13 @@ class ExplodeMinhashBands:
         if n == 0:
             return pa.table({"bucket": pa.array([], pa.uint64()),
                              "clip_id": pa.array([], pa.string()),
-                             "minhash_sig": pa.array([], pa.binary()),
-                             "exact_key": pa.array([], pa.string())})
+                             "minhash_sig8": pa.array([], pa.binary()),
+                             "ek64": pa.array([], pa.uint64())})
         raw = b"".join(batch["minhash_sig"].to_pylist())
         sig = np.frombuffer(raw, dtype=np.uint64).reshape(n, self.cfg.num_perm)
         keys = self.mh.band_keys(sig)  # (n, bands)
         idx = np.repeat(np.arange(n), self.cfg.lsh_bands)
-        rep = batch.select(["clip_id", "minhash_sig", "exact_key"]).take(idx)
+        rep = batch.select(["clip_id", "minhash_sig8", "ek64"]).take(idx)
         return rep.append_column("bucket", pa.array(keys.reshape(-1)))
 
 
@@ -153,14 +153,14 @@ def _bucket_slices(df: pd.DataFrame, cap: int):
 
 def _minhash_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
     n = len(df)
-    sig_all = np.frombuffer(b"".join(df["minhash_sig"]),
-                            dtype=np.uint64).reshape(n, cfg.num_perm)
+    sig_all = np.frombuffer(b"".join(df["minhash_sig8"]),
+                            dtype=np.uint8).reshape(n, cfg.num_perm)
     ids_all = df["clip_id"].to_numpy()
-    ek_all = df["exact_key"].to_numpy()
+    ek_all = df["ek64"].to_numpy().astype(np.uint64)
     out: list[pd.DataFrame] = []
     for idx, dropped in _bucket_slices(df, cfg.max_bucket):
         ek = ek_all[idx]
-        if (ek[0] is not None) and (ek == ek[0]).all():
+        if ek[0] != 0 and (ek == ek[0]).all():
             continue  # exact channel already links these (fast path)
         sig = sig_all[idx]
         if (sig == sig[0]).all():
@@ -249,7 +249,7 @@ class ExplodeAnchors:
         flat = (np.concatenate([np.asarray(a, dtype=np.uint64)
                                 for a in anchors])
                 if anchors and idx.size else np.empty(0, np.uint64))
-        rep = batch.select(["clip_id", "minhash_sig", "set_size"]).take(idx)
+        rep = batch.select(["clip_id", "minhash_sig8", "set_size"]).take(idx)
         return rep.append_column("bucket", pa.array(flat))
 
 
@@ -260,8 +260,8 @@ def _containment_partition(df: pd.DataFrame,
     |A∩B| / min(|A|,|B|).  For B ⊂ A covering fraction f of A this is ~1.0
     while plain Jaccard is only f."""
     n = len(df)
-    sig_all = np.frombuffer(b"".join(df["minhash_sig"]),
-                            dtype=np.uint64).reshape(n, cfg.num_perm)
+    sig_all = np.frombuffer(b"".join(df["minhash_sig8"]),
+                            dtype=np.uint8).reshape(n, cfg.num_perm)
     ids_all = df["clip_id"].to_numpy()
     sizes_all = df["set_size"].to_numpy().astype(np.float64)
     out: list[pd.DataFrame] = []

@@ -28,6 +28,18 @@ from mail_deduplicate_ray.config import DedupConfig
 from mail_deduplicate_ray.functions import hashing, minhash, normalize, shingles
 
 
+def _fold_keys(keys: pa.Array) -> np.ndarray:
+    """exact_key string -> uint64 hash (0 for null) — the 8-byte stand-in
+    band rows carry for the all-identical fast path."""
+    out = np.zeros(len(keys), dtype=np.uint64)
+    for i, k in enumerate(keys.to_pylist()):
+        if k:
+            # fold head AND tail: the composite key is metadata_sha +
+            # transcript_sha — both halves must distinguish
+            out[i] = np.uint64((int(k[:16], 16) ^ int(k[-16:], 16)) or 1)
+    return out
+
+
 class FusedDecodeSignatureStage:
     """Decode + signature in ONE actor pool — halves pool spin-up and skips
     the inter-stage object-store hop (the two stages are always chained)."""
@@ -67,10 +79,20 @@ class SignatureStage:
 
         sig_bin = pa.array([sig[i].tobytes() for i in range(sig.shape[0])],
                            pa.binary())
+        # 1-byte fold of each component: verification only compares
+        # equality, so 8 bits per slot suffice (collision inflates est-j by
+        # (1-j)/255 ≈ 0.004) — band rows ship 128 B instead of 1 KB,
+        # cutting LSH shuffle volume ~5x (shuffles are bandwidth-bound).
+        sig8 = (sig % np.uint64(255)).astype(np.uint8)
+        sig8_bin = pa.array([sig8[i].tobytes() for i in range(sig8.shape[0])],
+                            pa.binary())
+        ek64 = _fold_keys(batch["exact_key"])
         anchors_arr = pa.array([a.tolist() for a in anchors],
                                pa.list_(pa.uint64()))
         return (
             batch.append_column("minhash_sig", sig_bin)
+            .append_column("minhash_sig8", sig8_bin)
+            .append_column("ek64", pa.array(ek64))
             .append_column("set_size", pa.array(sizes))
             .append_column("anchors", anchors_arr)
         )

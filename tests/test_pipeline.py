@@ -138,11 +138,11 @@ def test_bucket_cap_reports_overflow():
     import pandas as pd
     cfg = DedupConfig(max_bucket=4)
     n = 10
-    sig = np.arange(128, dtype=np.uint64)
+    sig = np.arange(128, dtype=np.uint8)
     grp = pd.DataFrame({
         "clip_id": [f"c{i}" for i in range(n)],
-        "minhash_sig": [sig.tobytes()] * n,
-        "exact_key": [f"k{i}" for i in range(n)],  # not all-identical
+        "minhash_sig8": [sig.tobytes()] * n,
+        "ek64": np.arange(1, n + 1, dtype=np.uint64),  # not all-identical
         "bucket": np.full(n, 1, dtype=np.uint64),
     })
     out = candidates._minhash_partition(grp, cfg)
