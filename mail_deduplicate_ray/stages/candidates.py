@@ -188,25 +188,31 @@ class ExplodeAudioBands:
                 "bucket": pa.array([], pa.uint64()),
                 "clip_id": pa.array([], pa.string()),
                 "audio_fp": pa.array([], pa.uint64()),
-                "audio_feat": pa.array(
-                    [], pa.list_(pa.float32(), self.cfg.spectral_dims)),
+                "feat16": pa.array([], pa.binary()),
                 "dur_ms": pa.array([], pa.int32())})
         fp = np.asarray(batch["audio_fp"].to_numpy(zero_copy_only=False),
                         dtype=np.uint64)
+        # ship features as float16 (cosine error ~1e-4, threshold 0.999):
+        # halves the dominant payload of the audio shuffle
+        feat = np.asarray([np.asarray(v, dtype=np.float32)
+                           for v in batch["audio_feat"].to_pylist()],
+                          dtype=np.float32).astype(np.float16)
+        f16 = pa.array([feat[i].tobytes() for i in range(n)], pa.binary())
+        base = (batch.select(["clip_id", "audio_fp", "dur_ms"])
+                .append_column("feat16", f16))
         keys = simhash.band_keys_u64(fp, self.cfg.audio_bands,
                                      self.cfg.audio_bits)
         idx = np.repeat(np.arange(n), self.cfg.audio_bands)
-        rep = batch.select(["clip_id", "audio_fp", "audio_feat",
-                            "dur_ms"]).take(idx)
-        return rep.append_column("bucket", pa.array(keys.reshape(-1)))
+        return base.take(idx).append_column(
+            "bucket", pa.array(keys.reshape(-1)))
 
 
 def _audio_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
     fp_all = df["audio_fp"].to_numpy().astype(np.uint64)
     dur_all = df["dur_ms"].to_numpy().astype(np.int64)
     ids_all = df["clip_id"].to_numpy()
-    feat_all = np.asarray([np.asarray(v, dtype=np.float32)
-                           for v in df["audio_feat"]])
+    feat_all = np.frombuffer(b"".join(df["feat16"]), dtype=np.float16) \
+        .reshape(len(df), cfg.spectral_dims).astype(np.float32)
     norms = np.linalg.norm(feat_all, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     feat_all = feat_all / norms
