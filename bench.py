@@ -97,8 +97,12 @@ def _n_docs(sf_dir: str) -> int:
 
 
 def _n_rows(path) -> int:
+    import pathlib
+
     import pyarrow.parquet as pq
-    return pq.read_metadata(path).num_rows
+    p = pathlib.Path(path)
+    files = sorted(p.glob("*.parquet")) if p.is_dir() else [p]
+    return sum(pq.read_metadata(f).num_rows for f in files)
 
 
 def run_scaling() -> None:

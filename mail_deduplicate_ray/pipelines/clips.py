@@ -36,18 +36,24 @@ def clips_path(sf_dir: str, n_base: int | None = None, seed: int = 42) -> Path:
     texts = _doc_texts(sf_dir)
     n = n_base or len(texts)
     tag = Path(sf_dir).name or "sf"
-    out = CACHE_ROOT / f"clips-{tag}-{n}-{seed}.parquet"
+    out = CACHE_ROOT / f"clips-{tag}-{n}-{seed}"
     if not out.exists():
         CACHE_ROOT.mkdir(parents=True, exist_ok=True)
         tbl, truth = synth.generate_clips(n, seed=seed, texts=texts)
         tmp = out.with_suffix(".tmp")
-        # small row groups -> ray.data.read_parquet gets parallel read tasks
-        # (one giant row group serializes the scan)
-        pq.write_table(tbl, tmp, row_group_size=2048)
+        tmp.mkdir(parents=True, exist_ok=True)
+        # many part files -> ray.data.read_parquet runs one read task per
+        # file (a single file = one serial decompress of the whole corpus)
+        n_parts = max(1, min(32, tbl.num_rows // 500))
+        step = -(-tbl.num_rows // n_parts)
+        for i in range(n_parts):
+            pq.write_table(tbl.slice(i * step, step),
+                           tmp / f"part-{i:04d}.parquet",
+                           row_group_size=2048)
         tmp.rename(out)  # atomic publish (resume-safe)
         # ground truth beside the corpus, for recall checks
         import json
-        (CACHE_ROOT / f"{out.stem}.truth.json").write_text(
+        (CACHE_ROOT / f"{out.name}.truth.json").write_text(
             json.dumps({"recall_pairs": truth["recall_pairs"]}))
     return out
 
