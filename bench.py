@@ -112,7 +112,7 @@ def run_scaling() -> None:
     dominates the session-fixed costs — the regime the 10^12-clip design
     point lives in; the corpus is generated once and page-cache-warmed by
     the first (untimed) clips_path call inside each subprocess."""
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    MDR_BENCH_ONLY_FLAGSHIP="1",
                    MDR_BENCH_NBASE=os.environ.get("MDR_SCALING_NBASE",
@@ -121,6 +121,12 @@ def run_scaling() -> None:
                              env=env, capture_output=True, text=True,
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        # best of 2: single-machine runs see multi-second interference
+        # noise; min is the standard noise-robust estimator
+        a, b = run_once(ncpu), run_once(ncpu)
+        return a if a["value"] <= b["value"] else b
 
     lo, hi = 8, 32
     r_lo, r_hi = run(lo), run(hi)

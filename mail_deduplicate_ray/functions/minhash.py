@@ -59,15 +59,30 @@ class MinHasher:
             return sig
         nonempty = np.flatnonzero(np.diff(offsets) > 0)
         starts = offsets[nonempty]
-        x = flat
-        # small perm chunks keep the (len(flat), chunk) temp inside cache —
-        # measured 5x faster than one big temp (memory-bandwidth bound)
-        chunk = max(1, min(32, int(16_000_000 // max(1, len(flat)))))
-        for c0 in range(0, self.num_perm, chunk):
-            c1 = min(self.num_perm, c0 + chunk)
-            h = x[:, None] * self.a[c0:c1][None, :] + self.b[c0:c1][None, :]
-            mins = np.minimum.reduceat(h, starts, axis=0)
-            sig[nonempty, c0:c1] = mins
+        # cache-resident tiling: both the shingle axis (docs grouped into
+        # <=SH_TILE-shingle runs) and the perm axis (32-wide) are tiled so
+        # temps stay ~1 MB — DRAM bandwidth, not cores, is the scaling
+        # limit for big temps when 32 workers run side by side.
+        SH_TILE = 4096
+        PERM_TILE = 32
+        ends = offsets[nonempty + 1]
+        d0 = 0
+        nd = len(nonempty)
+        while d0 < nd:
+            limit = starts[d0] + SH_TILE
+            d1 = d0 + 1
+            while d1 < nd and ends[d1] <= limit:
+                d1 += 1
+            lo, hi = starts[d0], ends[d1 - 1]
+            x = flat[lo:hi]
+            seg_starts = starts[d0:d1] - lo
+            rows = nonempty[d0:d1]
+            for c0 in range(0, self.num_perm, PERM_TILE):
+                c1 = min(self.num_perm, c0 + PERM_TILE)
+                h = x[:, None] * self.a[c0:c1][None, :] \
+                    + self.b[c0:c1][None, :]
+                sig[rows, c0:c1] = np.minimum.reduceat(h, seg_starts, axis=0)
+            d0 = d1
         return sig
 
     def band_keys(self, sig: np.ndarray) -> np.ndarray:
