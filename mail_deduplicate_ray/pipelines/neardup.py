@@ -44,11 +44,17 @@ def clip_signatures(ds: "ray.data.Dataset", cfg: DedupConfig,
     (tens of KB each) — batch x concurrency must fit worker heaps.
     Pool bounds scale with the cluster (bucketing.pool_size).
     """
-    conc = concurrency or bucketing.pool_size()
+    if concurrency is None:
+        # eager pool: autoscaling from 1 actor never fills before a short
+        # stage drains, so pre-create half the cluster and let it grow to
+        # CPUs-1 (a FULL fixed pool deadlocks — upstream read tasks then
+        # have no CPU slot to produce input)
+        _, hi = bucketing.pool_size()
+        concurrency = (max(1, hi // 2), max(1, hi - 1))
     return ds.map_batches(
         FusedDecodeSignatureStage, fn_constructor_args=(cfg,),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=conc,
-        num_cpus=1)
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
 
 
 @dataclass
