@@ -104,6 +104,7 @@ def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
     clustered = components.attach_cluster_ids(rows, labels)
     settled = bucketing.grouped(
         clustered, "cluster_id", make_settle_partition(cfg),
+        nbuckets=256,  # finer partitions: balances big-cluster stragglers
     ).materialize()
 
     stats = collect_stats(settled, n_found)

@@ -43,7 +43,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from mail_deduplicate_ray.config import DedupConfig
-from mail_deduplicate_ray.functions import minhash, simhash
+from mail_deduplicate_ray.functions import simhash
 from mail_deduplicate_ray.stages import bucketing
 
 _EMPTY = pd.DataFrame({"src": pd.Series(dtype=str),
@@ -106,28 +106,21 @@ def _jaccard_matrix(sig: np.ndarray) -> np.ndarray:
 
 # ---------------- minhash channel ----------------
 
-class ExplodeMinhashBands:
-    """Actor-pool map_batches: one output row per (band bucket, clip)."""
-
-    def __init__(self, cfg: DedupConfig) -> None:
-        self.cfg = cfg
-        self.mh = minhash.MinHasher(cfg.num_perm, cfg.minhash_seed,
-                                    cfg.lsh_bands)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.greater(batch["set_size"], 0))
-        n = batch.num_rows
-        if n == 0:
-            return pa.table({"bucket": pa.array([], pa.uint64()),
-                             "clip_id": pa.array([], pa.string()),
-                             "minhash_sig8": pa.array([], pa.binary()),
-                             "ek64": pa.array([], pa.uint64())})
-        raw = b"".join(batch["minhash_sig"].to_pylist())
-        sig = np.frombuffer(raw, dtype=np.uint64).reshape(n, self.cfg.num_perm)
-        keys = self.mh.band_keys(sig)  # (n, bands)
-        idx = np.repeat(np.arange(n), self.cfg.lsh_bands)
-        rep = batch.select(["clip_id", "minhash_sig8", "ek64"]).take(idx)
-        return rep.append_column("bucket", pa.array(keys.reshape(-1)))
+def explode_minhash_bands(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
+    """Stateless map_batches: one output row per (band bucket, clip) —
+    band keys were precomputed by the signature stage."""
+    batch = batch.filter(pc.greater(batch["set_size"], 0))
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({"bucket": pa.array([], pa.uint64()),
+                         "clip_id": pa.array([], pa.string()),
+                         "minhash_sig8": pa.array([], pa.binary()),
+                         "ek64": pa.array([], pa.uint64())})
+    keys = np.frombuffer(b"".join(batch["band_keys"].to_pylist()),
+                         dtype=np.uint64).reshape(n, cfg.lsh_bands)
+    idx = np.repeat(np.arange(n), cfg.lsh_bands)
+    rep = batch.select(["clip_id", "minhash_sig8", "ek64"]).take(idx)
+    return rep.append_column("bucket", pa.array(keys.reshape(-1)))
 
 
 def _bucket_slices(df: pd.DataFrame, cap: int):
@@ -176,35 +169,29 @@ def _minhash_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
 
 # ---------------- audio channel ----------------
 
-class ExplodeAudioBands:
-    def __init__(self, cfg: DedupConfig) -> None:
-        self.cfg = cfg
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        batch = batch.filter(batch["decode_ok"])
-        n = batch.num_rows
-        if n == 0:
-            return pa.table({
-                "bucket": pa.array([], pa.uint64()),
-                "clip_id": pa.array([], pa.string()),
-                "audio_fp": pa.array([], pa.uint64()),
-                "feat16": pa.array([], pa.binary()),
-                "dur_ms": pa.array([], pa.int32())})
-        fp = np.asarray(batch["audio_fp"].to_numpy(zero_copy_only=False),
-                        dtype=np.uint64)
-        # ship features as float16 (cosine error ~1e-4, threshold 0.999):
-        # halves the dominant payload of the audio shuffle
-        feat = np.asarray([np.asarray(v, dtype=np.float32)
-                           for v in batch["audio_feat"].to_pylist()],
-                          dtype=np.float32).astype(np.float16)
-        f16 = pa.array([feat[i].tobytes() for i in range(n)], pa.binary())
-        base = (batch.select(["clip_id", "audio_fp", "dur_ms"])
-                .append_column("feat16", f16))
-        keys = simhash.band_keys_u64(fp, self.cfg.audio_bands,
-                                     self.cfg.audio_bits)
-        idx = np.repeat(np.arange(n), self.cfg.audio_bands)
-        return base.take(idx).append_column(
-            "bucket", pa.array(keys.reshape(-1)))
+def explode_audio_bands(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
+    batch = batch.filter(batch["decode_ok"])
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({
+            "bucket": pa.array([], pa.uint64()),
+            "clip_id": pa.array([], pa.string()),
+            "audio_fp": pa.array([], pa.uint64()),
+            "feat16": pa.array([], pa.binary()),
+            "dur_ms": pa.array([], pa.int32())})
+    fp = np.asarray(batch["audio_fp"].to_numpy(zero_copy_only=False),
+                    dtype=np.uint64)
+    # ship features as float16 (cosine error ~1e-4, threshold 0.999):
+    # halves the dominant payload of the audio shuffle
+    feat = np.asarray([np.asarray(v, dtype=np.float32)
+                       for v in batch["audio_feat"].to_pylist()],
+                      dtype=np.float32).astype(np.float16)
+    f16 = pa.array([feat[i].tobytes() for i in range(n)], pa.binary())
+    base = (batch.select(["clip_id", "audio_fp", "dur_ms"])
+            .append_column("feat16", f16))
+    keys = simhash.band_keys_u64(fp, cfg.audio_bands, cfg.audio_bits)
+    idx = np.repeat(np.arange(n), cfg.audio_bands)
+    return base.take(idx).append_column("bucket", pa.array(keys.reshape(-1)))
 
 
 def _audio_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
@@ -243,20 +230,16 @@ def _audio_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
 
 # ---------------- containment channel ----------------
 
-class ExplodeAnchors:
-    def __init__(self, cfg: DedupConfig) -> None:
-        self.cfg = cfg
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.greater(batch["set_size"], 0))
-        anchors = batch["anchors"].to_pylist()
-        counts = [len(a) for a in anchors]
-        idx = np.repeat(np.arange(batch.num_rows), counts)
-        flat = (np.concatenate([np.asarray(a, dtype=np.uint64)
-                                for a in anchors])
-                if anchors and idx.size else np.empty(0, np.uint64))
-        rep = batch.select(["clip_id", "minhash_sig8", "set_size"]).take(idx)
-        return rep.append_column("bucket", pa.array(flat))
+def explode_anchors(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
+    batch = batch.filter(pc.greater(batch["set_size"], 0))
+    anchors = batch["anchors"].to_pylist()
+    counts = [len(a) for a in anchors]
+    idx = np.repeat(np.arange(batch.num_rows), counts)
+    flat = (np.concatenate([np.asarray(a, dtype=np.uint64)
+                            for a in anchors])
+            if anchors and idx.size else np.empty(0, np.uint64))
+    rep = batch.select(["clip_id", "minhash_sig8", "set_size"]).take(idx)
+    return rep.append_column("bucket", pa.array(flat))
 
 
 def _containment_partition(df: pd.DataFrame,
@@ -324,23 +307,20 @@ def candidate_edges(sigs: "ray.data.Dataset", cfg: DedupConfig,
                                        nbuckets))
     if "minhash" in channels:
         exploded = sigs.map_batches(
-            ExplodeMinhashBands, fn_constructor_args=(cfg,),
-            batch_format="pyarrow", batch_size=2048,
-            concurrency=bucketing.pool_size())
+            lambda t: explode_minhash_bands(t, cfg),
+            batch_format="pyarrow", batch_size=2048)
         parts.append(_bucketed_verify(
             exploded, lambda df: _minhash_partition(df, cfg), nbuckets))
     if "audio" in channels:
         exploded = sigs.map_batches(
-            ExplodeAudioBands, fn_constructor_args=(cfg,),
-            batch_format="pyarrow", batch_size=4096,
-            concurrency=bucketing.pool_size())
+            lambda t: explode_audio_bands(t, cfg),
+            batch_format="pyarrow", batch_size=4096)
         parts.append(_bucketed_verify(
             exploded, lambda df: _audio_partition(df, cfg), nbuckets))
     if "containment" in channels:
         exploded = sigs.map_batches(
-            ExplodeAnchors, fn_constructor_args=(cfg,),
-            batch_format="pyarrow", batch_size=4096,
-            concurrency=bucketing.pool_size())
+            lambda t: explode_anchors(t, cfg),
+            batch_format="pyarrow", batch_size=4096)
         parts.append(_bucketed_verify(
             exploded, lambda df: _containment_partition(df, cfg), nbuckets))
     edges = parts[0]

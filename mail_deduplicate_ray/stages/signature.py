@@ -9,7 +9,8 @@ deduplicate.py:529-541).  Appends:
     transcript_norm: string     canonical transcript for shingling
     exact_key: string?          composite metadata+transcript sha (M9-M12)
     rejected: bool, reject_reason: string   (M8 minimal-fields guard)
-    minhash_sig: binary         num_perm x uint64, little-endian
+    band_keys: binary           lsh_bands x uint64 LSH bucket keys
+    minhash_sig8: binary        num_perm x uint8 (1-byte fold, verify payload)
     sketch: binary              bottom-k shingle hashes (containment verify)
     set_size: int64             true shingle-set size
     anchors: list<uint64>       m smallest shingle hashes (containment keys)
@@ -77,12 +78,14 @@ class SignatureStage:
         lflat, loffs = shingles.batch_shingles(texts, cfg.anchor_k)
         anchors, _, _ = self.mh.anchors_and_sketch(lflat, loffs)
 
-        sig_bin = pa.array([sig[i].tobytes() for i in range(sig.shape[0])],
-                           pa.binary())
-        # 1-byte fold of each component: verification only compares
-        # equality, so 8 bits per slot suffice (collision inflates est-j by
-        # (1-j)/255 ≈ 0.004) — band rows ship 128 B instead of 1 KB,
-        # cutting LSH shuffle volume ~5x (shuffles are bandwidth-bound).
+        # The full 1 KB signature never leaves this stage: band keys are
+        # precomputed here (16 x u64) and verification uses the 1-byte fold
+        # (collision inflates est-j by (1-j)/255 ≈ 0.004).  This cuts both
+        # the materialized signature table and LSH shuffle volume ~5x —
+        # shuffles are memory-bandwidth-bound, the scaling-critical cost.
+        band = self.mh.band_keys(sig)
+        band_bin = pa.array([band[i].tobytes() for i in range(band.shape[0])],
+                            pa.binary())
         sig8 = (sig % np.uint64(255)).astype(np.uint8)
         sig8_bin = pa.array([sig8[i].tobytes() for i in range(sig8.shape[0])],
                             pa.binary())
@@ -90,7 +93,7 @@ class SignatureStage:
         anchors_arr = pa.array([a.tolist() for a in anchors],
                                pa.list_(pa.uint64()))
         return (
-            batch.append_column("minhash_sig", sig_bin)
+            batch.append_column("band_keys", band_bin)
             .append_column("minhash_sig8", sig8_bin)
             .append_column("ek64", pa.array(ek64))
             .append_column("set_size", pa.array(sizes))
