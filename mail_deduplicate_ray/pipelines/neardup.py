@@ -88,11 +88,13 @@ def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
         lambda t: t.filter(pc.or_kleene(t["rejected"],
                                         pc.invert(t["decode_ok"]))),
         batch_format="pyarrow")
-    # decode failures are rejections too (ref: deduplicate.py:563-576)
+    # decode failures are rejections too (ref: deduplicate.py:563-576).
+    # Materialized once: all four candidate channels + the settle row
+    # projection read it, so the filter runs once instead of five times.
     usable = sigs.map_batches(
         lambda t: t.filter(pc.and_kleene(pc.invert(t["rejected"]),
                                          t["decode_ok"])),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
 
     # single execution: explode -> verify -> dedup (overflow rows ride along)
     deduped = candidates.dedup_edges(
