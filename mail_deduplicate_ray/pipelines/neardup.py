@@ -75,6 +75,7 @@ def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
     restored without decoding (state/checkpoint.py; ≙ the reference's
     --cache re-run, SURVEY.md §3.3)."""
     cfg = cfg or DedupConfig()
+    store = None
     if checkpoint_root:
         from mail_deduplicate_ray.state.checkpoint import (CheckpointStore,
                                                            resumable_signatures)
@@ -97,8 +98,19 @@ def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
         batch_format="pyarrow").materialize()
 
     # single execution: explode -> verify -> dedup (overflow rows ride along)
-    deduped = candidates.dedup_edges(
-        candidates.candidate_edges(usable, cfg, channels)).materialize()
+    # Edge-log checkpoint (§4.4): valid only for the exact signature set it
+    # was derived from — a partial signature resume (new rows) invalidates it.
+    edges_fresh = (store is None or not store.has("edges")
+                   or store.manifest().get("edges", {}).get("for_rows")
+                   != n_found)
+    if edges_fresh:
+        deduped = candidates.dedup_edges(
+            candidates.candidate_edges(usable, cfg, channels)).materialize()
+        if store is not None and store.write("edges", deduped):
+            store._update_manifest("edges", {
+                **store.manifest().get("edges", {}), "for_rows": n_found})
+    else:
+        deduped = store.load("edges")
     edges, dropped = candidates.split_edges(deduped)
 
     labels = components.connected_components(edges, cfg.cc_max_rounds)
