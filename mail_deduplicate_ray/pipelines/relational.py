@@ -32,16 +32,14 @@ def events_window_5m(sf_dir: str) -> "ray.data.Dataset":
                          "n": pc.cast(g["user_id_count"], pa.int64())})
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-
-    def final(g: pa.Table) -> pa.Table:
-        return pa.table({
-            "user_id": [g["user_id"][0].as_py()],
-            "window_id": [g["window_id"][0].as_py()],
-            "n_events": pa.array([pc.sum(g["n"]).as_py()], pa.int64()),
-        })
-
-    return partials.groupby(["user_id", "window_id"]).map_groups(
-        final, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    out = partials.groupby(["user_id", "window_id"]).aggregate(
+        Sum("n", alias_name="n_events"))
+    return out.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            "window_id": t["window_id"],
+                            "n_events": pc.cast(t["n_events"], pa.int64())}),
+        batch_format="pyarrow")
 
 
 def keep_oldest_per_user(sf_dir: str) -> "ray.data.Dataset":
