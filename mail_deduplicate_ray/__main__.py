@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--hash-only", action="store_true",
                    help="print signatures and stop (ref: cli.py:656-674)")
     d.add_argument("--num-cpus", type=int, default=None)
+    d.add_argument("--config", default=None,
+                   help="TOML config file ([dedup] table, strict keys; "
+                        "CLI flags override — ref: cli.py:299-318)")
     return p
 
 
@@ -54,7 +57,7 @@ def main(argv: list[str] | None = None) -> int:
     from mail_deduplicate_ray.pipelines import actions, neardup
     from mail_deduplicate_ray.sources import read_clips_parquet
 
-    cfg = DedupConfig(
+    over = dict(
         transcript_hash=args.hash_body,
         size_threshold=args.size_threshold,
         content_threshold=args.content_threshold,
@@ -63,6 +66,8 @@ def main(argv: list[str] | None = None) -> int:
         regexp=args.regexp,
         dry_run=args.dry_run,
     )
+    cfg = (DedupConfig.from_toml(args.config, **over) if args.config
+           else DedupConfig(**over))
     ds = read_clips_parquet(args.input)
 
     if args.hash_only:

@@ -174,3 +174,22 @@ class DedupConfig:
     @property
     def band_rows(self) -> int:
         return self.num_perm // self.lsh_bands
+
+    @classmethod
+    def from_toml(cls, path: str, **overrides) -> "DedupConfig":
+        """Load config from a TOML file with STRICT keys (unknown keys are
+        errors, ref: cli.py:299-318 strict config-file validation); CLI
+        overrides win over file values."""
+        import tomllib
+        from dataclasses import fields
+        with open(path, "rb") as f:
+            data = tomllib.load(f).get("dedup", {})
+        known = {f.name for f in fields(cls)}
+        unknown = set(data) - known
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        for k in ("key_columns", "strategies"):
+            if k in data:
+                data[k] = tuple(data[k])
+        data.update(overrides)
+        return cls(**data)

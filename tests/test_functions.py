@@ -190,3 +190,21 @@ class TestConfig:
     def test_unknown_strategy_rejected(self):
         with pytest.raises(ValueError):
             DedupConfig(strategies=("select-best",))
+
+
+class TestTomlConfig:
+    def test_from_toml_strict_keys(self, tmp_path):
+        # ref: cli.py:299-318 strict config-file keys
+        p = tmp_path / "cfg.toml"
+        p.write_text('[dedup]\nshingle_k = 6\n'
+                     'strategies = ["discard-older", "select-one"]\n')
+        cfg = DedupConfig.from_toml(str(p))
+        assert cfg.shingle_k == 6
+        assert cfg.strategies == ("select-newest", "select-one")
+        # override wins
+        cfg2 = DedupConfig.from_toml(str(p), shingle_k=9)
+        assert cfg2.shingle_k == 9
+        bad = tmp_path / "bad.toml"
+        bad.write_text("[dedup]\nnot_a_key = 1\n")
+        with pytest.raises(ValueError, match="unknown config keys"):
+            DedupConfig.from_toml(str(bad))
