@@ -39,7 +39,12 @@ def clips_path(sf_dir: str, n_base: int | None = None, seed: int = 42) -> Path:
     out = CACHE_ROOT / f"clips-{tag}-{n}-{seed}"
     if not out.exists():
         CACHE_ROOT.mkdir(parents=True, exist_ok=True)
-        tbl, truth = synth.generate_clips(n, seed=seed, texts=texts)
+        import ray
+        if ray.is_initialized() and n >= 2000:
+            tbl, truth = synth.generate_clips_parallel(n, seed=seed,
+                                                       texts=texts)
+        else:
+            tbl, truth = synth.generate_clips(n, seed=seed, texts=texts)
         tmp = out.with_suffix(".tmp")
         tmp.mkdir(parents=True, exist_ok=True)
         # many part files -> ray.data.read_parquet runs one read task per

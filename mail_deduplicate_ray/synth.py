@@ -130,14 +130,52 @@ def generate_clips(
     seed: int = 42,
     texts: list[str] | None = None,
 ) -> tuple[pa.Table, dict]:
-    """Build the clips table + ground truth.
+    """Build the clips table + ground truth (serial; see
+    :func:`generate_clips_parallel` for the Ray-parallel variant — rows are
+    seeded per-index so any range partition produces identical bytes)."""
+    return generate_clips_range(0, n_base, seed, texts)
 
-    ``texts`` optionally supplies base transcripts (e.g. the driver's
-    ``documents.text`` column) instead of seeded token sequences; duplicate
-    planting is unchanged, so the pipeline always has structure to find.
-    """
+
+def generate_clips_parallel(n_base: int, seed: int = 42,
+                            texts: list[str] | None = None,
+                            n_tasks: int = 16) -> tuple[pa.Table, dict]:
+    """Same output as :func:`generate_clips`, built by Ray tasks over row
+    ranges (per-row seeding makes ranges independent).  Requires an
+    initialized Ray session; ~n_tasks x faster for big corpora."""
+    import ray
+
+    @ray.remote
+    def _gen(lo: int, hi: int):
+        tbl, truth = generate_clips_range(lo, hi, seed, texts)
+        return tbl, truth["pairs"]
+
+    step = -(-n_base // n_tasks)
+    futs = [_gen.remote(i, min(n_base, i + step))
+            for i in range(0, n_base, step)]
+    tables, all_pairs = [], []
+    for tbl, pairs in ray.get(futs):
+        tables.append(tbl)
+        all_pairs.extend(pairs)
+    out = pa.concat_tables(tables)
+    truth = {
+        "pairs": all_pairs,
+        "recall_pairs": [(a, c) for a, c, k in all_pairs if k != "outlier"],
+        "clusters": _closure([(a, c) for a, c, k in all_pairs
+                              if k != "outlier"]),
+    }
+    return out, truth
+
+
+def generate_clips_range(
+    lo: int,
+    n_base: int,
+    seed: int = 42,
+    texts: list[str] | None = None,
+) -> tuple[pa.Table, dict]:
+    """Rows [lo, n_base) of the corpus — per-row rng((seed, i)) makes any
+    range bit-identical to the same rows of a full run."""
     b = _Builder()
-    for i in range(n_base):
+    for i in range(lo, n_base):
         rng = np.random.default_rng((seed, i))
         kind = _KINDS[int(np.searchsorted(_KIND_CUM, rng.random(), side="right"))]
         sr = int(SR_CHOICES[int(rng.integers(0, len(SR_CHOICES)))])
