@@ -68,7 +68,8 @@ def read_clips(sf_dir: str, n_base: int | None = None) -> "ray.data.Dataset":
     (serial decompress of the whole corpus) — split it across the cluster."""
     import ray
     try:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        ncpu = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
     except Exception:  # noqa: BLE001
         ncpu = 8
     return ray.data.read_parquet(str(clips_path(sf_dir, n_base)),

@@ -31,8 +31,11 @@ def pool_size(frac: float = 1.0, lo: int = 1) -> tuple[int, int]:
     node (ray_guide: 'concurrency x num_cpus so the pool fits the node')."""
     import ray
     try:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:  # noqa: BLE001 — before init, fall back
+        # guard: cluster_resources() would AUTO-INIT Ray if none is up —
+        # the driver contract forbids the library starting a session
+        ncpu = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+    except Exception:  # noqa: BLE001
         ncpu = 8
     return (lo, max(2, int(ncpu * frac)))
 
