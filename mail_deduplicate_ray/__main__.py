@@ -30,6 +30,10 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--regexp", default=None)
     d.add_argument("--hash-body", default="normalized",
                    choices=["skip", "raw", "normalized"])
+    d.add_argument("--hash-columns", default=None,
+                   help="comma-separated metadata columns for the exact key "
+                        "(≙ --hash-headers, ref: cli.py:62-94); default "
+                        "sr_hz,codec_norm,dur_bucket")
     d.add_argument("--size-threshold", type=int, default=512)
     d.add_argument("--content-threshold", type=int, default=768)
     d.add_argument("--channels", default="exact,minhash,audio,containment")
@@ -59,6 +63,8 @@ def main(argv: list[str] | None = None) -> int:
 
     over = dict(
         transcript_hash=args.hash_body,
+        **({"key_columns": tuple(args.hash_columns.split(","))}
+           if args.hash_columns else {}),
         size_threshold=args.size_threshold,
         content_threshold=args.content_threshold,
         strategies=tuple(args.strategy) or
