@@ -108,15 +108,16 @@ def _n_rows(path) -> int:
 def run_scaling() -> None:
     """Same job, same input, two parallelism levels in fresh processes.
 
-    Uses a 3x corpus (flagship only, no side queries) so parallel work
-    dominates the session-fixed costs — the regime the 10^12-clip design
-    point lives in; the corpus is generated once and page-cache-warmed by
-    the first (untimed) clips_path call inside each subprocess."""
+    Uses a 6x corpus (~190k clips, flagship only, no side queries) so
+    parallel work dominates both session-fixed costs AND the multi-second
+    host noise of this shared sandbox — the regime the 10^12-clip design
+    point lives in; the corpus is generated once (Ray-parallel) and
+    page-cache-warmed by the untimed clips_path call in each subprocess."""
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    MDR_BENCH_ONLY_FLAGSHIP="1",
                    MDR_BENCH_NBASE=os.environ.get("MDR_SCALING_NBASE",
-                                                  "60000"))
+                                                  "120000"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout

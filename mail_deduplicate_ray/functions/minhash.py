@@ -94,6 +94,19 @@ class MinHasher:
         band_tag = (np.arange(self.bands, dtype=np.uint64) << np.uint64(58))
         return (folded >> np.uint64(6)) ^ band_tag[None, :]
 
+    def bottom_anchors(self, flat: np.ndarray,
+                       offsets: np.ndarray) -> list[np.ndarray]:
+        """Per-doc m smallest hashes via np.partition (no full sort)."""
+        out: list[np.ndarray] = []
+        m = self.anchors
+        for i in range(len(offsets) - 1):
+            seg = flat[offsets[i]:offsets[i + 1]]
+            if len(seg) <= m:
+                out.append(np.sort(seg))
+            else:
+                out.append(np.sort(np.partition(seg, m - 1)[:m]))
+        return out
+
     def anchors_and_sketch(self, flat: np.ndarray, offsets: np.ndarray,
                            ) -> tuple[list[np.ndarray], list[np.ndarray], np.ndarray]:
         """Per-doc (anchor hashes, bottom-k sketch, true set size)."""

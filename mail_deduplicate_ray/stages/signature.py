@@ -72,11 +72,11 @@ class SignatureStage:
         texts = [t or "" for t in tnorm.to_pylist()]
         flat, offsets = shingles.batch_shingles(texts, cfg.shingle_k)
         sig = self.mh.signatures(flat, offsets)
-        _, _, sizes = self.mh.anchors_and_sketch(flat, offsets)
+        sizes = np.diff(offsets)
         # anchors from LONG shingles (cfg.anchor_k) — rare across unrelated
         # docs, shared by construction for true substrings (see config.py)
         lflat, loffs = shingles.batch_shingles(texts, cfg.anchor_k)
-        anchors, _, _ = self.mh.anchors_and_sketch(lflat, loffs)
+        anchors = self.mh.bottom_anchors(lflat, loffs)
 
         # The full 1 KB signature never leaves this stage: band keys are
         # precomputed here (16 x u64) and verification uses the 1-byte fold
