@@ -91,8 +91,9 @@ def oracle_sql() -> dict[str, str]:
         "token_stats_per_lang": """
             SELECT lang,
                    count(*) AS n_docs,
-                   sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS sum_tokens,
-                   sum(n_chars) AS sum_chars
+                   CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                        AS BIGINT) AS sum_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
         """,
         "quality_scores": f"""
@@ -142,7 +143,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_status": """
             SELECT o_orderstatus,
                    count(*) AS n_orders,
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents,
                    min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents,
                    max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
             FROM orders GROUP BY o_orderstatus
@@ -156,9 +158,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-                       AS sum_price_cents,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -166,7 +168,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_spenders": """
             SELECT o_custkey,
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
             FROM orders GROUP BY o_custkey
             ORDER BY total_cents DESC, o_custkey ASC LIMIT 25
         """,

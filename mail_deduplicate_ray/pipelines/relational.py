@@ -67,7 +67,8 @@ def lineitem_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
         qty = pc.cast(t["l_quantity"], pa.int64())
-        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
                         pa.int64())
         t = pa.table({"l_returnflag": t["l_returnflag"],
                       "l_linestatus": t["l_linestatus"],
@@ -154,7 +155,8 @@ def orders_by_status(sf_dir: str) -> "ray.data.Dataset":
     cents = ds.map_batches(
         lambda t: pa.table({
             "o_orderstatus": t["o_orderstatus"],
-            "cents": pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+            "cents": pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                                      round_mode="half_towards_infinity"),
                              pa.int64())}),
         batch_format="pyarrow")
     out = cents.groupby("o_orderstatus").aggregate(
@@ -178,7 +180,8 @@ def top_spenders(sf_dir: str, k: int = 25) -> "ray.data.Dataset":
                                columns=["o_custkey", "o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
                         pa.int64())
         t = pa.table({"o_custkey": t["o_custkey"], "cents": cents})
         g = t.group_by("o_custkey").aggregate([("cents", "sum")])
