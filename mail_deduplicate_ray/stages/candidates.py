@@ -126,7 +126,17 @@ def explode_minhash_bands(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
 def _bucket_slices(df: pd.DataFrame, cap: int):
     """Iterate (index-array, dropped) per multi-member bucket — pure numpy
     sort + boundary slicing; per-bucket cost is O(size), never a pandas
-    group object (hundreds of thousands of tiny buckets per partition)."""
+    group object (hundreds of thousands of tiny buckets per partition).
+
+    Skew control via SALTED SPLITTING (SURVEY.md §4.2): a bucket larger
+    than ``cap`` is split into chunks of <= cap members that all SHARE the
+    bucket's min-clip_id member as a pivot, so in-chunk verification plus
+    the pivot's spanning edges transitively connect every true duplicate of
+    the pivot across chunks (the all-identical mega-bucket — 10^6 copies of
+    one clip — collapses to one cluster).  Pairwise cost drops from O(m^2)
+    to O(m*cap); cross-chunk pairs NOT similar to the pivot rely on other
+    buckets/bands (standard LSH salting trade).  Nothing is dropped:
+    ``dropped`` stays 0 and exists only as the accounting seam."""
     buckets = df["bucket"].to_numpy()
     ids = df["clip_id"].to_numpy()
     order = np.lexsort((ids, buckets))  # bucket-major, clip_id within
@@ -137,14 +147,22 @@ def _bucket_slices(df: pd.DataFrame, cap: int):
         if e - s < 2:
             continue
         idx = order[s:e]
-        dropped = 0
-        if len(idx) > cap:
-            dropped = len(idx) - cap
-            idx = idx[:cap]  # already clip_id-sorted -> deterministic cap
-        yield idx, dropped
+        if len(idx) <= cap:
+            yield idx, 0
+            continue
+        # salted split: chunk 0 is the first cap members; later chunks are
+        # pivot + (cap-1) fresh members each (all clip_id-sorted, so chunk
+        # composition is deterministic at any parallelism)
+        yield idx[:cap], 0
+        pivot = idx[:1]
+        for lo in range(cap, len(idx), cap - 1):
+            chunk = np.concatenate([pivot, idx[lo:lo + cap - 1]])
+            if len(chunk) >= 2:
+                yield chunk, 0
 
 
-def _minhash_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
+def _minhash_partition(df: pd.DataFrame, cfg: DedupConfig,
+                       exact_enabled: bool = True) -> pd.DataFrame:
     n = len(df)
     sig_all = np.frombuffer(b"".join(df["minhash_sig8"]),
                             dtype=np.uint8).reshape(n, cfg.num_perm)
@@ -153,7 +171,7 @@ def _minhash_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
     out: list[pd.DataFrame] = []
     for idx, dropped in _bucket_slices(df, cfg.max_bucket):
         ek = ek_all[idx]
-        if ek[0] != 0 and (ek == ek[0]).all():
+        if exact_enabled and ek[0] != 0 and (ek == ek[0]).all():
             continue  # exact channel already links these (fast path)
         sig = sig_all[idx]
         if (sig == sig[0]).all():
@@ -177,16 +195,19 @@ def explode_audio_bands(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
             "bucket": pa.array([], pa.uint64()),
             "clip_id": pa.array([], pa.string()),
             "audio_fp": pa.array([], pa.uint64()),
-            "feat16": pa.array([], pa.binary()),
+            "feat16": pa.array([], pa.binary(2 * cfg.spectral_dims)),
             "dur_ms": pa.array([], pa.int32())})
     fp = np.asarray(batch["audio_fp"].to_numpy(zero_copy_only=False),
                     dtype=np.uint64)
     # ship features as float16 (cosine error ~1e-4, threshold 0.999):
-    # halves the dominant payload of the audio shuffle
-    feat = np.asarray([np.asarray(v, dtype=np.float32)
-                       for v in batch["audio_feat"].to_pylist()],
-                      dtype=np.float32).astype(np.float16)
-    f16 = pa.array([feat[i].tobytes() for i in range(n)], pa.binary())
+    # halves the dominant payload of the audio shuffle.  FixedSizeList ->
+    # zero-copy flat values -> one reshape+astype; no per-row Python.
+    feat = (batch["audio_feat"].combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(n, cfg.spectral_dims).astype(np.float16))
+    width = 2 * cfg.spectral_dims
+    f16 = pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(width), n, [None, pa.py_buffer(feat.tobytes())])
     base = (batch.select(["clip_id", "audio_fp", "dur_ms"])
             .append_column("feat16", f16))
     keys = simhash.band_keys_u64(fp, cfg.audio_bands, cfg.audio_bits)
@@ -306,11 +327,13 @@ def candidate_edges(sigs: "ray.data.Dataset", cfg: DedupConfig,
         parts.append(bucketing.grouped(keyed, "exact_key", _exact_partition,
                                        nbuckets))
     if "minhash" in channels:
+        exact_on = "exact" in channels
         exploded = sigs.map_batches(
             lambda t: explode_minhash_bands(t, cfg),
             batch_format="pyarrow", batch_size=2048)
         parts.append(_bucketed_verify(
-            exploded, lambda df: _minhash_partition(df, cfg), nbuckets))
+            exploded, lambda df: _minhash_partition(df, cfg, exact_on),
+            nbuckets))
     if "audio" in channels:
         exploded = sigs.map_batches(
             lambda t: explode_audio_bands(t, cfg),

@@ -40,30 +40,75 @@ def _both_directions(edges: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def _driver_union_find(edges: "ray.data.Dataset") -> "ray.data.Dataset":
-    """In-memory union-find for small edge sets (the candidate-pair table is
-    orders of magnitude smaller than the corpus).  Produces the same
-    min-label output as the distributed path."""
-    parent: dict[str, str] = {}
-
-    def find(x: str) -> str:
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
+    """In-memory connected components for small edge sets (the candidate
+    pair table is orders of magnitude smaller than the corpus) — fully
+    vectorized: factorize node ids once, then alternate numpy hash-min
+    passes over all edges with pointer-jumping label compression, so the
+    pass count is O(log diameter) and each pass is O(edges) numpy, never a
+    per-edge Python loop.  Produces the same min-label output as the
+    distributed path (codes are sort-ordered, so integer min ==
+    lexicographic min clip_id)."""
+    srcs: list = []
+    dsts: list = []
     for b in edges.select_columns(["src", "dst"]) \
                   .iter_batches(batch_format="pyarrow"):
-        for s, d in zip(b["src"].to_pylist(), b["dst"].to_pylist()):
-            rs, rd = find(s), find(d)
-            if rs != rd:
-                lo, hi = (rs, rd) if rs < rd else (rd, rs)
-                parent[hi] = lo
-    nodes = list(parent)
-    labels = [find(n) for n in nodes]
+        srcs.append(b["src"].to_numpy(zero_copy_only=False))
+        dsts.append(b["dst"].to_numpy(zero_copy_only=False))
+    if not srcs:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "label": pa.array([], pa.string())}))
+    flat = np.concatenate(srcs + dsts)
+    codes, uniq = pd.factorize(flat, sort=True)
+    m = len(srcs[0]) if len(srcs) == 1 else sum(len(s) for s in srcs)
+    u, v = codes[:m], codes[m:]
+    lab = np.arange(len(uniq), dtype=np.int64)
+    while True:
+        before = lab.copy()
+        mn = np.minimum(lab[u], lab[v])
+        np.minimum.at(lab, u, mn)
+        np.minimum.at(lab, v, mn)
+        while True:  # pointer jump to full compression
+            nl = lab[lab]
+            if np.array_equal(nl, lab):
+                break
+            lab = nl
+        if np.array_equal(before, lab):
+            break
     return ray.data.from_arrow(pa.table({
-        "node": pa.array(nodes, pa.string()),
-        "label": pa.array(labels, pa.string())}))
+        "node": pa.array(uniq, pa.string()),
+        "label": pa.array(uniq[lab], pa.string())}))
+
+
+def _pointer_jump(labels: "ray.data.Dataset",
+                  nbuckets: int) -> "ray.data.Dataset":
+    """One label-compression round: label <- label[label] (bucketed
+    self-join on the label column).  Interleaved with min-propagation this
+    bounds total rounds at O(log diameter) instead of O(diameter) — chains
+    of near-dup clusters (A~B~C~... from different LSH buckets) would
+    otherwise need diameter rounds."""
+    probe = labels.map_batches(
+        lambda t: pa.table({"jk": t["label"], "node": t["node"],
+                            "val": pa.nulls(t.num_rows, pa.string())}),
+        batch_format="pyarrow")
+    mapping = labels.map_batches(
+        lambda t: pa.table({"jk": t["node"],
+                            "node": pa.nulls(t.num_rows, pa.string()),
+                            "val": t["label"]}),
+        batch_format="pyarrow")
+
+    def jump(df: pd.DataFrame) -> pd.DataFrame:
+        maps = df[df["node"].isna()][["jk", "val"]]
+        probes = df[df["node"].notna()][["jk", "node"]]
+        m = probes.merge(maps, on="jk", how="left")
+        return pd.DataFrame({"node": m["node"],
+                             "label": m["val"].fillna(m["jk"])})
+
+    tagged = probe.union(mapping)
+    bucketed = add_bucket(tagged, "jk", nbuckets)
+    return bucketed.groupby(BUCKET_COL).map_groups(
+        lambda df: jump(df.drop(columns=[BUCKET_COL])),
+        batch_format="pandas")
 
 
 def connected_components(edges: "ray.data.Dataset", max_rounds: int = 10,
@@ -81,16 +126,34 @@ def connected_components(edges: "ray.data.Dataset", max_rounds: int = 10,
     n_edges = edges.count()
     if n_edges <= driver_threshold:
         return _driver_union_find(edges)
-    adj = add_bucket(_both_directions(edges), "node", nbuckets).materialize()
+    # partition count scales with the edge volume (~100k edges/partition):
+    # tiny inputs (tests, forced-distributed runs) otherwise pay 64 shuffle
+    # partitions of fixed overhead per round
+    nbuckets = max(4, min(nbuckets, n_edges // 100_000 + 4))
+    # block counts are re-bounded to ``nbuckets`` at every materialize:
+    # each groupby/union round otherwise multiplies tiny blocks (observed
+    # ~2x/round), and per-block scheduling overhead then dominates rounds
+    adj = add_bucket(_both_directions(edges), "node", nbuckets) \
+        .repartition(nbuckets).materialize()
 
     def init_labels(df: pd.DataFrame) -> pd.DataFrame:
         nodes = df["node"].drop_duplicates()
         return pd.DataFrame({"node": nodes, "label": nodes})
 
     labels = adj.groupby(BUCKET_COL).map_groups(
-        lambda df: init_labels(df), batch_format="pandas").materialize()
+        lambda df: init_labels(df), batch_format="pandas") \
+        .repartition(nbuckets).materialize()
 
-    for _ in range(max_rounds):
+    # Alternate min-label propagation with pointer-jumping compression:
+    # propagation moves labels one hop per round, jumping halves chain
+    # depth, so convergence (a propagation round with changed == 0 — a true
+    # fixpoint: every edge label-constant => per-component constant = min)
+    # arrives in O(log diameter) rounds.  ``max_rounds`` keeps its role as
+    # the expected budget; the hard cap below turns non-convergence into a
+    # loud error instead of silently split clusters.
+    hard_cap = max(max_rounds, 64)
+    rounds = 0
+    while True:
         # co-partition labels with adjacency by node-bucket, emit messages
         lab_b = add_bucket(labels, "node", nbuckets)
         tagged_l = lab_b.map_batches(
@@ -132,11 +195,19 @@ def connected_components(edges: "ray.data.Dataset", max_rounds: int = 10,
         new_labels = add_bucket(msgs, "node", nbuckets) \
             .groupby(BUCKET_COL).map_groups(
                 lambda df: adopt(df.drop(columns=[BUCKET_COL])),
-                batch_format="pandas").materialize()
+                batch_format="pandas").repartition(nbuckets).materialize()
         changed = int(new_labels.sum("changed") or 0)
         labels = new_labels.drop_columns(["changed"])
+        rounds += 1
         if changed == 0:
             break
+        if rounds >= hard_cap:
+            raise RuntimeError(
+                f"connected_components did not converge in {hard_cap} "
+                f"rounds ({changed} labels still changing) — component "
+                "diameter pathologically large; raise max_rounds")
+        labels = _pointer_jump(labels, nbuckets) \
+            .repartition(nbuckets).materialize()
     return labels
 
 

@@ -135,6 +135,7 @@ def make_settle_partition(cfg: DedupConfig):
         singles["set_reason"] = "single"
         singles["winner_clip_id"] = ""
         singles["threshold_checked"] = True
+        singles["set_anchor"] = True  # every singleton is its own cluster
         outs = [settle(g) for _, g in
                 df[counts > 1].groupby("cluster_id", sort=True)]
         if not outs:
@@ -158,6 +159,11 @@ def make_settle(cfg: DedupConfig):
         out["set_reason"] = ""
         out["winner_clip_id"] = ""
         out["threshold_checked"] = True
+        # exactly ONE row per cluster carries the set-level counter (min
+        # clip_id — rows are sorted): stats partials count anchors, so no
+        # per-cluster driver state is ever held (scale seam, SURVEY §4.4)
+        out["set_anchor"] = False
+        out.loc[0, "set_anchor"] = True
         if len(df) == 1:
             out["reason"] = "unique"
             out["set_reason"] = "single"

@@ -51,42 +51,38 @@ _REASON_TO_MAIL = {
 def collect_stats(settled: "ray.data.Dataset", n_found: int,
                   n_rejected: int | None = None) -> RunStats:
     """One streaming pass over the settled output: per-batch partial
-    counters, summed on the driver (≙ Counter merge deduplicate.py:1110)."""
+    counters, summed on the driver (≙ Counter merge deduplicate.py:1110).
+
+    Set-level counters use the ``set_anchor`` column the settle stage
+    stamps on exactly one row per cluster (its min clip_id), so partials
+    are pure vectorized value-counts and the driver holds a counter per
+    DISTINCT reason string (a handful), never per cluster."""
+    import pyarrow.compute as pc
 
     def partials(t: pa.Table) -> pa.Table:
-        c = Counter()
-        reasons = t["reason"].to_pylist()
-        for r in reasons:
-            c[_REASON_TO_MAIL.get(r, "mail_other")] += 1
-        # set-level: count each cluster once, attributed to the batch that
-        # holds its min clip_id row? clusters never span batches after
-        # map_groups only if one group per output block is not guaranteed —
-        # so count (cluster_id, set_reason) pairs and dedup on the driver.
-        pairs = sorted({(cid, sr) for cid, sr in
-                        zip(t["cluster_id"].to_pylist(),
-                            t["set_reason"].to_pylist())})
-        return pa.table({
-            "kind": pa.array(
-                [*(k for k in c), *("__set__",) * len(pairs)], pa.string()),
-            "value": pa.array(
-                [*(str(v) for v in c.values()),
-                 *(f"{cid}\x00{sr}" for cid, sr in pairs)], pa.string()),
-        })
+        kinds, values = [], []
+        vc = pc.value_counts(t["reason"])
+        for r, n in zip(vc.field("values").to_pylist(),
+                        vc.field("counts").to_pylist()):
+            kinds.append(_REASON_TO_MAIL.get(r, "mail_other"))
+            values.append(n)
+        anchored = t.filter(t["set_anchor"])
+        vc = pc.value_counts(anchored["set_reason"])
+        for r, n in zip(vc.field("values").to_pylist(),
+                        vc.field("counts").to_pylist()):
+            kinds.append(f"set_{r}")
+            values.append(n)
+        return pa.table({"kind": pa.array(kinds, pa.string()),
+                         "n": pa.array(values, pa.int64())})
 
     stats = RunStats()
-    seen_sets: set[str] = set()
     for batch in settled.map_batches(partials, batch_format="pyarrow") \
                         .iter_batches(batch_format="pyarrow"):
-        for kind, value in zip(batch["kind"].to_pylist(),
-                               batch["value"].to_pylist()):
-            if kind == "__set__":
-                if value not in seen_sets:
-                    seen_sets.add(value)
-                    sr = value.split("\x00", 1)[1]
-                    stats.counters[f"set_{sr}"] += 1
-                    stats.counters["set_total"] += 1
-            else:
-                stats.counters[kind] += int(value)
+        for kind, n in zip(batch["kind"].to_pylist(),
+                           batch["n"].to_pylist()):
+            stats.counters[kind] += n
+    stats.counters["set_total"] = sum(
+        v for k, v in stats.counters.items() if k.startswith("set_"))
     retained = sum(v for k, v in stats.counters.items()
                    if k.startswith("mail_"))
     if n_rejected is None:  # derive from the same pass — no extra count()

@@ -134,7 +134,27 @@ def test_connected_components_two_components(driver_threshold):
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
-def test_bucket_cap_reports_overflow():
+def _closure(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_bucket_cap_salted_split_connects_all():
+    # an over-cap bucket of identical signatures must still collapse to ONE
+    # component (salted chunks share the min-clip_id pivot), with nothing
+    # dropped (SURVEY §4.2 salted-key splitting)
     import pandas as pd
     cfg = DedupConfig(max_bucket=4)
     n = 10
@@ -146,8 +166,105 @@ def test_bucket_cap_reports_overflow():
         "bucket": np.full(n, 1, dtype=np.uint64),
     })
     out = candidates._minhash_partition(grp, cfg)
-    drop_rows = out[out["src"] == ""]
-    assert len(drop_rows) == 1
-    assert drop_rows["dropped"].iloc[0] == 6
-    # capped members still produce spanning edges among themselves
-    assert (out["src"] != "").sum() == 3
+    assert (out["src"] == "").sum() == 0  # nothing dropped
+    labels = _closure(list(zip(out["src"], out["dst"])))
+    assert len(labels) == n
+    assert len(set(labels.values())) == 1
+
+
+def test_minhash_only_channel_links_identical_rows():
+    # with the exact channel disabled, the shared-exact-key fast path must
+    # NOT skip buckets — byte-identical rows still need minhash edges
+    import pandas as pd
+    cfg = DedupConfig(max_bucket=256)
+    sig = np.arange(128, dtype=np.uint8)
+    grp = pd.DataFrame({
+        "clip_id": ["a", "b", "c"],
+        "minhash_sig8": [sig.tobytes()] * 3,
+        "ek64": np.full(3, 7, dtype=np.uint64),  # all-identical exact key
+        "bucket": np.full(3, 1, dtype=np.uint64),
+    })
+    assert len(candidates._minhash_partition(grp, cfg, exact_enabled=True)) == 0
+    out = candidates._minhash_partition(grp, cfg, exact_enabled=False)
+    labels = _closure(list(zip(out["src"], out["dst"])))
+    assert len(set(labels.values())) == 1 and len(labels) == 3
+
+
+def test_mega_bucket_end_to_end_one_cluster():
+    # 300 byte-identical copies of one clip with max_bucket=16: every
+    # channel sees a mega-bucket; the run must yield ONE cluster and zero
+    # overflow (the all-identical fast path, ref: deduplicate.py:292-310,
+    # generalized through salted splitting)
+    from mail_deduplicate_ray import synth
+    tbl, _ = synth.generate_clips(4, seed=3)
+    row = tbl.slice(0, 1)
+    n = 300
+    rep = pa.concat_tables([row] * n)
+    ids = pa.array([f"mega-{i:04d}" for i in range(n)], pa.string())
+    rep = rep.set_column(rep.schema.get_field_index("clip_id"), "clip_id", ids)
+    res = neardup.dedup_clips(ray.data.from_arrow(rep),
+                              DedupConfig(max_bucket=16))
+    assert res.overflow_dropped == 0
+    pred = _pred_clusters(res)
+    assert len(pred) == n
+    assert len(set(pred.values())) == 1
+
+
+def test_collect_stats_counts_clusters_via_anchors():
+    # stats must derive set-level counters from the per-cluster anchor row,
+    # never from driver-held per-cluster state (scale invariant)
+    from mail_deduplicate_ray.stats import collect_stats
+    settled = ray.data.from_items([
+        {"cluster_id": "a", "reason": "selected", "set_reason": "deduplicated",
+         "set_anchor": True},
+        {"cluster_id": "a", "reason": "discarded", "set_reason": "deduplicated",
+         "set_anchor": False},
+        {"cluster_id": "b", "reason": "unique", "set_reason": "single",
+         "set_anchor": True},
+        {"cluster_id": "c", "reason": "unique", "set_reason": "single",
+         "set_anchor": True},
+    ])
+    stats = collect_stats(settled, n_found=4)
+    d = stats.to_dict()
+    assert d["set_deduplicated"] == 1
+    assert d["set_single"] == 2
+    assert d["set_total"] == 3
+    assert d["mail_selected"] == 1 and d["mail_discarded"] == 1
+    assert d["mail_unique"] == 2
+    stats.check()
+
+
+def test_distributed_cc_long_chain_converges_past_round_budget():
+    # a 40-node path has diameter > the 10-round default budget; pointer
+    # jumping must still converge (previously the loop stopped silently,
+    # splitting the cluster)
+    n = 40
+    edges = ray.data.from_items(
+        [{"src": f"n{i:02d}", "dst": f"n{i+1:02d}"} for i in range(n - 1)])
+    labels = components.connected_components(
+        edges, max_rounds=10, driver_threshold=0)
+    got = {r["node"]: r["label"] for r in labels.take_all()}
+    assert len(got) == n
+    assert set(got.values()) == {"n00"}
+
+
+def test_cc_driver_vs_distributed_parity_random_graph():
+    # identical labels from both paths on a seeded random graph with mixed
+    # component shapes (stars, chains, singletons-in-edges)
+    rng = np.random.default_rng(11)
+    items = []
+    for c in range(12):  # stars
+        hub = f"h{c:02d}"
+        for k in range(rng.integers(1, 6)):
+            items.append({"src": hub, "dst": f"h{c:02d}x{k}"})
+    for c in range(6):  # chains
+        ln = int(rng.integers(2, 9))
+        for i in range(ln):
+            items.append({"src": f"c{c}n{i:02d}", "dst": f"c{c}n{i+1:02d}"})
+    rng.shuffle(items)
+    edges = ray.data.from_items(items)
+    a = {r["node"]: r["label"] for r in components.connected_components(
+        edges, driver_threshold=10**9).take_all()}
+    b = {r["node"]: r["label"] for r in components.connected_components(
+        edges, driver_threshold=0).take_all()}
+    assert a == b
