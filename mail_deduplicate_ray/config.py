@@ -145,7 +145,10 @@ class DedupConfig:
         if self.transcript_hash not in ("skip", "raw", "normalized"):
             raise ValueError(f"bad transcript_hash {self.transcript_hash!r}")
 
-    # fields whose change invalidates signature checkpoints
+    # fields whose change invalidates SIGNATURE checkpoints (what the
+    # decode+signature actors compute); verification thresholds live in
+    # _EDGE_FINGERPRINTED instead so tightening e.g. jaccard_threshold
+    # re-derives edges without re-decoding the corpus
     _FINGERPRINTED = (
         "key_columns",
         "transcript_hash",
@@ -155,8 +158,6 @@ class DedupConfig:
         "num_perm",
         "lsh_bands",
         "minhash_seed",
-        "jaccard_threshold",
-        "containment_threshold",
         "anchor_k",
         "audio_bits",
         "audio_bands",
@@ -164,10 +165,33 @@ class DedupConfig:
         "audio_seed",
     )
 
+    # fields that change which candidate pairs verify -> edge checkpoints
+    # keyed on these TOO (≙ CACHED_SETTINGS covering everything that
+    # changes cached content, ref: cache.py:55-61,103-109)
+    _EDGE_FINGERPRINTED = (
+        "jaccard_threshold",
+        "containment_threshold",
+        "audio_hamming_max",
+        "audio_cosine_min",
+        "max_bucket",
+    )
+
     def fingerprint(self) -> str:
         """sha256 of the signature-affecting config (ref: cache.py:103-109)."""
         d = asdict(self)
         payload = {k: d[k] for k in self._FINGERPRINTED}
+        blob = json.dumps(payload, sort_keys=True, default=list).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+    def edge_fingerprint(self, channels: tuple[str, ...]) -> str:
+        """Validity key for the edge-log checkpoint: signature fingerprint
+        + enabled channels + every edge-affecting verification knob.  A
+        --checkpoint-root re-run with any of these changed re-derives the
+        edge set instead of silently reusing stale edges."""
+        d = asdict(self)
+        payload = {k: d[k] for k in self._EDGE_FINGERPRINTED}
+        payload["sig"] = self.fingerprint()
+        payload["channels"] = sorted(channels)
         blob = json.dumps(payload, sort_keys=True, default=list).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 

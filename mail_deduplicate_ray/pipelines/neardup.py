@@ -99,16 +99,22 @@ def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
 
     # single execution: explode -> verify -> dedup (overflow rows ride along)
     # Edge-log checkpoint (§4.4): valid only for the exact signature set it
-    # was derived from — a partial signature resume (new rows) invalidates it.
+    # was derived from (a partial signature resume invalidates it) AND for
+    # the exact edge-affecting config — channels + verification thresholds
+    # (cfg.edge_fingerprint; ≙ CACHED_SETTINGS cache.py:55-61 covering
+    # everything that changes cached content).
+    edge_fp = cfg.edge_fingerprint(channels)
+    edge_mf = store.manifest().get("edges", {}) if store is not None else {}
     edges_fresh = (store is None or not store.has("edges")
-                   or store.manifest().get("edges", {}).get("for_rows")
-                   != n_found)
+                   or edge_mf.get("for_rows") != n_found
+                   or edge_mf.get("edge_fp") != edge_fp)
     if edges_fresh:
         deduped = candidates.dedup_edges(
             candidates.candidate_edges(usable, cfg, channels)).materialize()
         if store is not None and store.write("edges", deduped):
             store._update_manifest("edges", {
-                **store.manifest().get("edges", {}), "for_rows": n_found})
+                **store.manifest().get("edges", {}),
+                "for_rows": n_found, "edge_fp": edge_fp})
     else:
         deduped = store.load("edges")
     edges, dropped = candidates.split_edges(deduped)

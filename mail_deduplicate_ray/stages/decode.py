@@ -34,7 +34,16 @@ class DecodeStage:
         self.srp = simhash.SRP(cfg.spectral_dims, cfg.audio_bits, cfg.audio_seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         n = batch.num_rows
+        if "n_bytes" not in batch.column_names:
+            # payload length: the cheap per-row content version the
+            # checkpoint staleness key pairs with clip_id (≙ StaleKey's
+            # (size, mtime_ns), ref: cache.py:64-69) — a re-ingested row
+            # with changed bytes is re-decoded on resume
+            batch = batch.append_column(
+                "n_bytes", pc.cast(pc.binary_length(batch["bytes"]),
+                                   pa.int64()))
         payloads = batch["bytes"].to_pylist()
         declared = batch["codec"].to_pylist()
         fps = np.zeros(n, dtype=np.uint64)

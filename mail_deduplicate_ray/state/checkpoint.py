@@ -5,22 +5,28 @@ Mirrors the reference's two cache-invalidation guards (cache.py):
 - the **settings fingerprint** (cache.py:103-109): a checkpoint written
   under a different `DedupConfig.fingerprint()` is invisible; stale
   fingerprint dirs are wiped wholesale (≙ _enforce_fingerprint
-  cache.py:232-246).
-- the **per-row key** (`clip_id` ≙ StaleKey cache.py:64-69): resume is an
-  anti-join of the corpus against already-checkpointed keys, so only new
-  rows are decoded/hashed (≙ HashCache.lookup cache.py:265-296 +
-  Deduplicate.uncached deduplicate.py:869-886).
+  cache.py:232-246).  Edge checkpoints carry an additional
+  `edge_fingerprint` covering channels + verification thresholds.
+- the **per-row key** ((clip_id, n_bytes) ≙ StaleKey's (size, mtime_ns),
+  cache.py:64-69): resume is an anti-join of the corpus against
+  already-checkpointed keys, so only new-or-changed rows are
+  decoded/hashed (≙ HashCache.lookup cache.py:265-296 + Deduplicate
+  .uncached deduplicate.py:869-886).
+
+Resume is APPEND-ONLY: each resume writes the freshly-hashed rows as a
+new `part-*` directory under the stage; existing part files are never
+rewritten (at 10^12-row scale a resume costs O(new rows), not O(corpus)).
+The anti-join is two-path like every small-side lookup in the engine:
+broadcast key-set up to ``broadcast_threshold`` keys, hash-partitioned
+``Dataset.join`` beyond it.
 
 Writes are atomic (tmp dir + rename) and a failed commit never fails the
 run (≙ cache.py:399-416).  Layout::
 
-    root/<fingerprint>/signatures/part-*.parquet
-    root/<fingerprint>/edges/part-*.parquet
-    root/<fingerprint>/manifest.json        {stage: {rows, wall_s}}
-
-The broadcast anti-join reads only the key column of the checkpoint; at
-10^12-row scale swap the broadcast set for a hash-partitioned anti-join
-(same API, documented here so the seam is explicit).
+    root/<fingerprint>/signatures/part-000-<us>/*.parquet
+    root/<fingerprint>/signatures/part-001-<us>/*.parquet   (resume delta)
+    root/<fingerprint>/edges/*.parquet                      (full replace)
+    root/<fingerprint>/manifest.json    {stage: {rows, wall_s, ...}}
 """
 
 from __future__ import annotations
@@ -55,7 +61,7 @@ class CheckpointStore:
     # ---- write side ----
 
     def write(self, stage: str, ds: "ray.data.Dataset") -> bool:
-        """Atomic append-less publish of a stage's rows; returns success.
+        """Atomic full-replace publish of a stage's rows; returns success.
         A failed commit logs and returns False — never raises."""
         final = self.dir / stage
         tmp = self.dir / f".{stage}.tmp-{int(time.time() * 1e6)}"
@@ -66,13 +72,38 @@ class CheckpointStore:
                 shutil.rmtree(final)
             tmp.rename(final)
             self._update_manifest(stage, {
-                "rows": sum(f.metadata.num_rows for f in map(
-                    pq.ParquetFile, sorted(final.glob("*.parquet")))),
+                "rows": _dir_rows(final),
                 "wall_s": round(time.time() - t0, 3),
             })
             return True
         except Exception:  # noqa: BLE001 — ≙ cache.py:399-416
             log.exception("checkpoint commit failed for stage %s", stage)
+            shutil.rmtree(tmp, ignore_errors=True)
+            return False
+
+    def append(self, stage: str, ds: "ray.data.Dataset") -> bool:
+        """Atomic append of a new part directory under ``stage`` — existing
+        part files are untouched (resume cost is O(new rows)).  Returns
+        success; a failed commit logs and returns False."""
+        final = self.dir / stage
+        tmp = self.dir / f".{stage}.tmp-{int(time.time() * 1e6)}"
+        try:
+            t0 = time.time()
+            ds.write_parquet(str(tmp))
+            final.mkdir(parents=True, exist_ok=True)
+            n_parts = len(list(final.glob("part-*")))
+            part = final / f"part-{n_parts:03d}-{int(time.time() * 1e6)}"
+            tmp.rename(part)
+            info = self.manifest().get(stage, {})
+            self._update_manifest(stage, {
+                **info,
+                "rows": int(info.get("rows", 0)) + _dir_rows(part),
+                "parts": n_parts + 1,
+                "wall_s": round(time.time() - t0, 3),
+            })
+            return True
+        except Exception:  # noqa: BLE001
+            log.exception("checkpoint append failed for stage %s", stage)
             shutil.rmtree(tmp, ignore_errors=True)
             return False
 
@@ -85,58 +116,124 @@ class CheckpointStore:
     # ---- read side ----
 
     def has(self, stage: str) -> bool:
-        return (self.dir / stage).exists()
+        d = self.dir / stage
+        return d.exists() and any(d.rglob("*.parquet"))
 
     def load(self, stage: str) -> "ray.data.Dataset | None":
         if not self.has(stage):
             return None
-        return ray.data.read_parquet(str(self.dir / stage))
+        files = sorted(str(p) for p in (self.dir / stage).rglob("*.parquet"))
+        return ray.data.read_parquet(files)
 
     def keys(self, stage: str, key: str = "clip_id") -> set:
-        """Checkpointed key set (column-pruned read)."""
+        """Checkpointed single-column key set (column-pruned read)."""
+        t = self.key_table(stage, [key])
+        return set() if t is None else set(t[key].to_pylist())
+
+    def key_table(self, stage: str,
+                  columns: list[str]) -> "pa.Table | None":
+        """Checkpointed key columns as one Arrow table (column-pruned
+        read); None when the stage is absent."""
         if not self.has(stage):
-            return set()
-        t = pq.read_table(str(self.dir / stage), columns=[key])
-        return set(t[key].to_pylist())
+            return None
+        files = sorted((self.dir / stage).rglob("*.parquet"))
+        return pa.concat_tables(
+            [pq.read_table(str(f), columns=columns) for f in files])
 
     def manifest(self) -> dict:
         mf = self.dir / "manifest.json"
         return json.loads(mf.read_text()) if mf.exists() else {}
 
 
+def _dir_rows(d: Path) -> int:
+    return sum(pq.ParquetFile(f).metadata.num_rows
+               for f in sorted(d.rglob("*.parquet")))
+
+
+_SEP = "\x00"
+
+
 def anti_join_keys(ds: "ray.data.Dataset", done_keys: set,
                    key: str = "clip_id") -> "ray.data.Dataset":
-    """Rows of ``ds`` whose key is NOT in ``done_keys`` (broadcast anti-join:
-    the key set travels via ray.put once, ≙ uncached()
+    """Rows of ``ds`` whose key is NOT in ``done_keys`` (broadcast
+    anti-join: the key set travels via ray.put once, ≙ uncached()
     deduplicate.py:869-886)."""
     if not done_keys:
         return ds
     ref = ray.put(done_keys)
 
     def f(t: pa.Table) -> pa.Table:
+        import pandas as pd
         keys = ray.get(ref)
-        mask = [k not in keys for k in t[key].to_pylist()]
-        return t.filter(pa.array(mask))
+        mask = ~pd.Series(t[key].to_pylist()).isin(keys)
+        return t.filter(pa.array(mask.to_numpy()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def anti_join_table(ds: "ray.data.Dataset", done: "pa.Table | None",
+                    keys: tuple[str, ...] = ("clip_id", "n_bytes"),
+                    broadcast_threshold: int = 5_000_000,
+                    num_partitions: int = 32) -> "ray.data.Dataset":
+    """Rows of ``ds`` whose composite key is NOT present in ``done``.
+
+    Two paths (the engine-wide small-side idiom): up to
+    ``broadcast_threshold`` done-keys travel once via ``ray.put`` and each
+    batch filters with a vectorized isin; beyond that a hash-partitioned
+    ``Dataset.join`` (left_outer + null-marker filter) keeps everything
+    off the driver."""
+    if done is None or done.num_rows == 0:
+        return ds
+
+    if done.num_rows <= broadcast_threshold:
+        done_set = set(zip(*(done[k].to_pylist() for k in keys)))
+        ref = ray.put(done_set)
+
+        def f(t: pa.Table) -> pa.Table:
+            import pandas as pd
+            s = ray.get(ref)
+            probe = pd.Series(list(zip(*(t[k].to_pylist() for k in keys))))
+            return t.filter(pa.array((~probe.isin(s)).to_numpy()))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    marker = ray.data.from_arrow(
+        done.append_column("__done", pa.array([1] * done.num_rows,
+                                              pa.int8())))
+    joined = ds.join(marker, "left_outer", num_partitions,
+                     on=keys, right_on=keys)
+
+    def keep_missing(t: pa.Table) -> pa.Table:
+        out = t.filter(pc.is_null(t["__done"]))
+        return out.drop_columns(["__done"])
+
+    return joined.map_batches(keep_missing, batch_format="pyarrow")
 
 
 def resumable_signatures(ds: "ray.data.Dataset", cfg, store: CheckpointStore,
                          ) -> "ray.data.Dataset":
     """Signature stage with checkpoint/resume: cached rows are restored
-    without decoding (≙ restore_cached deduplicate.py:750-767); only misses
-    run the decode+signature actors; the union is re-persisted."""
+    without decoding (≙ restore_cached deduplicate.py:750-767); only
+    misses run the decode+signature actors, and only the fresh rows are
+    written — as a new append-only part (existing parts untouched)."""
     from mail_deduplicate_ray.pipelines.neardup import clip_signatures
 
-    done = store.keys("signatures")
-    missing = anti_join_keys(ds, done)
-    fresh = clip_signatures(missing, cfg)
+    def with_nbytes(t: pa.Table) -> pa.Table:
+        if "n_bytes" in t.column_names:
+            return t
+        return t.append_column(
+            "n_bytes", pc.cast(pc.binary_length(t["bytes"]), pa.int64()))
+
+    probe = ds.map_batches(with_nbytes, batch_format="pyarrow")
+    done = store.key_table("signatures", ["clip_id", "n_bytes"])
     cached = store.load("signatures")
-    if cached is not None and done:
-        cols = cached.schema().names
-        out = cached.union(fresh.select_columns(cols))
-    else:
-        out = fresh
-    out = out.materialize()
-    store.write("signatures", out)
-    return out
+    missing = anti_join_table(probe, done)
+    fresh = clip_signatures(missing, cfg).materialize()
+    if fresh.count() > 0:
+        store.append("signatures", fresh)
+    if cached is None:
+        return fresh
+    if fresh.count() == 0:
+        return cached
+    cols = cached.schema().names
+    return cached.union(fresh.select_columns(cols))

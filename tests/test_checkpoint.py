@@ -97,3 +97,85 @@ def test_manifest_records_lineage(root):
     resumable_signatures(_clips(10), cfg, store)
     mf = store.manifest()
     assert "signatures" in mf and mf["signatures"]["rows"] > 0
+
+
+def test_resume_appends_only_new_parts(root):
+    # resume must write ONLY the fresh rows as a new part; pre-existing
+    # part files are never rewritten (O(new rows) resume, not O(corpus))
+    import os
+    cfg = DedupConfig()
+    store = CheckpointStore(root, cfg.fingerprint())
+    resumable_signatures(_clips(15), cfg, store)
+    sig_dir = Path(root) / cfg.fingerprint() / "signatures"
+    old_files = {p: os.stat(p).st_mtime_ns for p in sig_dir.rglob("*.parquet")}
+    assert old_files
+    big = _clips(30)
+    out = resumable_signatures(big, cfg, store)
+    assert out.count() == big.count()
+    for p, mtime in old_files.items():
+        assert os.stat(p).st_mtime_ns == mtime, f"rewrote {p}"
+    new_files = set(sig_dir.rglob("*.parquet"))
+    assert new_files > set(old_files)  # a fresh part appeared
+
+
+def test_changed_bytes_rehashed_on_resume(root):
+    # same clip_id, different payload bytes -> treated as a miss
+    # (≙ StaleKey (size, mtime_ns), ref: cache.py:64-69)
+    import pyarrow as pa
+    from mail_deduplicate_ray.state.checkpoint import anti_join_table
+    cfg = DedupConfig()
+    store = CheckpointStore(root, cfg.fingerprint())
+    tbl, _ = synth.generate_clips(10, seed=7)
+    resumable_signatures(ray.data.from_arrow(tbl), cfg, store)
+    # mutate one row's payload (append a byte)
+    payloads = tbl["bytes"].to_pylist()
+    payloads[0] = payloads[0] + b"\x00"
+    tbl2 = tbl.set_column(tbl.schema.get_field_index("bytes"), "bytes",
+                          pa.array(payloads, pa.binary()))
+    done = store.key_table("signatures", ["clip_id", "n_bytes"])
+    probe = ray.data.from_arrow(tbl2).map_batches(
+        lambda t: t.append_column(
+            "n_bytes",
+            pa.compute.cast(pa.compute.binary_length(t["bytes"]),
+                            pa.int64())),
+        batch_format="pyarrow")
+    miss = anti_join_table(probe, done)
+    assert miss.count() == 1
+    assert miss.take_all()[0]["clip_id"] == tbl["clip_id"][0].as_py()
+
+
+def test_anti_join_shuffle_path_matches_broadcast(root):
+    # the hash-partitioned join path must agree with the broadcast path
+    import pyarrow as pa
+    from mail_deduplicate_ray.state.checkpoint import anti_join_table
+    tbl = pa.table({"clip_id": [f"c{i}" for i in range(20)],
+                    "n_bytes": pa.array([100 + i for i in range(20)],
+                                        pa.int64()),
+                    "x": list(range(20))})
+    done = tbl.select(["clip_id", "n_bytes"]).slice(0, 12)
+    ds = ray.data.from_arrow(tbl)
+    a = sorted(r["clip_id"] for r in
+               anti_join_table(ds, done).take_all())
+    b = sorted(r["clip_id"] for r in
+               anti_join_table(ds, done, broadcast_threshold=0,
+                               num_partitions=4).take_all())
+    assert a == b == [f"c{i}" for i in range(12, 20)]
+
+
+def test_edge_checkpoint_invalidated_on_channel_change(root):
+    # ADVICE: re-running with different channels/thresholds must NOT reuse
+    # the stale edge set
+    from mail_deduplicate_ray.pipelines import neardup
+    cfg = DedupConfig()
+    ds = _clips(30)
+    res_all = neardup.dedup_clips(ds, cfg, checkpoint_root=str(root))
+    n_all = res_all.edges.count()
+    res_exact = neardup.dedup_clips(_clips(30), cfg, channels=("exact",),
+                                    checkpoint_root=str(root))
+    n_exact = res_exact.edges.count()
+    assert n_exact < n_all  # recomputed, not reused
+    # and thresholds feed the validity key too
+    assert cfg.edge_fingerprint(("exact",)) != cfg.edge_fingerprint(
+        ("exact", "minhash"))
+    assert DedupConfig(jaccard_threshold=0.9).edge_fingerprint(
+        ("minhash",)) != cfg.edge_fingerprint(("minhash",))
