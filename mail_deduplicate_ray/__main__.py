@@ -21,8 +21,13 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mail_deduplicate_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
     d = sub.add_parser("dedup", help="run the dedup pipeline")
-    d.add_argument("--input", required=True,
-                   help="clips parquet file/dir (or Lance uri)")
+    d.add_argument("--input", action="append", required=True,
+                   help="clips parquet file/dir (or Lance uri); repeatable. "
+                        "The same source twice is a hard error "
+                        "(≙ ref: deduplicate.py:936-956)")
+    d.add_argument("--time-source", default="ingest_ts",
+                   help="timestamp column for time strategies, or 'none' to "
+                        "disable them (≙ TimeSource, ref: mail.py:51-64)")
     d.add_argument("--out", default=None, help="output dir for kept rows")
     d.add_argument("--strategy", action="append", default=[],
                    help="selection strategy (repeatable, cascade order; "
@@ -51,7 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     import ray
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, logging_level="ERROR")
     import ray.data
@@ -70,13 +76,21 @@ def main(argv: list[str] | None = None) -> int:
         strategies=tuple(args.strategy) or
         ("select-newest", "select-biggest", "select-one"),
         regexp=args.regexp,
+        time_source=args.time_source,
         dry_run=args.dry_run,
     )
     cfg = (DedupConfig.from_toml(args.config, **over) if args.config
            else DedupConfig(**over))
-    ds = read_clips_parquet(args.input)
+    ds = read_clips_parquet(list(args.input))
 
     if args.hash_only:
+        # canonical-field table first (≙ pretty_canonical_headers,
+        # ref: cli.py:666-669 + mail.py:455-478)
+        print("canonical fields (exact key components):", file=sys.stderr)
+        for c in cfg.key_columns:
+            print(f"  {c:<14} metadata", file=sys.stderr)
+        print(f"  {'transcript':<14} {cfg.transcript_hash} hash "
+              f"(--hash-body)", file=sys.stderr)
         sigs = neardup.clip_signatures(ds, cfg)
         for b in sigs.select_columns(
                 ["clip_id", "exact_key", "rejected"]).iter_batches(
@@ -85,7 +99,8 @@ def main(argv: list[str] | None = None) -> int:
                                      b["exact_key"].to_pylist(),
                                      b["rejected"].to_pylist()):
                 print(f"{cid}\t{'REJECTED' if rej else key}")
-        ray.shutdown()
+        if owns_session:
+            ray.shutdown()
         return 0
 
     res = neardup.dedup_clips(ds, cfg,
@@ -94,10 +109,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.out and not args.dry_run:
         rep = actions.copy_action(res, "selection", args.out)
         print(f"wrote {rep.rows} kept rows -> {rep.out_path}", file=sys.stderr)
+    from mail_deduplicate_ray.stats import render_report
+    print(render_report(res.stats, res.overflow_dropped, args.dry_run),
+          file=sys.stderr)
     print(json.dumps({"stats": res.stats.to_dict(),
                       "overflow_dropped": res.overflow_dropped,
                       "dry_run": args.dry_run}))
-    ray.shutdown()
+    if owns_session:
+        ray.shutdown()
     return 0
 
 

@@ -117,6 +117,11 @@ class DedupConfig:
     audio_seed: int = 0xBEEF
 
     # ---- grouping / selection config (not fingerprinted) ----
+    # which column time strategies read (≙ TimeSource date-header vs ctime
+    # switch, ref: mail.py:51-64): any float64 epoch-seconds column, or
+    # "none" to disable time strategies (they then raise MissingTimestamps
+    # and the cascade falls through)
+    time_source: str = "ingest_ts"
     # pairwise-difference thresholds inside a cluster; -1 disables
     # (≙ --size-threshold / --content-threshold, ref: deduplicate.py:270-359)
     size_threshold: int = 512  # ms of duration difference allowed

@@ -30,9 +30,29 @@ from mail_deduplicate_ray.stages.settle import make_settle_partition
 from mail_deduplicate_ray.stages.signature import FusedDecodeSignatureStage
 from mail_deduplicate_ray.stats import RunStats, collect_stats
 
-# columns the settle stage needs; heavy signature payloads are projected out
+# columns the settle stage needs; heavy signature payloads are projected
+# out.  The time column (cfg.time_source) is appended when configured —
+# defaulted to nulls if the source table lacks it, so time strategies fall
+# through via MissingTimestamps instead of crashing (ingest_ts is OPTIONAL
+# in the clips schema, sources/clips_io.py).
 SETTLE_COLUMNS = ["clip_id", "sr_hz", "dur_ms", "codec", "codec_norm",
-                  "transcript_norm", "ingest_ts", "exact_key", "audio_fp"]
+                  "transcript_norm", "exact_key", "audio_fp"]
+
+
+def _settle_projection(usable: "ray.data.Dataset",
+                       cfg: DedupConfig) -> "ray.data.Dataset":
+    cols = list(SETTLE_COLUMNS)
+    tcol = cfg.time_source
+    if tcol != "none":
+        if tcol in usable.schema().names:
+            cols.append(tcol)
+            return usable.select_columns(cols)
+        rows = usable.select_columns(cols)
+        return rows.map_batches(
+            lambda t: t.append_column(tcol, pa.nulls(t.num_rows,
+                                                     pa.float64())),
+            batch_format="pyarrow")
+    return usable.select_columns(cols)
 
 
 def clip_signatures(ds: "ray.data.Dataset", cfg: DedupConfig,
@@ -120,7 +140,7 @@ def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
     edges, dropped = candidates.split_edges(deduped)
 
     labels = components.connected_components(edges, cfg.cc_max_rounds)
-    rows = usable.select_columns(SETTLE_COLUMNS)
+    rows = _settle_projection(usable, cfg)
     clustered = components.attach_cluster_ids(rows, labels)
     settled = bucketing.grouped(
         clustered, "cluster_id", make_settle_partition(cfg),

@@ -33,8 +33,25 @@ def _validate(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds
 
 
+def check_sources(paths: list[str]) -> list[str]:
+    """Reject the same source given twice (≙ the duplicate-box hard error,
+    ref: deduplicate.py:936-956): dedup by resolved path, raise on repeat."""
+    from pathlib import Path
+    seen: dict[str, str] = {}
+    for p in paths:
+        rp = str(Path(p).expanduser().resolve())
+        if rp in seen:
+            raise ValueError(
+                f"duplicate input source: {p!r} resolves to the same path "
+                f"as {seen[rp]!r} — each source may be given once")
+        seen[rp] = p
+    return list(seen)
+
+
 def read_clips_parquet(paths: str | list[str],
                        columns: list[str] | None = None) -> "ray.data.Dataset":
+    if isinstance(paths, list):
+        paths = check_sources(paths)
     return _validate(ray.data.read_parquet(paths, columns=columns))
 
 

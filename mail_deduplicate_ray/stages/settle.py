@@ -106,7 +106,8 @@ def _evict(df: pd.DataFrame, cfg: DedupConfig) -> tuple[pd.DataFrame, list]:
 
 def _cascade(core: pd.DataFrame, cfg: DedupConfig,
              cluster_id: str) -> tuple[pd.Series | None, str]:
-    ctx = StrategyCtx(regexp=cfg.regexp, cluster_id=cluster_id)
+    ctx = StrategyCtx(regexp=cfg.regexp, cluster_id=cluster_id,
+                      time_source=cfg.time_source)
     for name in cfg.strategies:
         fn = REGISTRY[name]
         try:

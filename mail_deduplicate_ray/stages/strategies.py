@@ -32,19 +32,25 @@ class MissingTimestamps(Exception):
 class StrategyCtx:
     regexp: str | None = None
     cluster_id: str = ""
+    # ≙ TimeSource switch (ref: mail.py:51-64): the timestamp column time
+    # strategies read; "none" disables them (MissingTimestamps fall-through)
+    time_source: str = "ingest_ts"
 
 
-def _ts(df: pd.DataFrame) -> pd.Series:
-    ts = df["ingest_ts"]
+def _ts(df: pd.DataFrame, ctx: StrategyCtx | None = None) -> pd.Series:
+    col = ctx.time_source if ctx is not None else "ingest_ts"
+    if col == "none" or col not in df.columns:
+        raise MissingTimestamps
+    ts = df[col]
     if ts.isna().any():
         raise MissingTimestamps
     return ts
 
 
-def select_older(df, ctx):    return _ts(df) < _ts(df).max()     # noqa: E704
-def select_oldest(df, ctx):   return _ts(df) == _ts(df).min()    # noqa: E704
-def select_newer(df, ctx):    return _ts(df) > _ts(df).min()     # noqa: E704
-def select_newest(df, ctx):   return _ts(df) == _ts(df).max()    # noqa: E704
+def select_older(df, ctx):    return _ts(df, ctx) < _ts(df, ctx).max()     # noqa: E704
+def select_oldest(df, ctx):   return _ts(df, ctx) == _ts(df, ctx).min()    # noqa: E704
+def select_newer(df, ctx):    return _ts(df, ctx) > _ts(df, ctx).min()     # noqa: E704
+def select_newest(df, ctx):   return _ts(df, ctx) == _ts(df, ctx).max()    # noqa: E704
 def select_smaller(df, ctx):  return df["dur_ms"] < df["dur_ms"].max()   # noqa: E704
 def select_smallest(df, ctx): return df["dur_ms"] == df["dur_ms"].min()  # noqa: E704
 def select_bigger(df, ctx):   return df["dur_ms"] > df["dur_ms"].min()   # noqa: E704

@@ -39,6 +39,38 @@ class RunStats:
             + c["set_skipped_strategies"] + c["set_deduplicated"]), c.to_dict()
 
 
+_COUNTER_HELP = {
+    "mail_found": "clips read from sources",
+    "mail_rejected": "rejected (missing metadata / decode failure)",
+    "mail_retained": "retained for deduplication",
+    "mail_unique": "singleton clusters",
+    "mail_skipped": "in clusters skipped by thresholds/strategies",
+    "mail_evicted": "evicted as threshold outliers (kept)",
+    "mail_selected": "selected to keep by a strategy",
+    "mail_discarded": "discarded as duplicates",
+    "set_total": "duplicate clusters",
+    "set_single": "clusters of one",
+    "set_skipped_threshold": "clusters skipped: incoherent thresholds",
+    "set_skipped_strategies": "clusters skipped: no effective strategy",
+    "set_deduplicated": "clusters deduplicated",
+}
+
+
+def render_report(stats: "RunStats", overflow_dropped: int = 0,
+                  dry_run: bool = False) -> str:
+    """Human-readable per-run summary table (≙ the reference's final
+    report, ref: cli.py:683-686 + Stat table deduplicate.py:65-144)."""
+    lines = ["── run report " + "─" * 34]
+    for key in _COUNTER_HELP:
+        lines.append(f"{key:<24} {stats[key]:>10,}  {_COUNTER_HELP[key]}")
+    lines.append(f"{'overflow_dropped':<24} {overflow_dropped:>10,}  "
+                 "candidate rows dropped by bucket caps")
+    if dry_run:
+        lines.append("dry-run: no actions applied")
+    lines.append("─" * 48)
+    return "\n".join(lines)
+
+
 _REASON_TO_MAIL = {
     "unique": "mail_unique",
     "skipped": "mail_skipped",

@@ -1,0 +1,93 @@
+"""CLI surface: run report, --hash-only canonical table, duplicate-source
+guard, --time-source (ref model: cli.py:571-686 behaviors)."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from mail_deduplicate_ray import synth
+from mail_deduplicate_ray.__main__ import main
+from mail_deduplicate_ray.sources.clips_io import check_sources
+
+
+@pytest.fixture(scope="module")
+def clips_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cli") / "clips.parquet"
+    tbl, _ = synth.generate_clips(30, seed=5)
+    pq.write_table(tbl, str(p))
+    return str(p)
+
+
+def test_report_and_stats_line(clips_file, capsys):
+    # human report on stderr (≙ ref: cli.py:683-686), JSON stats on stdout
+    assert main(["dedup", "--input", clips_file, "--dry-run"]) == 0
+    cap = capsys.readouterr()
+    assert "run report" in cap.err
+    for field in ("mail_found", "mail_discarded", "set_total",
+                  "overflow_dropped", "dry-run: no actions applied"):
+        assert field in cap.err, field
+    stats = json.loads(cap.out.strip().splitlines()[-1])
+    assert stats["stats"]["mail_found"] > 0
+
+
+def test_hash_only_prints_canonical_fields(clips_file, capsys):
+    # ≙ pretty_canonical_headers (ref: cli.py:666-669 + mail.py:455-478)
+    assert main(["dedup", "--input", clips_file, "--hash-only"]) == 0
+    cap = capsys.readouterr()
+    assert "canonical fields" in cap.err
+    for col in ("sr_hz", "codec_norm", "dur_bucket", "transcript"):
+        assert col in cap.err
+    first = cap.out.strip().splitlines()[0].split("\t")
+    assert len(first) == 2 and len(first[1]) == 112  # sha224 x2 hex
+
+
+def test_duplicate_source_is_hard_error(clips_file):
+    # ≙ ref: deduplicate.py:936-956
+    with pytest.raises(ValueError, match="duplicate input source"):
+        main(["dedup", "--input", clips_file, "--input", clips_file,
+              "--dry-run"])
+    with pytest.raises(ValueError):
+        check_sources([clips_file, clips_file])
+    assert check_sources([clips_file]) == [clips_file]
+
+
+def test_multiple_distinct_sources_union(clips_file, tmp_path, capsys):
+    tbl, _ = synth.generate_clips(10, seed=9)
+    ids = pa.array([f"second-{i}" for i in range(tbl.num_rows)], pa.string())
+    tbl = tbl.set_column(tbl.schema.get_field_index("clip_id"),
+                         "clip_id", ids)
+    p2 = tmp_path / "clips2.parquet"
+    pq.write_table(tbl, str(p2))
+    assert main(["dedup", "--input", clips_file, "--input", str(p2),
+                 "--dry-run"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n1 = pq.ParquetFile(clips_file).metadata.num_rows
+    assert stats["stats"]["mail_found"] == n1 + tbl.num_rows
+
+
+def test_time_source_none_falls_through(clips_file, capsys):
+    # select-newest alone with time disabled -> every multi-row cluster
+    # falls through to skipped_strategies; nothing crashes
+    assert main(["dedup", "--input", clips_file, "--dry-run",
+                 "--time-source", "none",
+                 "--strategy", "select-newest"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["stats"].get("set_deduplicated", 0) == 0
+    assert stats["stats"].get("set_skipped_strategies", 0) > 0
+
+
+def test_clips_without_ingest_ts_dedup_ok():
+    # ADVICE: a clips table lacking the optional ingest_ts column must run
+    # (null-defaulted -> MissingTimestamps fall-through), not crash
+    from mail_deduplicate_ray.config import DedupConfig
+    from mail_deduplicate_ray.pipelines import neardup
+    tbl, _ = synth.generate_clips(20, seed=2)
+    tbl = tbl.drop_columns(["ingest_ts"])
+    res = neardup.dedup_clips(ray.data.from_arrow(tbl), DedupConfig())
+    res.stats.check()
+    assert res.stats["mail_found"] == tbl.num_rows
+    # time strategies all fell through; size/select-one still settle
+    assert res.stats["set_deduplicated"] > 0
