@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_bruteforce_top10": ann.ann_bruteforce_topk,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
+        "embedding_neardup_pairs_lsh": ann.embedding_neardup_pairs_lsh,
         "ann_lsh_buckets": ann.ann_lsh_buckets,     # rows-only
         # --- clips flagship (non-SQL: synthesized audio corpus) ---
         "clips_flagship": clips.flagship_clusters,          # rows-only
@@ -186,6 +187,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 10
         """,
         "embedding_neardup_pairs": """
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """,
+        # the LSH-bucketed scale path must produce the SAME pair set as
+        # the all-pairs truth (banded SRP, recall 1.0 at these scales)
+        "embedding_neardup_pairs_lsh": """
             SELECT a.vec_id AS a_id, b.vec_id AS b_id
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35

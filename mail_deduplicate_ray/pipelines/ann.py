@@ -19,18 +19,26 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from mail_deduplicate_ray.sources.clips_io import read_parquet_clean
+
 from mail_deduplicate_ray.functions import simhash
 from mail_deduplicate_ray.stages.bucketing import pool_size as _pool
 
 
 def _read(sf_dir: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                  columns=["vec_id", "embedding"])
 
 
 def _to_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_id, embedding-list) -> (ids, (n, d) float64) — flat child
+    values + one reshape (no per-row Python); embeddings are fixed-length
+    by contract, asserted via the reshape."""
     ids = t["vec_id"].to_numpy(zero_copy_only=False)
-    emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    col = t["embedding"].combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    n = len(ids)
+    emb = flat.astype(np.float64).reshape(n, len(flat) // n if n else 0)
     return ids, emb
 
 
@@ -149,6 +157,92 @@ class _SRPBucketer:
         fp = self.srp.fingerprint(emb)
         return t.append_column("bucket",
                                pa.array(fp.astype(np.uint64), pa.uint64()))
+
+
+class _BandExploder:
+    """Actor-pool stage: one output row per (band bucket, vec) with the
+    float32 embedding riding along for in-bucket verification (SRP planes
+    built once per actor)."""
+
+    def __init__(self, dims: int, bands: int, band_bits: int,
+                 seed: int = 97) -> None:
+        self.srp = simhash.SRP(dims, bands * band_bits, seed)
+        self.bands = bands
+        self.band_bits = band_bits
+        self.dims = dims
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, emb = _to_matrix(t)
+        n = len(ids)
+        fp = self.srp.fingerprint(emb)
+        keys = simhash.band_keys_u64(fp, self.bands,
+                                     self.bands * self.band_bits)
+        e32 = emb.astype(np.float32)
+        emb_bin = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(4 * self.dims), n, [None, pa.py_buffer(e32.tobytes())])
+        base = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "emb32": emb_bin})
+        idx = np.repeat(np.arange(n), self.bands)
+        return base.take(idx).append_column(
+            "bucket", pa.array(keys.reshape(-1)))
+
+
+def embedding_neardup_pairs_lsh(sf_dir: str, threshold: float = 0.35,
+                                bands: int = 32, band_bits: int = 2,
+                                nbuckets: int = 64) -> "ray.data.Dataset":
+    """(a_id, b_id) near-dup pairs via SRP banding — the SCALE path for
+    embedding near-dup: explode per band -> bucketed groupby -> in-bucket
+    cosine verify -> pair dedup.  Nothing is broadcast; every stage is a
+    bounded shuffle.  Band shape (32 bands x 2 bits) ORs per-pair collision
+    to ~1-3e-7 miss at cosine 0.35, so output matches the all-pairs oracle
+    at the test scales (verified recall 1.0); tighter thresholds at
+    production scale use fewer/wider bands for pruning.
+    """
+    import pyarrow.parquet as pq
+    from mail_deduplicate_ray.stages import bucketing
+    first = next(pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+                 .iter_batches(batch_size=1, columns=["embedding"]))
+    dims = len(first["embedding"][0])
+
+    exploded = _read(sf_dir).map_batches(
+        _BandExploder, fn_constructor_args=(dims, bands, band_bits),
+        batch_format="pyarrow", batch_size=4096, concurrency=_pool())
+
+    def verify(df) -> "pa.Table":
+        import pandas as pd
+        ids_all = df["vec_id"].to_numpy()
+        emb_all = np.frombuffer(b"".join(df["emb32"]),
+                                dtype=np.float32).reshape(len(df), dims)
+        emb_all = _norm(emb_all.astype(np.float64))
+        buckets = df["bucket"].to_numpy()
+        order = np.lexsort((ids_all, buckets))
+        b_sorted = buckets[order]
+        bounds = np.flatnonzero(np.concatenate(
+            ([True], b_sorted[1:] != b_sorted[:-1], [True])))
+        a_out, b_out = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            idx = order[s:e]
+            m = emb_all[idx]
+            sims = m @ m.T
+            ai, bj = np.nonzero(np.triu(sims >= threshold, 1))
+            if len(ai):
+                a_out.append(ids_all[idx][ai])
+                b_out.append(ids_all[idx][bj])
+        if not a_out:
+            return pd.DataFrame({"a_id": pd.Series(dtype="int64"),
+                                 "b_id": pd.Series(dtype="int64")})
+        a = np.concatenate(a_out)
+        b = np.concatenate(b_out)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"a_id": lo, "b_id": hi}).drop_duplicates()
+
+    raw = bucketing.grouped(exploded, "bucket", verify, nbuckets)
+    # cross-partition dedup (a pair surfaces from up to ``bands`` buckets)
+    return bucketing.grouped(
+        raw, "a_id", lambda df: df.drop_duplicates(subset=["a_id", "b_id"]),
+        nbuckets=16)
 
 
 def ann_lsh_buckets(sf_dir: str, bits: int = 12) -> "ray.data.Dataset":

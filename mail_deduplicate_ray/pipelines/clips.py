@@ -18,6 +18,8 @@ import pyarrow.parquet as pq
 
 import ray.data
 
+from mail_deduplicate_ray.sources.clips_io import read_parquet_clean
+
 from mail_deduplicate_ray import synth
 from mail_deduplicate_ray.config import DedupConfig
 from mail_deduplicate_ray.pipelines import neardup
@@ -72,7 +74,7 @@ def read_clips(sf_dir: str, n_base: int | None = None) -> "ray.data.Dataset":
                 if ray.is_initialized() else 8)
     except Exception:  # noqa: BLE001
         ncpu = 8
-    return ray.data.read_parquet(str(clips_path(sf_dir, n_base)),
+    return read_parquet_clean(str(clips_path(sf_dir, n_base)),
                                  override_num_blocks=max(16, ncpu * 2))
 
 

@@ -18,6 +18,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from mail_deduplicate_ray.sources.clips_io import read_parquet_clean
+
 from mail_deduplicate_ray.functions import normalize, shingles, simhash, textstats
 from mail_deduplicate_ray.functions.textstats import (bpe_ish_token_counts,
                                                       quality_table,
@@ -27,7 +29,7 @@ REGEXP_PATTERN = r"\bmerge\b.*\bjoin\b"  # shared with the oracle
 
 
 def _docs(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _sha256_col(t: pa.Table, src: str, out: str) -> pa.Table:

@@ -12,6 +12,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from mail_deduplicate_ray.sources.clips_io import read_parquet_clean
+
 _US_PER_5MIN = 300 * 1_000_000
 
 
@@ -20,7 +22,7 @@ def events_window_5m(sf_dir: str) -> "ray.data.Dataset":
     map_batches (one row per (user, window) per batch) then a tiny final
     groupby — the streaming-window pattern from SURVEY.md §2.9 re-expressed
     batch-first."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -45,7 +47,7 @@ def events_window_5m(sf_dir: str) -> "ray.data.Dataset":
 def keep_oldest_per_user(sf_dir: str) -> "ray.data.Dataset":
     """select-oldest (X2) over each user's events: rows with ts == group
     min, ties kept (ref: strategy.py:72-83)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["user_id", "event_id", "ts"])
 
     def per_group(g: pa.Table) -> pa.Table:
@@ -57,7 +59,7 @@ def keep_oldest_per_user(sf_dir: str) -> "ray.data.Dataset":
 
 def lineitem_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
     """TPC-H Q1-shaped aggregate, integer-exact (cents)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_shipdate"])
@@ -103,7 +105,7 @@ def events_sessions(sf_dir: str, gap_s: int = 1800) -> "ray.data.Dataset":
     (the streaming-shaped pattern from SURVEY.md §2.9: ordered, partitioned
     log + per-group windowing; ordering assumption: ts within one user fits
     one group).  Output: one row per session with integer-exact bounds."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["user_id", "event_id", "ts"])
 
     def per_user(g):
@@ -135,7 +137,7 @@ def events_per_day(sf_dir: str) -> "ray.data.Dataset":
 
     from mail_deduplicate_ray.functions.normalize import normalize_date
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts"])
     days = ds.map_batches(
         lambda t: pa.table({"day": normalize_date(t["ts"])}),
         batch_format="pyarrow")
@@ -150,7 +152,7 @@ def orders_by_status(sf_dir: str) -> "ray.data.Dataset":
     """Native Ray aggregates (Sum/Min/Max) over integer cents."""
     from ray.data.aggregate import Count, Max, Min, Sum
 
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
                                columns=["o_orderstatus", "o_totalprice"])
     cents = ds.map_batches(
         lambda t: pa.table({
@@ -176,7 +178,7 @@ def orders_by_status(sf_dir: str) -> "ray.data.Dataset":
 
 def top_spenders(sf_dir: str, k: int = 25) -> "ray.data.Dataset":
     """Global top-k (sort + limit): customers by total order cents."""
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
                                columns=["o_custkey", "o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:

@@ -14,6 +14,17 @@ import pyarrow as pa
 
 import ray.data
 
+def read_parquet_clean(paths, columns: list[str] | None = None,
+                       **read_kwargs) -> "ray.data.Dataset":
+    """read_parquet with schema metadata stripped (pandas-written parquet
+    carries dict-valued metadata that defeats Ray's schema hashing and
+    spams 'Failed to hash the schemas' worker warnings; the strip is
+    zero-copy and fuses with the downstream transform)."""
+    ds = ray.data.read_parquet(paths, columns=columns, **read_kwargs)
+    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                          batch_format="pyarrow")
+
+
 CLIPS_SCHEMA = pa.schema([
     ("clip_id", pa.string()),
     ("bytes", pa.binary()),

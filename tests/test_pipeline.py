@@ -268,3 +268,16 @@ def test_cc_driver_vs_distributed_parity_random_graph():
     b = {r["node"]: r["label"] for r in components.connected_components(
         edges, driver_threshold=0).take_all()}
     assert a == b
+
+
+def test_embedding_neardup_lsh_matches_all_pairs():
+    # the SRP-banded scale path must reproduce the all-pairs truth exactly
+    # (band shape ORs per-pair miss to ~1e-7 at cosine 0.35)
+    from mail_deduplicate_ray.pipelines import ann
+    d = "/root/testdata/sf0.001"
+    ap = {(r["a_id"], r["b_id"])
+          for r in ann.embedding_neardup_pairs(d).take_all()}
+    lsh = {(r["a_id"], r["b_id"])
+           for r in ann.embedding_neardup_pairs_lsh(d).take_all()}
+    assert ap == lsh
+    assert len(ap) > 0
