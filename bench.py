@@ -86,6 +86,7 @@ def run_bench() -> dict:
         "n_clips": n_clips,
         "clips_per_sec": round(n_clips / headline, 1),
         "stats": res.stats.to_dict(),
+        "stage_times": res.stage_times,
     }
     ray.shutdown()
     return out
@@ -133,12 +134,20 @@ def run_scaling() -> None:
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    stage_eff = {}
+    for k in (r_lo.get("stage_times") or {}):
+        a = r_lo["stage_times"].get(k)
+        b = r_hi["stage_times"].get(k)
+        if a and b:
+            stage_eff[k] = {"sec_8": a, "sec_32": b,
+                            "eff": round((a / b) / (hi / lo), 3)}
     print(json.dumps({
         "sec_8": t_lo, "sec_32": t_hi,
         "clips_per_sec_8": r_lo["clips_per_sec"],
         "clips_per_sec_32": r_hi["clips_per_sec"],
         "n_clips": r_hi["n_clips"],
         "scaling_efficiency": round(eff, 3),
+        "stage_efficiency": stage_eff,
     }))
 
 

@@ -84,6 +84,9 @@ class DedupResult:
     edges: "ray.data.Dataset"     # verified dup pairs
     stats: RunStats
     overflow_dropped: int
+    # wall seconds per pipeline stage (materialize boundaries) — the
+    # scaling bench attributes efficiency loss per stage from these
+    stage_times: dict = None
 
 
 def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
@@ -94,7 +97,10 @@ def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
     resumable: rows already checkpointed under this config fingerprint are
     restored without decoding (state/checkpoint.py; ≙ the reference's
     --cache re-run, SURVEY.md §3.3)."""
+    import time as _time
     cfg = cfg or DedupConfig()
+    st: dict[str, float] = {}
+    _t0 = _time.time()
     store = None
     if checkpoint_root:
         from mail_deduplicate_ray.state.checkpoint import (CheckpointStore,
@@ -104,6 +110,8 @@ def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
     else:
         sigs = clip_signatures(ds, cfg).materialize()
     n_found = sigs.count()
+    st["signature"] = _time.time() - _t0
+    _t0 = _time.time()
 
     rejected = sigs.map_batches(
         lambda t: t.filter(pc.or_kleene(t["rejected"],
@@ -116,6 +124,8 @@ def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
         lambda t: t.filter(pc.and_kleene(pc.invert(t["rejected"]),
                                          t["decode_ok"])),
         batch_format="pyarrow").materialize()
+    st["usable_filter"] = _time.time() - _t0
+    _t0 = _time.time()
 
     # single execution: explode -> verify -> dedup (overflow rows ride along)
     # Edge-log checkpoint (§4.4): valid only for the exact signature set it
@@ -138,19 +148,27 @@ def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
     else:
         deduped = store.load("edges")
     edges, dropped = candidates.split_edges(deduped)
+    st["candidates"] = _time.time() - _t0
+    _t0 = _time.time()
 
     labels = components.connected_components(edges, cfg.cc_max_rounds)
+    st["components"] = _time.time() - _t0
+    _t0 = _time.time()
     rows = _settle_projection(usable, cfg)
     clustered = components.attach_cluster_ids(rows, labels)
     settled = bucketing.grouped(
         clustered, "cluster_id", make_settle_partition(cfg),
         nbuckets=256,  # finer partitions: balances big-cluster stragglers
     ).materialize()
+    st["settle"] = _time.time() - _t0
+    _t0 = _time.time()
 
     stats = collect_stats(settled, n_found)
     stats.check()
+    st["stats"] = _time.time() - _t0
     return DedupResult(settled=settled, rejected=rejected, edges=edges,
-                       stats=stats, overflow_dropped=dropped)
+                       stats=stats, overflow_dropped=dropped,
+                       stage_times={k: round(v, 3) for k, v in st.items()})
 
 
 def keep_table(result: DedupResult) -> "ray.data.Dataset":

@@ -5,6 +5,10 @@ mail_box.py:243-287 — every BoxFormat parses into the same Message shape).
 
 from mail_deduplicate_ray.sources.clips_io import (read_clips_parquet,
                                                    read_clips_lance,
-                                                   write_clips)
+                                                   read_parquet_clean,
+                                                   check_sources,
+                                                   write_clips,
+                                                   write_clips_lance)
 
-__all__ = ["read_clips_parquet", "read_clips_lance", "write_clips"]
+__all__ = ["read_clips_parquet", "read_clips_lance", "read_parquet_clean",
+           "check_sources", "write_clips", "write_clips_lance"]

@@ -85,3 +85,15 @@ def write_clips(ds: "ray.data.Dataset", out_dir: str,
         ds.write_parquet(out_dir, min_rows_per_file=min_rows_per_file)
     except TypeError:  # older Ray: num_rows_per_file
         ds.write_parquet(out_dir, num_rows_per_file=min_rows_per_file)
+
+
+def write_clips_lance(ds: "ray.data.Dataset", uri: str) -> None:
+    """Lance sink when the lance package is present (the BASELINE.json
+    production store); parquet fallback otherwise — same contract as
+    read_clips_lance, so a round-trip works in either environment."""
+    try:
+        import lance  # noqa: F401
+    except ImportError:
+        write_clips(ds, uri)
+        return
+    ds.write_lance(uri)

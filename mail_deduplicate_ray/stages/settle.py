@@ -73,7 +73,7 @@ def _offending_matrix(df: pd.DataFrame, cfg: DedupConfig) -> "np.ndarray":
 
 def _evict(df: pd.DataFrame, cfg: DedupConfig) -> tuple[pd.DataFrame, list]:
     """Greedy eviction loop; returns (clean core, evicted index labels)."""
-    import numpy as np
+    import numpy as np  # noqa: F811 — worker-local import
     if cfg.size_threshold < 0 and cfg.content_threshold < 0:
         return df, []
     if len(df) > cfg.max_pairwise:
@@ -82,26 +82,35 @@ def _evict(df: pd.DataFrame, cfg: DedupConfig) -> tuple[pd.DataFrame, list]:
         # (reported via the `threshold_checked` column, never silently).
         return df, ["__UNCHECKED__"]
     bad = _offending_matrix(df, cfg)
-    labels = list(df.index)
     clip_ids = df["clip_id"].to_numpy()
-    alive = np.ones(len(df), dtype=bool)
-    evicted: list = []
+    alive, evicted_pos, status = _evict_greedy(bad, clip_ids)
+    if status == "skip":
+        return df, ["__SKIP__"]
+    core = df.iloc[np.flatnonzero(alive)]
+    labels = df.index
+    return core, [labels[i] for i in evicted_pos]
+
+
+def _evict_greedy(bad, clip_ids) -> tuple:
+    """(adjacency, ids) -> (alive mask, evicted positions in order, status).
+    Greedy most-offending-first, tie-break min clip_id (repr tie-break,
+    ref: deduplicate.py:344-348); whole set incoherent -> 'skip'
+    (ref: deduplicate.py:354-358)."""
+    import numpy as np
+    alive = np.ones(len(clip_ids), dtype=bool)
+    evicted: list[int] = []
     while True:
         deg = (bad & alive[None, :] & alive[:, None]).sum(axis=1)
         deg[~alive] = 0
         if deg.max(initial=0) == 0:
-            core = df.loc[[lb for lb, a in zip(labels, alive) if a]]
-            return core, evicted
-        # most offending first; tie-break min clip_id (repr tie-break,
-        # ref: deduplicate.py:344-348)
+            return alive, evicted, "ok"
         top = deg == deg.max()
         cand = np.flatnonzero(top & alive)
         victim = cand[np.argmin(clip_ids[cand])]
         alive[victim] = False
-        evicted.append(labels[victim])
+        evicted.append(int(victim))
         if alive.sum() < 2:
-            # whole set incoherent -> skip (ref: deduplicate.py:354-358)
-            return df, ["__SKIP__"]
+            return alive, evicted, "skip"
 
 
 def _cascade(core: pd.DataFrame, cfg: DedupConfig,
@@ -122,28 +131,67 @@ def _cascade(core: pd.DataFrame, cfg: DedupConfig,
 
 
 def make_settle_partition(cfg: DedupConfig):
-    """Partition body for bucketed settle: singleton clusters (the common
-    case — ~60% of groups, ref MAIL_UNIQUE accounting deduplicate.py:419-424)
-    are settled fully vectorized; only multi-row clusters run the per-group
-    cascade."""
-    settle = make_settle(cfg)
+    """Partition body for bucketed settle.
+
+    One sort + boundary slicing over the whole partition; all outputs are
+    written into PREALLOCATED arrays and assembled into ONE output frame —
+    the per-cluster pandas lifecycle (copy / per-group concat) otherwise
+    dominates the stage (profiled ~3 ms/cluster of pure pandas overhead).
+    Per-cluster logic (eviction, cascade) matches :func:`make_settle`
+    exactly (parity-tested); singleton clusters never touch pandas."""
+    import numpy as np
 
     def part(df: pd.DataFrame) -> pd.DataFrame:
-        counts = df.groupby("cluster_id")["cluster_id"].transform("size")
-        singles = df[counts == 1].copy()
-        singles["keep"] = True
-        singles["reason"] = "unique"
-        singles["set_reason"] = "single"
-        singles["winner_clip_id"] = ""
-        singles["threshold_checked"] = True
-        singles["set_anchor"] = True  # every singleton is its own cluster
-        outs = [settle(g) for _, g in
-                df[counts > 1].groupby("cluster_id", sort=True)]
-        if not outs:
-            return singles
-        multi = pd.concat(outs, ignore_index=True)[singles.columns] \
-            if len(singles) else pd.concat(outs, ignore_index=True)
-        return pd.concat([singles, multi], ignore_index=True)
+        df = df.sort_values(["cluster_id", "clip_id"], ignore_index=True)
+        n = len(df)
+        cid = df["cluster_id"].to_numpy()
+        clip_ids = df["clip_id"].to_numpy()
+        bounds = np.flatnonzero(np.concatenate(
+            ([True], cid[1:] != cid[:-1], [True])))
+        keep = np.ones(n, dtype=bool)
+        reason = np.empty(n, dtype=object)
+        set_reason = np.empty(n, dtype=object)
+        winner = np.full(n, "", dtype=object)
+        checked = np.ones(n, dtype=bool)
+        anchor = np.zeros(n, dtype=bool)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            anchor[s] = True  # min clip_id row carries the set counter
+            if e - s == 1:
+                reason[s] = "unique"
+                set_reason[s] = "single"
+                continue
+            sub = df.iloc[s:e]
+            core, evicted = _evict(sub, cfg)
+            if evicted == ["__SKIP__"]:
+                reason[s:e] = "skipped"
+                set_reason[s:e] = "skipped_threshold"
+                continue
+            if evicted == ["__UNCHECKED__"]:
+                core, evicted = sub, []
+                checked[s:e] = False
+            ev = np.asarray(evicted, dtype=np.int64)
+            reason[ev] = "evicted"
+            mask, _strat = _cascade(core, cfg, str(cid[s]))
+            pos = core.index.to_numpy()
+            if mask is None:
+                reason[pos] = "skipped"
+                set_reason[s:e] = "skipped_strategies"
+                continue
+            m = np.asarray(mask)
+            sel, dis = pos[m], pos[~m]
+            reason[sel] = "selected"
+            reason[dis] = "discarded"
+            keep[dis] = False
+            set_reason[s:e] = "deduplicated"
+            winner[dis] = clip_ids[sel].min()  # ≙ deduplicate.py:1168
+        out = df.copy()
+        out["keep"] = keep
+        out["reason"] = reason
+        out["set_reason"] = set_reason
+        out["winner_clip_id"] = winner
+        out["threshold_checked"] = checked
+        out["set_anchor"] = anchor
+        return out
 
     return part
 

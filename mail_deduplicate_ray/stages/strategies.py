@@ -47,10 +47,15 @@ def _ts(df: pd.DataFrame, ctx: StrategyCtx | None = None) -> pd.Series:
     return ts
 
 
-def select_older(df, ctx):    return _ts(df, ctx) < _ts(df, ctx).max()     # noqa: E704
-def select_oldest(df, ctx):   return _ts(df, ctx) == _ts(df, ctx).min()    # noqa: E704
-def select_newer(df, ctx):    return _ts(df, ctx) > _ts(df, ctx).min()     # noqa: E704
-def select_newest(df, ctx):   return _ts(df, ctx) == _ts(df, ctx).max()    # noqa: E704
+def _t1(df, ctx):
+    ts = _ts(df, ctx)
+    return ts  # evaluated once per strategy call (isna scan is the cost)
+
+
+def select_older(df, ctx):    ts = _t1(df, ctx); return ts < ts.max()     # noqa: E702,E704
+def select_oldest(df, ctx):   ts = _t1(df, ctx); return ts == ts.min()    # noqa: E702,E704
+def select_newer(df, ctx):    ts = _t1(df, ctx); return ts > ts.min()     # noqa: E702,E704
+def select_newest(df, ctx):   ts = _t1(df, ctx); return ts == ts.max()    # noqa: E702,E704
 def select_smaller(df, ctx):  return df["dur_ms"] < df["dur_ms"].max()   # noqa: E704
 def select_smallest(df, ctx): return df["dur_ms"] == df["dur_ms"].min()  # noqa: E704
 def select_bigger(df, ctx):   return df["dur_ms"] > df["dur_ms"].min()   # noqa: E704

@@ -47,3 +47,18 @@ def test_write_clips_roundtrip(tmp_path):
     back = ray.data.read_parquet(str(out))
     assert back.count() == tbl.num_rows
     assert set(back.schema().names) == set(tbl.schema.names)
+
+
+def test_write_clips_lance_gate_roundtrip(tmp_path):
+    # no lance in the sandbox -> parquet fallback; read side uses the same
+    # gate so the round-trip holds in either environment
+    import ray.data
+    from mail_deduplicate_ray import synth
+    from mail_deduplicate_ray.sources import (read_clips_lance,
+                                              write_clips_lance)
+    tbl, _ = synth.generate_clips(8, seed=4)
+    out = str(tmp_path / "clips_lance")
+    write_clips_lance(ray.data.from_arrow(tbl), out)
+    back = read_clips_lance(out)
+    assert back.count() == tbl.num_rows
+    assert set(back.schema().names) >= {"clip_id", "bytes", "transcript"}

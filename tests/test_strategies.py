@@ -159,3 +159,34 @@ def test_thresholds_disabled_no_eviction():
     out = settle(df, strategies=("select-newest",), **NO_THRESH)
     assert (out["reason"] != "evicted").all()
     assert out.loc["c1", "reason"] == "selected"
+
+
+def test_settle_partition_matches_per_cluster_reference():
+    # the array-based partition body must match the per-cluster reference
+    # implementation exactly (same eviction, cascade, winner, anchors)
+    import pandas as pd
+    from mail_deduplicate_ray import synth
+    from mail_deduplicate_ray.config import DedupConfig
+    from mail_deduplicate_ray.stages.decode import DecodeStage
+    from mail_deduplicate_ray.stages.signature import SignatureStage
+    from mail_deduplicate_ray.stages.settle import (make_settle,
+                                                    make_settle_partition)
+    tbl, truth = synth.generate_clips(150, seed=1)
+    cfg = DedupConfig()
+    sig = SignatureStage(cfg)(DecodeStage(cfg)(tbl))
+    df = sig.select(["clip_id", "sr_hz", "dur_ms", "codec", "codec_norm",
+                     "transcript_norm", "exact_key", "audio_fp"]).to_pandas()
+    df["ingest_ts"] = 1e9
+    df["cluster_id"] = [truth["clusters"].get(c, c) for c in df["clip_id"]]
+    out = make_settle_partition(cfg)(df)
+    settle = make_settle(cfg)
+    multi = df[df.groupby("cluster_id")["cluster_id"].transform("size") > 1]
+    ref = pd.concat([settle(g) for _, g in
+                     multi.groupby("cluster_id", sort=True)],
+                    ignore_index=True).sort_values("clip_id",
+                                                   ignore_index=True)
+    got = out[out["set_reason"] != "single"].sort_values(
+        "clip_id", ignore_index=True)
+    cols = ["clip_id", "keep", "reason", "set_reason", "winner_clip_id",
+            "threshold_checked", "set_anchor"]
+    pd.testing.assert_frame_equal(ref[cols], got[cols])
