@@ -66,16 +66,11 @@ def clips_path(sf_dir: str, n_base: int | None = None, seed: int = 42) -> Path:
 
 
 def read_clips(sf_dir: str, n_base: int | None = None) -> "ray.data.Dataset":
-    """Parallel scan: a single parquet file yields ONE read task by default
-    (serial decompress of the whole corpus) — split it across the cluster."""
-    import ray
-    try:
-        ncpu = (int(ray.cluster_resources().get("CPU", 8))
-                if ray.is_initialized() else 8)
-    except Exception:  # noqa: BLE001
-        ncpu = 8
-    return read_parquet_clean(str(clips_path(sf_dir, n_base)),
-                                 override_num_blocks=max(16, ncpu * 2))
+    """Parallel scan of the cached corpus: one pyarrow task per row group
+    (sources.read_clips_fast — Ray's generic parquet datasource costs ~50x
+    the CPU on large-binary payload columns)."""
+    from mail_deduplicate_ray.sources.clips_io import read_clips_fast
+    return read_clips_fast(str(clips_path(sf_dir, n_base)))
 
 
 def flagship(sf_dir: str, cfg: DedupConfig | None = None,

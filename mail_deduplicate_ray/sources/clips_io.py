@@ -44,6 +44,71 @@ def _validate(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds
 
 
+def read_clips_fast(paths, columns: list[str] | None = None,
+                    ) -> "ray.data.Dataset":
+    """Parallel clips read: one pyarrow ``read_row_group`` task per row
+    group, fanned out via map_batches over a (path, row_group) spec table.
+
+    Ray's generic parquet datasource re-batches/re-slices large-binary
+    columns with heavy copying — measured ~50x the CPU of a raw pyarrow
+    read on the audio-payload corpus (745 CPU-s vs 17 for 3.6 GB).  This
+    reader keeps the datasource layer out of the hot path; parallelism =
+    row groups, so the WRITER's row-group size controls block size (the
+    corpus cache and checkpoint writers emit ~100k-row files with default
+    ~64 MB row groups).  Falls back to the generic reader when no local
+    .parquet files match (e.g. remote URIs)."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    if isinstance(paths, (str, Path)):
+        paths = [paths]
+    files: list[str] = []
+    for p in paths:
+        pth = Path(p)
+        if pth.is_dir():
+            files.extend(sorted(str(f) for f in pth.rglob("*.parquet")))
+        elif pth.suffix == ".parquet" and pth.exists():
+            files.append(str(pth))
+        else:
+            return read_parquet_clean([str(x) for x in paths],
+                                      columns=columns)
+    if not files:
+        return read_parquet_clean([str(x) for x in paths], columns=columns)
+
+    spec_path, spec_rg = [], []
+    for f in files:
+        for rg in range(pq.ParquetFile(f).metadata.num_row_groups):
+            spec_path.append(f)
+            spec_rg.append(rg)
+    # one BLOCK per spec row: the downstream map runs one task per row
+    # group (without this the single spec block becomes one serial task)
+    specs = ray.data.from_arrow(pa.table({"path": spec_path,
+                                          "rg": spec_rg}))
+    specs = specs.repartition(len(spec_path))
+
+    # batch_size=1 -> exactly one (path, rg) spec per call; emitted as its
+    # own block.  A callable-class ACTOR pool, not a task map: a task map
+    # would fuse into the downstream signature actor stage, inherit its
+    # larger batch_size, and coalesce every spec into one serial task.
+    from mail_deduplicate_ray.stages.bucketing import pool_size
+    return specs.map_batches(_RowGroupReader,
+                             fn_constructor_args=(columns,),
+                             batch_size=1, batch_format="pyarrow",
+                             concurrency=pool_size())
+
+
+class _RowGroupReader:
+    def __init__(self, columns: list[str] | None) -> None:
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        t = pq.ParquetFile(batch["path"][0].as_py()).read_row_group(
+            batch["rg"][0].as_py(), columns=self.columns)
+        return t.replace_schema_metadata(None)
+
+
 def check_sources(paths: list[str]) -> list[str]:
     """Reject the same source given twice (≙ the duplicate-box hard error,
     ref: deduplicate.py:936-956): dedup by resolved path, raise on repeat."""
@@ -63,7 +128,7 @@ def read_clips_parquet(paths: str | list[str],
                        columns: list[str] | None = None) -> "ray.data.Dataset":
     if isinstance(paths, list):
         paths = check_sources(paths)
-    return _validate(ray.data.read_parquet(paths, columns=columns))
+    return _validate(read_clips_fast(paths, columns=columns))
 
 
 def read_clips_lance(uri: str,
