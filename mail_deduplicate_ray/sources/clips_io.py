@@ -91,11 +91,16 @@ def read_clips_fast(paths, columns: list[str] | None = None,
     # own block.  A callable-class ACTOR pool, not a task map: a task map
     # would fuse into the downstream signature actor stage, inherit its
     # larger batch_size, and coalesce every spec into one serial task.
+    # small reader pool: row-group reads are fast (~0.2 s each); a pool
+    # sized to the cluster would add ~30 actor startups and steal CPU from
+    # the downstream signature pool (measured regression)
     from mail_deduplicate_ray.stages.bucketing import pool_size
+    _, hi = pool_size()
+    readers = max(2, min(8, hi // 4))
     return specs.map_batches(_RowGroupReader,
                              fn_constructor_args=(columns,),
                              batch_size=1, batch_format="pyarrow",
-                             concurrency=pool_size())
+                             concurrency=(1, readers))
 
 
 class _RowGroupReader:
