@@ -120,5 +120,19 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def cli() -> int:
+    """main() with clean error reporting (≙ the reference's Click error
+    handling, cli.py): user errors (bad config, duplicate sources, unknown
+    strategies, missing files) print one line, not a traceback."""
+    try:
+        return main()
+    except (ValueError, FileNotFoundError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    except KeyboardInterrupt:
+        print("interrupted", file=sys.stderr)
+        return 130
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(cli())

@@ -91,3 +91,19 @@ def test_clips_without_ingest_ts_dedup_ok():
     assert res.stats["mail_found"] == tbl.num_rows
     # time strategies all fell through; size/select-one still settle
     assert res.stats["set_deduplicated"] > 0
+
+
+def test_cli_wrapper_clean_error(clips_file, capsys):
+    from mail_deduplicate_ray.__main__ import cli
+    import sys
+    argv = sys.argv
+    sys.argv = ["prog", "dedup", "--input", clips_file, "--input",
+                clips_file, "--dry-run"]
+    try:
+        rc = cli()
+    finally:
+        sys.argv = argv
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "error: duplicate input source" in err
+    assert "Traceback" not in err
