@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": docs.doc_fingerprints,  # rows-only
         "simhash_docs": docs.simhash_docs,          # rows-only
         "minhash_clusters_docs": docs.minhash_clusters_docs,  # rows-only
+        "ngram_jaccard_pairs": docs.ngram_jaccard_pairs,
         # --- events / relational ---
         "events_window_5m": relational.events_window_5m,
         "events_per_day": relational.events_per_day,
@@ -110,6 +111,24 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS n_bpe_tokens
             FROM documents
+        """,
+        # exact character-trigram-set Jaccard >= 0.6; the size-ratio join
+        # predicate is an EXACT bound (J <= min/max set size), pure pruning
+        "ngram_jaccard_pairs": """
+            WITH s AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(length(text) - 2, 1)),
+                           i -> substr(text, i, 3))) AS grams
+                FROM documents)
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM s a JOIN s b
+              ON a.doc_id < b.doc_id
+             AND least(len(a.grams), len(b.grams))
+                 >= 0.6 * greatest(len(a.grams), len(b.grams))
+            WHERE len(list_intersect(a.grams, b.grams)) * 1.0
+                  / (len(a.grams) + len(b.grams)
+                     - len(list_intersect(a.grams, b.grams))) >= 0.6
         """,
         "events_window_5m": """
             SELECT user_id,

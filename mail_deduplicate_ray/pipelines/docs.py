@@ -207,3 +207,92 @@ def minhash_clusters_docs(sf_dir: str) -> "ray.data.Dataset":
             "doc_id": pc.cast(t["clip_id"], pa.int64()),
             "cluster_id": t["cluster_id"]}),
         batch_format="pyarrow")
+
+
+class _NgramJaccardScorer:
+    """Actor-pool stage for EXACT n-gram-set Jaccard pairs: the corpus'
+    per-doc sorted trigram-hash sets are broadcast once via ray.put and
+    fetched in __init__; each batch emits (a_id, b_id) for pairs with
+    set-Jaccard >= threshold (a < b, so each unordered pair appears once).
+
+    A set-size ratio prefilter (exact bound: J(A,B) <= min/max set size)
+    prunes before any intersection; survivors intersect via sorted-array
+    np.intersect1d.  This is the exact-verify counterpart of the MinHash
+    channel — at 10^12 scale pair GENERATION goes through LSH buckets
+    (stages/candidates.py) and this kernel only verifies candidates."""
+
+    def __init__(self, corpus_ref, threshold: float) -> None:
+        import numpy as np
+        import ray as _ray
+        self.ids, sets = _ray.get(corpus_ref)
+        self.sizes = np.array([len(s) for s in sets], dtype=np.int64)
+        # inverted index built ONCE per actor: gram -> posting slice of
+        # corpus doc positions (flat arrays, binary-searchable)
+        flat = np.concatenate(sets) if sets else np.empty(0, np.uint64)
+        docpos = np.repeat(np.arange(len(sets)), self.sizes)
+        order = np.argsort(flat, kind="stable")
+        flat = flat[order]
+        self.postings = docpos[order]
+        self.uniq, starts = np.unique(flat, return_index=True)
+        self.starts = np.append(starts, len(flat))
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+        n_corpus = len(self.ids)
+        a_out, b_out = [], []
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        for grams, a_id in zip(_gram_sets(t), ids):
+            na = len(grams)
+            if na == 0:
+                continue
+            # postings walk: exact intersection COUNT against every corpus
+            # doc in one vectorized pass (no per-pair loop)
+            if not len(self.uniq):
+                continue
+            loc = np.minimum(np.searchsorted(self.uniq, grams),
+                             len(self.uniq) - 1)
+            hits = loc[self.uniq[loc] == grams]
+            if not len(hits):
+                continue
+            sel = np.concatenate([
+                self.postings[self.starts[lo]:self.starts[lo + 1]]
+                for lo in hits])
+            counts = np.bincount(sel, minlength=n_corpus)
+            union = na + self.sizes - counts
+            # same float expression as the oracle SQL (i*1.0/union >= t)
+            ok = (counts / union >= self.threshold) & (self.ids > a_id)
+            js = np.flatnonzero(ok)
+            a_out.extend([int(a_id)] * len(js))
+            b_out.extend(self.ids[js].tolist())
+        return pa.table({"a_id": pa.array(a_out, pa.int64()),
+                         "b_id": pa.array(b_out, pa.int64())})
+
+
+def _gram_sets(t: pa.Table, k: int = 3):
+    """Per-doc sorted, unique uint64 trigram hashes via the deterministic
+    rolling-hash kernel (process-independent — actors and driver must
+    agree).  Gram definition mirrors the oracle SQL exactly on the ASCII
+    corpus: substr(text, i, k) for i in 1..max(len-k+1, 1) — a doc
+    shorter than k contributes itself (shingle_hashes' <k whole-string
+    shingle)."""
+    for text in t["text"].to_pylist():
+        yield shingles.shingle_hashes(text or "", k)
+
+
+def ngram_jaccard_pairs(sf_dir: str,
+                        threshold: float = 0.6) -> "ray.data.Dataset":
+    """(a_id, b_id) pairs with exact character-trigram-set Jaccard >=
+    threshold (the n-gram-Jaccard dedup family member with a full DuckDB
+    oracle; MinHash estimates the same quantity at scale)."""
+    import pyarrow.parquet as pq
+    corpus = pq.read_table(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    ids = corpus["doc_id"].to_numpy(zero_copy_only=False)
+    sets = list(_gram_sets(corpus))
+    import ray as _ray
+    ref = _ray.put((ids, sets))
+    from mail_deduplicate_ray.stages.bucketing import pool_size
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _NgramJaccardScorer, fn_constructor_args=(ref, threshold),
+        batch_format="pyarrow", batch_size=512, concurrency=pool_size())

@@ -305,3 +305,27 @@ def test_cc_parity_on_real_edge_set(small_corpus):
         edges, driver_threshold=0).take_all()}
     assert drv == dist
     assert len(drv) > 50
+
+
+def test_ngram_jaccard_pairs_matches_bruteforce():
+    # postings-walk pair generation == literal set-Jaccard brute force
+    import pyarrow.parquet as pq
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+    d = "/root/testdata/sf0.001"
+    got = {(r["a_id"], r["b_id"])
+           for r in docs_mod.ngram_jaccard_pairs(d).take_all()}
+    t = pq.read_table(f"{d}/documents.parquet", columns=["doc_id", "text"])
+    sets = {}
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        s = text or ""
+        sets[did] = ({s} if len(s) <= 3
+                     else {s[i:i + 3] for i in range(len(s) - 2)})
+    want = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= 0.6:
+                want.add((a, b))
+    assert got == want and len(want) > 0
