@@ -245,6 +245,82 @@ def embedding_neardup_pairs_lsh(sf_dir: str, threshold: float = 0.35,
         nbuckets=16)
 
 
+def _kmeans(x: np.ndarray, n_cells: int, iters: int = 10,
+            seed: int = 7) -> np.ndarray:
+    """Tiny numpy k-means for the IVF coarse quantizer (trained on a
+    driver-side sample — the standard IVF recipe; the corpus itself is
+    never materialized)."""
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+    return cent
+
+
+class _CellAssigner:
+    def __init__(self, cent_ref) -> None:
+        self.cent = ray.get(cent_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        _, emb = _to_matrix(t)
+        d = ((emb[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
+        return t.append_column(
+            "cell", pa.array(d.argmin(axis=1).astype(np.int32), pa.int32()))
+
+
+def ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 10,
+                 n_cells: int = 16, nprobe: int = 4) -> "ray.data.Dataset":
+    """IVF approximate top-k: k-means coarse quantizer (driver-trained on
+    a sample, centroids broadcast) -> per-row cell assignment
+    (actor pool) -> PRUNE to the union of each query's ``nprobe`` nearest
+    cells -> exact rerank within the probed subset (the brute-force
+    kernel).  At scale the assignment is written as cell-partitioned
+    parquet and the filter becomes a partition-pruned read — only
+    probed cells leave storage.  Approximate by design: recall vs the
+    exact baseline is gated in tests, not oracle-matched."""
+    import pyarrow.parquet as pq
+    sample = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    _, x = _to_matrix(sample)
+    cent = _kmeans(x, n_cells)
+    cent_ref = ray.put(cent)
+
+    q_ids, q = _load_queries(sf_dir, n_queries)
+    qd = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probed = np.unique(np.argsort(qd, axis=1)[:, :nprobe])
+    probed_set = set(int(c) for c in probed)
+
+    assigned = _read(sf_dir).map_batches(
+        _CellAssigner, fn_constructor_args=(cent_ref,),
+        batch_format="pyarrow", batch_size=4096, concurrency=_pool())
+    pruned = assigned.map_batches(
+        lambda t: t.filter(pa.array(
+            [c in probed_set for c in t["cell"].to_pylist()])),
+        batch_format="pyarrow")
+
+    qref = ray.put((q_ids, q))
+    partials = pruned.map_batches(
+        _TopKScorer, fn_constructor_args=(qref, k),
+        batch_format="pyarrow", batch_size=4096, concurrency=_pool())
+
+    def final(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("cosine", "descending"),
+                                              ("vec_id", "ascending")])
+        k_eff = min(g.num_rows, k)
+        top = g.take(order[:k_eff])
+        return pa.table({"query_id": top["query_id"],
+                         "vec_id": top["vec_id"],
+                         "rank": pa.array(range(1, k_eff + 1), pa.int64())})
+
+    return partials.groupby("query_id").map_groups(final,
+                                                   batch_format="pyarrow")
+
+
 def ann_lsh_buckets(sf_dir: str, bits: int = 12) -> "ray.data.Dataset":
     """The scale path for ANN: SRP-bucketed corpus (bucket, vec_id) — a
     query probes only its bucket (+ Hamming-1 neighbors).  Returned here as

@@ -329,3 +329,19 @@ def test_ngram_jaccard_pairs_matches_bruteforce():
             if union and inter / union >= 0.6:
                 want.add((a, b))
     assert got == want and len(want) > 0
+
+
+def test_ann_ivf_recall_vs_bruteforce():
+    # IVF with nprobe=4/16 cells must recover >=90% of the exact top-10
+    from mail_deduplicate_ray.pipelines import ann
+    d = "/root/testdata/sf0.001"
+    exact = {}
+    for r in ann.ann_bruteforce_topk(d).take_all():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ivf = {}
+    for r in ann.ann_ivf_topk(d).take_all():
+        ivf.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(ivf) == set(exact)
+    hits = sum(len(exact[q] & ivf[q]) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.9, f"IVF recall {hits/total}"
