@@ -345,3 +345,16 @@ def test_ann_ivf_recall_vs_bruteforce():
     hits = sum(len(exact[q] & ivf[q]) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.9, f"IVF recall {hits/total}"
+
+
+@pytest.mark.parametrize("nbuckets", [4, 16])
+def test_distributed_cc_partition_count_independent(nbuckets):
+    # labels must be identical at any shuffle partition count
+    edges = ray.data.from_items(
+        [{"src": f"m{i:02d}", "dst": f"m{(i*7+3) % 25:02d}"}
+         for i in range(25)])
+    got = {r["node"]: r["label"] for r in components.connected_components(
+        edges, driver_threshold=0, nbuckets=nbuckets).take_all()}
+    ref = {r["node"]: r["label"] for r in components.connected_components(
+        edges, driver_threshold=10**9).take_all()}
+    assert got == ref

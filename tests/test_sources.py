@@ -62,3 +62,21 @@ def test_write_clips_lance_gate_roundtrip(tmp_path):
     back = read_clips_lance(out)
     assert back.count() == tbl.num_rows
     assert set(back.schema().names) >= {"clip_id", "bytes", "transcript"}
+
+
+def test_read_clips_fast_columns_pruning(tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+    from mail_deduplicate_ray import synth
+    from mail_deduplicate_ray.sources.clips_io import read_clips_fast
+    tbl, _ = synth.generate_clips(10, seed=6)
+    p = tmp_path / "c.parquet"
+    pq.write_table(tbl, str(p))
+    ds = read_clips_fast(str(p), columns=["clip_id", "dur_ms"])
+    assert set(ds.schema().names) == {"clip_id", "dur_ms"}
+    assert ds.count() == tbl.num_rows
+    # dir-of-files path
+    d = tmp_path / "dir"; d.mkdir()
+    pq.write_table(tbl.slice(0, 5), str(d / "a.parquet"))
+    pq.write_table(tbl.slice(5), str(d / "b.parquet"))
+    assert read_clips_fast(str(d)).count() == tbl.num_rows
