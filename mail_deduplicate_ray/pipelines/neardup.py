@@ -118,12 +118,15 @@ def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
                                         pc.invert(t["decode_ok"]))),
         batch_format="pyarrow")
     # decode failures are rejections too (ref: deduplicate.py:563-576).
-    # Materialized once: all four candidate channels + the settle row
-    # projection read it, so the filter runs once instead of five times.
+    # Deliberately LAZY: the filter is a per-batch boolean mask over the
+    # already-materialized scalar signature table — each of the five
+    # consumers fuses it into its first map for microseconds per batch,
+    # where materializing `usable` would cost a full barrier plus a second
+    # copy of the table in the object store (a scale bug at 10^12 rows).
     usable = sigs.map_batches(
         lambda t: t.filter(pc.and_kleene(pc.invert(t["rejected"]),
                                          t["decode_ok"])),
-        batch_format="pyarrow").materialize()
+        batch_format="pyarrow")
     st["usable_filter"] = _time.time() - _t0
     _t0 = _time.time()
 
