@@ -25,9 +25,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="clips parquet file/dir (or Lance uri); repeatable. "
                         "The same source twice is a hard error "
                         "(≙ ref: deduplicate.py:936-956)")
-    d.add_argument("--time-source", default="ingest_ts",
+    d.add_argument("--time-source", default=None,
                    help="timestamp column for time strategies, or 'none' to "
-                        "disable them (≙ TimeSource, ref: mail.py:51-64)")
+                        "disable them (default ingest_ts; ≙ TimeSource, "
+                        "ref: mail.py:51-64)")
     d.add_argument("--out", default=None, help="output dir for kept rows")
     d.add_argument("--strategy", action="append", default=[],
                    help="selection strategy (repeatable, cascade order; "
@@ -76,7 +77,9 @@ def main(argv: list[str] | None = None) -> int:
         strategies=tuple(args.strategy) or
         ("select-newest", "select-biggest", "select-one"),
         regexp=args.regexp,
-        time_source=args.time_source,
+        # only override when the flag was given — a TOML-configured
+        # time_source must not be clobbered by the argparse default
+        **({"time_source": args.time_source} if args.time_source else {}),
         dry_run=args.dry_run,
     )
     cfg = (DedupConfig.from_toml(args.config, **over) if args.config

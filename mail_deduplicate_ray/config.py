@@ -136,7 +136,9 @@ class DedupConfig:
     # settle: clusters larger than this skip pairwise threshold checks
     # (O(m^2) diffs; the reference assumes small sets — deduplicate.py:270)
     max_pairwise: int = 256
-    # connected-components iteration cap
+    # connected-components round cap (each round = min-label propagation +
+    # pointer-jump compression, so ``r`` rounds cover component diameter
+    # ~2^r; exceeding the cap raises instead of silently splitting)
     cc_max_rounds: int = 10
 
     dry_run: bool = False
@@ -149,6 +151,9 @@ class DedupConfig:
             raise ValueError("audio_bits must be divisible by audio_bands")
         if self.transcript_hash not in ("skip", "raw", "normalized"):
             raise ValueError(f"bad transcript_hash {self.transcript_hash!r}")
+        if self.max_bucket < 2:
+            raise ValueError("max_bucket must be >= 2 (salted chunks need "
+                             "a pivot plus at least one fresh member)")
 
     # fields whose change invalidates SIGNATURE checkpoints (what the
     # decode+signature actors compute); verification thresholds live in
@@ -181,10 +186,18 @@ class DedupConfig:
         "max_bucket",
     )
 
+    # bump whenever the signature FORMAT changes outside config (feature
+    # definition, checkpoint schema, hash kernels) — the fingerprint then
+    # invalidates old checkpoints instead of crashing on missing columns
+    # or silently mixing incompatible features.  v2: 8192-sample zero-pad
+    # FFT window + n_bytes staleness column.
+    SIG_FORMAT_VERSION = 2
+
     def fingerprint(self) -> str:
         """sha256 of the signature-affecting config (ref: cache.py:103-109)."""
         d = asdict(self)
         payload = {k: d[k] for k in self._FINGERPRINTED}
+        payload["__format__"] = self.SIG_FORMAT_VERSION
         blob = json.dumps(payload, sort_keys=True, default=list).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 

@@ -245,16 +245,23 @@ def embedding_neardup_pairs_lsh(sf_dir: str, threshold: float = 0.35,
         nbuckets=16)
 
 
+def _sq_dists(x: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """(n, d) x (k, d) -> (n, k) squared distances via the matmul form
+    ||x||^2 - 2xC^T + ||c||^2 — no (n, k, d) broadcast temporaries."""
+    return ((x * x).sum(axis=1, keepdims=True)
+            - 2.0 * (x @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :])
+
+
 def _kmeans(x: np.ndarray, n_cells: int, iters: int = 10,
             seed: int = 7) -> np.ndarray:
     """Tiny numpy k-means for the IVF coarse quantizer (trained on a
-    driver-side sample — the standard IVF recipe; the corpus itself is
-    never materialized)."""
+    bounded driver-side sample — the standard IVF recipe; the corpus
+    itself is never materialized on the driver)."""
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
     for _ in range(iters):
-        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        assign = _sq_dists(x, cent).argmin(axis=1)
         for c in range(len(cent)):
             m = assign == c
             if m.any():
@@ -268,9 +275,9 @@ class _CellAssigner:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         _, emb = _to_matrix(t)
-        d = ((emb[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
+        assign = _sq_dists(emb, self.cent).argmin(axis=1)
         return t.append_column(
-            "cell", pa.array(d.argmin(axis=1).astype(np.int32), pa.int32()))
+            "cell", pa.array(assign.astype(np.int32), pa.int32()))
 
 
 def ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 10,
@@ -284,23 +291,32 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 10,
     probed cells leave storage.  Approximate by design: recall vs the
     exact baseline is gated in tests, not oracle-matched."""
     import pyarrow.parquet as pq
-    sample = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                           columns=["vec_id", "embedding"])
+    # bounded SAMPLE for quantizer training (first batches only) — the
+    # corpus never lands on the driver whole
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    batches = []
+    got = 0
+    for b in pf.iter_batches(batch_size=8192,
+                             columns=["vec_id", "embedding"]):
+        batches.append(b)
+        got += b.num_rows
+        if got >= 65_536:
+            break
+    sample = pa.Table.from_batches(batches)
     _, x = _to_matrix(sample)
     cent = _kmeans(x, n_cells)
     cent_ref = ray.put(cent)
 
     q_ids, q = _load_queries(sf_dir, n_queries)
-    qd = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    qd = _sq_dists(q, cent)
     probed = np.unique(np.argsort(qd, axis=1)[:, :nprobe])
-    probed_set = set(int(c) for c in probed)
+    probed_arr = pa.array(probed.astype(np.int32), pa.int32())
 
     assigned = _read(sf_dir).map_batches(
         _CellAssigner, fn_constructor_args=(cent_ref,),
         batch_format="pyarrow", batch_size=4096, concurrency=_pool())
     pruned = assigned.map_batches(
-        lambda t: t.filter(pa.array(
-            [c in probed_set for c in t["cell"].to_pylist()])),
+        lambda t: t.filter(pc.is_in(t["cell"], value_set=probed_arr)),
         batch_format="pyarrow")
 
     qref = ray.put((q_ids, q))

@@ -275,9 +275,17 @@ def _gram_sets(t: pa.Table, k: int = 3):
     agree).  Gram definition mirrors the oracle SQL exactly on the ASCII
     corpus: substr(text, i, k) for i in 1..max(len-k+1, 1) — a doc
     shorter than k contributes itself (shingle_hashes' <k whole-string
-    shingle)."""
+    shingle).  An EMPTY text mirrors the oracle too: substr('',1,3) = ''
+    gives the gram set {''} (hashed as the bare FNV offset), so two empty
+    docs pair at Jaccard 1.0 — shingle_hashes alone would return no grams
+    and silently drop those pairs."""
+    import numpy as np
+
+    from mail_deduplicate_ray.functions.shingles import _OFFS
+    empty = np.array([_OFFS], dtype=np.uint64)
     for text in t["text"].to_pylist():
-        yield shingles.shingle_hashes(text or "", k)
+        h = shingles.shingle_hashes(text or "", k)
+        yield h if len(h) else empty
 
 
 def ngram_jaccard_pairs(sf_dir: str,

@@ -155,7 +155,7 @@ def _bucket_slices(df: pd.DataFrame, cap: int):
         # composition is deterministic at any parallelism)
         yield idx[:cap], 0
         pivot = idx[:1]
-        for lo in range(cap, len(idx), cap - 1):
+        for lo in range(cap, len(idx), max(1, cap - 1)):
             chunk = np.concatenate([pivot, idx[lo:lo + cap - 1]])
             if len(chunk) >= 2:
                 yield chunk, 0

@@ -148,10 +148,10 @@ def connected_components(edges: "ray.data.Dataset", max_rounds: int = 10,
     # propagation moves labels one hop per round, jumping halves chain
     # depth, so convergence (a propagation round with changed == 0 — a true
     # fixpoint: every edge label-constant => per-component constant = min)
-    # arrives in O(log diameter) rounds.  ``max_rounds`` keeps its role as
-    # the expected budget; the hard cap below turns non-convergence into a
-    # loud error instead of silently split clusters.
-    hard_cap = max(max_rounds, 64)
+    # arrives in O(log diameter) rounds, so ``max_rounds`` rounds cover
+    # component diameter ~2^max_rounds; exceeding it raises loudly instead
+    # of silently splitting clusters.
+    hard_cap = max_rounds
     rounds = 0
     while True:
         # co-partition labels with adjacency by node-bucket, emit messages

@@ -57,8 +57,9 @@ class DecodeStage:
         for i in range(n):
             try:
                 pcm, sr = codecs.decode(payloads[i], declared[i] or None)
-                if len(pcm) < 8:
-                    raise ValueError("clip too short")
+                # clips shorter than 8 samples decode fine and are KEPT
+                # (zero feature vector, like spectral_features' floor) —
+                # rejection is reserved for actual decode failures
                 w = min(len(pcm), simhash._FFT_WINDOW)
                 pcm_rows[i, :w] = pcm[:w]
                 srs[i] = sr
