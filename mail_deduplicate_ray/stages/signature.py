@@ -29,6 +29,16 @@ from mail_deduplicate_ray.config import DedupConfig
 from mail_deduplicate_ray.functions import hashing, minhash, normalize, shingles
 
 
+def _fixed_bin(m: np.ndarray, width: int) -> pa.FixedSizeBinaryArray:
+    """(n, ...) contiguous array -> n fixed-size binary rows of ``width``
+    bytes, one buffer (no per-row tobytes loop).  Width is explicit so an
+    EMPTY batch still carries the same schema as full ones."""
+    n = m.shape[0]
+    assert n == 0 or m.nbytes // n == width, (m.shape, m.dtype, width)
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(width), n, [None, pa.py_buffer(m.tobytes())])
+
+
 def _fold_keys(keys: pa.Array) -> np.ndarray:
     """exact_key string -> uint64 hash (0 for null) — the 8-byte stand-in
     band rows carry for the all-identical fast path."""
@@ -84,11 +94,9 @@ class SignatureStage:
         # the materialized signature table and LSH shuffle volume ~5x —
         # shuffles are memory-bandwidth-bound, the scaling-critical cost.
         band = self.mh.band_keys(sig)
-        band_bin = pa.array([band[i].tobytes() for i in range(band.shape[0])],
-                            pa.binary())
+        band_bin = _fixed_bin(np.ascontiguousarray(band), cfg.lsh_bands * 8)
         sig8 = (sig % np.uint64(255)).astype(np.uint8)
-        sig8_bin = pa.array([sig8[i].tobytes() for i in range(sig8.shape[0])],
-                            pa.binary())
+        sig8_bin = _fixed_bin(np.ascontiguousarray(sig8), cfg.num_perm)
         ek64 = _fold_keys(batch["exact_key"])
         anchors_arr = pa.array([a.tolist() for a in anchors],
                                pa.list_(pa.uint64()))

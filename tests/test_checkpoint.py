@@ -179,3 +179,11 @@ def test_edge_checkpoint_invalidated_on_channel_change(root):
         ("exact", "minhash"))
     assert DedupConfig(jaccard_threshold=0.9).edge_fingerprint(
         ("minhash",)) != cfg.edge_fingerprint(("minhash",))
+
+
+def test_format_version_feeds_fingerprint(monkeypatch):
+    # bumping SIG_FORMAT_VERSION must invalidate checkpoints wholesale
+    cfg = DedupConfig()
+    fp1 = cfg.fingerprint()
+    monkeypatch.setattr(DedupConfig, "SIG_FORMAT_VERSION", 99)
+    assert DedupConfig().fingerprint() != fp1

@@ -107,3 +107,21 @@ def test_cli_wrapper_clean_error(clips_file, capsys):
     err = capsys.readouterr().err
     assert "error: duplicate input source" in err
     assert "Traceback" not in err
+
+
+def test_toml_time_source_not_clobbered(tmp_path, clips_file, capsys):
+    # a TOML [dedup] time_source survives when --time-source is not given
+    cfg = tmp_path / "cfg.toml"
+    cfg.write_text('[dedup]\ntime_source = "none"\n')
+    assert main(["dedup", "--input", clips_file, "--dry-run",
+                 "--config", str(cfg),
+                 "--strategy", "select-newest"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # time disabled -> the lone time strategy falls through on every cluster
+    assert stats["stats"].get("set_deduplicated", 0) == 0
+    # and the CLI flag still wins when given
+    assert main(["dedup", "--input", clips_file, "--dry-run",
+                 "--config", str(cfg), "--time-source", "ingest_ts",
+                 "--strategy", "select-newest"]) == 0
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2["stats"].get("set_deduplicated", 0) > 0
