@@ -104,6 +104,25 @@ def _jaccard_matrix(sig: np.ndarray) -> np.ndarray:
     return (sig[:, None, :] == sig[None, :, :]).mean(axis=2)
 
 
+_FOLD_SEED = np.uint64(0xCBF29CE484222325)
+_FOLD_P = np.uint64(0x100000001B3)
+
+
+def _fold_u64_cols(m: np.ndarray) -> np.ndarray:
+    """(n, k) uint64 -> (n,) multiply-xor row fingerprints, vectorized over
+    rows (FNV-style).  Used to group byte-identical verification keys inside
+    buckets: ``np.unique`` over plain u64 is ~100x cheaper than
+    ``np.unique(axis=0)`` on the raw byte matrix (whose structured-dtype
+    promotion dominated the containment partition in profiling).  A 64-bit
+    collision merges two DISTINCT keys within one bucket — probability
+    <= max_bucket^2 / 2^65 ~ 2e-15 per bucket, vanishing even at 10^12 rows,
+    and the affected rows already share an LSH band/anchor."""
+    h = np.full(m.shape[0], _FOLD_SEED, dtype=np.uint64)
+    for c in range(m.shape[1]):
+        h = (h * _FOLD_P) ^ m[:, c]
+    return h
+
+
 def _group_expand_edges(ids: np.ndarray, inv: np.ndarray,
                         adj_u: np.ndarray,
                         intra_pass: bool) -> list[tuple[str, str]]:
@@ -226,20 +245,22 @@ def _minhash_partition(df: pd.DataFrame, cfg: DedupConfig,
                             dtype=np.uint8).reshape(n, cfg.num_perm)
     ids_all = df["clip_id"].to_numpy()
     ek_all = df["ek64"].to_numpy().astype(np.uint64)
+    h_all = _fold_u64_cols(sig_all.view(np.uint64).reshape(n, -1))
     out: list[pd.DataFrame] = []
     for idx, dropped in _bucket_slices(df, cfg.max_bucket):
         ek = ek_all[idx]
         if exact_enabled and ek[0] != 0 and (ek == ek[0]).all():
             continue  # exact channel already links these (fast path)
-        sig = sig_all[idx]
         # verify per DISTINCT signature, expand to members: duplication
         # density (many byte-identical signatures per bucket) then costs
-        # O(members), never O(members^2)
-        uniq, inv = np.unique(sig, axis=0, return_inverse=True)
-        if len(uniq) == 1:
+        # O(members), never O(members^2).  Distinctness via the u64 row
+        # fingerprint (precomputed once for the whole partition).
+        _, first, inv = np.unique(h_all[idx], return_index=True,
+                                  return_inverse=True)
+        if len(first) == 1:
             pairs = [(ids_all[idx[0]], ids_all[j]) for j in idx[1:]]
         else:
-            adj_u = _jaccard_matrix(uniq) >= cfg.jaccard_threshold
+            adj_u = _jaccard_matrix(sig_all[idx[first]]) >= cfg.jaccard_threshold
             pairs = _group_expand_edges(ids_all[idx], inv, adj_u,
                                         intra_pass=True)
         if pairs or dropped:
@@ -287,14 +308,13 @@ def _audio_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
     norms = np.linalg.norm(feat_all, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     feat_all = feat_all / norms
+    h_all = _fold_u64_cols(np.concatenate(
+        [fp_all[:, None], dur_all.view(np.uint64)[:, None],
+         np.ascontiguousarray(raw16).view(np.uint64)], axis=1))
     out: list[pd.DataFrame] = []
     for idx, dropped in _bucket_slices(df, cfg.max_bucket):
         # distinct (fp, dur, feature) rows verify; members expand after
-        key = np.concatenate([
-            fp_all[idx, None].view(np.uint8).reshape(len(idx), 8),
-            dur_all[idx, None].view(np.uint8).reshape(len(idx), 8),
-            raw16[idx]], axis=1)
-        _, first, inv = np.unique(key, axis=0, return_index=True,
+        _, first, inv = np.unique(h_all[idx], return_index=True,
                                   return_inverse=True)
         rep = idx[first]
         m = len(rep)
@@ -345,17 +365,16 @@ def _containment_partition(df: pd.DataFrame,
                             dtype=np.uint8).reshape(n, cfg.num_perm)
     ids_all = df["clip_id"].to_numpy()
     sizes_all = df["set_size"].to_numpy().astype(np.float64)
+    h_all = _fold_u64_cols(np.concatenate(
+        [sig_all.view(np.uint64).reshape(n, -1),
+         sizes_all.view(np.uint64)[:, None]], axis=1))
     out: list[pd.DataFrame] = []
     for idx, dropped in _bucket_slices(df, cfg.max_bucket):
         # distinct (signature, set_size) rows verify; members expand after
         # (identical rows never pair HERE — same-size rows belong to the
         # minhash/exact channels — but closure membership still links them
         # through the group they ride with: intra_pass=False)
-        key = np.concatenate([
-            sig_all[idx],
-            sizes_all[idx, None].view(np.uint8).reshape(len(idx), 8)],
-            axis=1)
-        _, first, inv = np.unique(key, axis=0, return_index=True,
+        _, first, inv = np.unique(h_all[idx], return_index=True,
                                   return_inverse=True)
         rep = idx[first]
         sizes = sizes_all[rep].astype(np.float64)
