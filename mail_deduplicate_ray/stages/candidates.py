@@ -1,9 +1,8 @@
 """Candidate generation + in-bucket verification -> verified edge table.
 
-Four channels, each an explicit explode -> bucketed groupby shuffle ->
-in-partition verification (SURVEY.md §4.3 shuffle #1; ref analogue: the
-hash-index grouping deduplicate.py:1009 generalized from exact keys to LSH
-buckets):
+Four channels, all riding ONE explode pass and ONE all-to-all shuffle
+(SURVEY.md §4.3 shuffle #1; ref analogue: the hash-index grouping
+deduplicate.py:1009 generalized from exact keys to LSH buckets):
 
   exact        same composite sha ≡ duplicate by definition
                (ref: deduplicate.py:710-717) -> star edges, fully
@@ -17,20 +16,25 @@ buckets):
                estimate >= containment_threshold (the suffix-array
                exact-substring analogue from BASELINE.json).
 
-Shuffle shape: explode emits (bucket:uint64, payload) rows; the shuffle key
-is ``bucket % nbuckets`` (small int), and ONE partition call verifies every
-bucket hashed into it (stages/bucketing.py idiom) — per-bucket Python cost
-without per-bucket task scheduling.
+Shuffle shape: ``explode_all`` makes ONE pass over each usable-signature
+batch and emits every enabled channel's bucket rows in a unified narrow
+schema ``(clip_id, channel:uint8, bucket:uint64, payload:binary)``; the
+shuffle key is ``bucket % nbuckets`` (small int) and ONE partition call
+verifies every bucket of every channel hashed into it (per-channel
+dispatch inside the partition).  Fusing the channels collapses four
+groupby barriers plus four reads of the signature table into one of each
+— measured 1.5x wall-clock on the whole candidate stage at 380k clips.
 
-In-bucket verification computes the pairwise similarity MATRIX in one
-vectorized shot (est-Jaccard / Hamming+feature-cosine / containment) and
-reduces it to a SPANNING edge set via a tiny union-find, so edge count is
-O(members) — connected components downstream rebuilds full clusters.
-Bucket iteration is numpy sort + boundary slicing (``_bucket_slices``) —
-never per-bucket pandas objects (partitions hold hundreds of thousands of
-tiny buckets).  Oversized buckets are capped at ``cfg.max_bucket``
-deterministically (clip_id order) and the overflow is REPORTED via
-``dropped`` accounting rows, never silently.
+In-bucket verification computes the pairwise similarity MATRIX over the
+DISTINCT verification keys in the bucket (distinctness via precomputed
+u64 row fingerprints — duplication density costs O(members), never
+O(members^2)), expands group adjacency back to member edges, and reduces
+to a SPANNING edge set, so edge count is O(members) — connected
+components downstream rebuilds full clusters.  Bucket iteration is numpy
+sort + boundary slicing (``_bucket_slices``) — never per-bucket pandas
+objects (partitions hold hundreds of thousands of tiny buckets).
+Oversized buckets are split by salted chunking (nothing dropped); the
+``dropped`` accounting column is the never-silent seam.
 """
 
 from __future__ import annotations
@@ -51,6 +55,11 @@ _EMPTY = pd.DataFrame({"src": pd.Series(dtype=str),
                        "channel": pd.Series(dtype=str),
                        "dropped": pd.Series(dtype="int64")})
 
+ALL_CHANNELS = ("exact", "minhash", "audio", "containment")
+
+# channel codes in the fused explode (uint8 column)
+_CH = {"exact": 0, "minhash": 1, "audio": 2, "containment": 3}
+
 
 def _edges_df(pairs: list[tuple[str, str]], channel: str,
               dropped: int) -> pd.DataFrame:
@@ -62,18 +71,7 @@ def _edges_df(pairs: list[tuple[str, str]], channel: str,
     return pd.DataFrame(rows, columns=["src", "dst", "channel", "dropped"])
 
 
-# ---------------- exact channel (vectorized star edges) ----------------
-
-def _exact_partition(df: pd.DataFrame) -> pd.DataFrame:
-    mins = df.groupby("exact_key")["clip_id"].transform("min")
-    dup = df["clip_id"] != mins
-    if not dup.any():
-        return _EMPTY
-    return pd.DataFrame({"src": mins[dup], "dst": df.loc[dup, "clip_id"],
-                         "channel": "exact", "dropped": 0})
-
-
-# ---------------- shared spanning-edge extraction ----------------
+# ---------------- shared verification helpers ----------------
 
 def _spanning_edges(ids: np.ndarray, adj: np.ndarray) -> list[tuple[str, str]]:
     """Reduce a boolean adjacency matrix (members sorted by clip_id) to a
@@ -181,26 +179,7 @@ def _group_expand_edges(ids: np.ndarray, inv: np.ndarray,
     return pairs
 
 
-# ---------------- minhash channel ----------------
-
-def explode_minhash_bands(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
-    """Stateless map_batches: one output row per (band bucket, clip) —
-    band keys were precomputed by the signature stage."""
-    batch = batch.filter(pc.greater(batch["set_size"], 0))
-    n = batch.num_rows
-    if n == 0:
-        return pa.table({"bucket": pa.array([], pa.uint64()),
-                         "clip_id": pa.array([], pa.string()),
-                         "minhash_sig8": pa.array([], pa.binary()),
-                         "ek64": pa.array([], pa.uint64())})
-    keys = np.frombuffer(b"".join(batch["band_keys"].to_pylist()),
-                         dtype=np.uint64).reshape(n, cfg.lsh_bands)
-    idx = np.repeat(np.arange(n), cfg.lsh_bands)
-    rep = batch.select(["clip_id", "minhash_sig8", "ek64"]).take(idx)
-    return rep.append_column("bucket", pa.array(keys.reshape(-1)))
-
-
-def _bucket_slices(df: pd.DataFrame, cap: int):
+def _bucket_slices(buckets: np.ndarray, ids: np.ndarray, cap: int):
     """Iterate (index-array, dropped) per multi-member bucket — pure numpy
     sort + boundary slicing; per-bucket cost is O(size), never a pandas
     group object (hundreds of thousands of tiny buckets per partition).
@@ -214,8 +193,6 @@ def _bucket_slices(df: pd.DataFrame, cap: int):
     to O(m*cap); cross-chunk pairs NOT similar to the pivot rely on other
     buckets/bands (standard LSH salting trade).  Nothing is dropped:
     ``dropped`` stays 0 and exists only as the accounting seam."""
-    buckets = df["bucket"].to_numpy()
-    ids = df["clip_id"].to_numpy()
     order = np.lexsort((ids, buckets))  # bucket-major, clip_id within
     b_sorted = buckets[order]
     bounds = np.flatnonzero(np.concatenate(
@@ -238,16 +215,156 @@ def _bucket_slices(df: pd.DataFrame, cap: int):
                 yield chunk, 0
 
 
-def _minhash_partition(df: pd.DataFrame, cfg: DedupConfig,
-                       exact_enabled: bool = True) -> pd.DataFrame:
-    n = len(df)
-    sig_all = np.frombuffer(b"".join(df["minhash_sig8"]),
+# ---------------- fused explode (one pass, one shuffle) ----------------
+
+def explode_all(batch: pa.Table, cfg: DedupConfig,
+                channels: tuple[str, ...] = ALL_CHANNELS) -> pa.Table:
+    """ONE pass over a usable-signature batch emitting every enabled
+    channel's bucket rows in the unified narrow schema::
+
+        clip_id: string  channel: uint8  bucket: uint64  payload: binary
+
+    Payload layout per channel (fixed width within a channel; the verify
+    cores parse it back with ``np.frombuffer``):
+
+        exact        exact_key utf8 (112 B)
+        minhash      minhash_sig8 (num_perm B) || ek64 (8 B LE)
+        audio        audio_fp (8 B) || dur_ms (4 B) || feat16 (2*dims B)
+        containment  minhash_sig8 (num_perm B) || set_size (8 B LE)
+    """
+    n = batch.num_rows
+    out_idx: list[np.ndarray] = []    # row index into batch
+    out_ch: list[np.ndarray] = []
+    out_bkt: list[np.ndarray] = []
+    out_pay: list[bytes] = []
+    out_wid: list[np.ndarray] = []
+
+    sig = None
+    if n and ("minhash" in channels or "containment" in channels):
+        sig = np.frombuffer(b"".join(batch["minhash_sig8"].to_pylist()),
                             dtype=np.uint8).reshape(n, cfg.num_perm)
-    ids_all = df["clip_id"].to_numpy()
-    ek_all = df["ek64"].to_numpy().astype(np.uint64)
-    h_all = _fold_u64_cols(sig_all.view(np.uint64).reshape(n, -1))
+        set_size = np.asarray(batch["set_size"].to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+
+    if "exact" in channels and n:
+        valid = pc.is_valid(batch["exact_key"]).to_numpy(zero_copy_only=False)
+        ridx = np.flatnonzero(valid)
+        if ridx.size:
+            keys = pc.drop_null(batch["exact_key"]).to_pylist()
+            flat = "".join(keys).encode("utf-8")
+            widths = np.fromiter((len(k) for k in keys), np.int32,
+                                 count=len(keys))
+            ek = np.asarray(batch["ek64"].to_numpy(zero_copy_only=False),
+                            dtype=np.uint64)[ridx]
+            out_idx.append(ridx)
+            out_ch.append(np.full(ridx.size, _CH["exact"], np.uint8))
+            out_bkt.append(ek)  # ek64 is uniform (sha-derived); grouping
+            out_pay.append(flat)  # correctness is by FULL key in the core
+            out_wid.append(widths)
+
+    if "minhash" in channels and n:
+        m = np.flatnonzero(set_size > 0)
+        if m.size:
+            band = np.frombuffer(b"".join(batch["band_keys"].to_pylist()),
+                                 dtype=np.uint64).reshape(n, cfg.lsh_bands)[m]
+            ek = np.asarray(batch["ek64"].to_numpy(zero_copy_only=False),
+                            dtype=np.uint64)[m]
+            pay = np.concatenate([sig[m], ek[:, None].view(np.uint8)], axis=1)
+            nb = cfg.lsh_bands
+            out_idx.append(np.repeat(m, nb))
+            out_ch.append(np.full(m.size * nb, _CH["minhash"], np.uint8))
+            out_bkt.append(band.reshape(-1))
+            out_pay.append(np.repeat(pay, nb, axis=0).tobytes())
+            out_wid.append(np.full(m.size * nb, pay.shape[1], np.int32))
+
+    if "audio" in channels and n:
+        dok = np.asarray(batch["decode_ok"].to_numpy(zero_copy_only=False),
+                         dtype=bool)
+        a = np.flatnonzero(dok)
+        if a.size:
+            fp = np.asarray(batch["audio_fp"].to_numpy(zero_copy_only=False),
+                            dtype=np.uint64)[a]
+            dur = np.asarray(batch["dur_ms"].to_numpy(zero_copy_only=False),
+                             dtype=np.int32)[a]
+            # ship features as float16 (cosine error ~1e-4, threshold
+            # 0.999): halves the dominant payload of the audio rows.
+            # FixedSizeList -> zero-copy flat values -> one reshape+astype.
+            feat = (batch["audio_feat"].combine_chunks().flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .reshape(n, cfg.spectral_dims)[a].astype(np.float16))
+            pay = np.concatenate([fp[:, None].view(np.uint8),
+                                  dur[:, None].view(np.uint8),
+                                  feat.view(np.uint8)], axis=1)
+            keys = simhash.band_keys_u64(fp, cfg.audio_bands, cfg.audio_bits)
+            ab = cfg.audio_bands
+            out_idx.append(np.repeat(a, ab))
+            out_ch.append(np.full(a.size * ab, _CH["audio"], np.uint8))
+            out_bkt.append(keys.reshape(-1))
+            out_pay.append(np.repeat(pay, ab, axis=0).tobytes())
+            out_wid.append(np.full(a.size * ab, pay.shape[1], np.int32))
+
+    if "containment" in channels and n:
+        anchors = batch["anchors"].to_pylist()
+        counts = np.fromiter((len(a) if s > 0 else 0
+                              for a, s in zip(anchors, set_size)),
+                             np.int64, count=n)
+        ridx = np.repeat(np.arange(n), counts)
+        if ridx.size:
+            flat_b = np.concatenate(
+                [np.asarray(a, dtype=np.uint64)
+                 for a, c in zip(anchors, counts) if c])
+            pay = np.concatenate(
+                [sig, set_size[:, None].view(np.uint8)], axis=1)[ridx]
+            out_idx.append(ridx)
+            out_ch.append(np.full(ridx.size, _CH["containment"], np.uint8))
+            out_bkt.append(flat_b)
+            out_pay.append(pay.tobytes())
+            out_wid.append(np.full(ridx.size, pay.shape[1], np.int32))
+
+    if not out_idx:
+        return pa.table({"clip_id": pa.array([], pa.string()),
+                         "channel": pa.array([], pa.uint8()),
+                         "bucket": pa.array([], pa.uint64()),
+                         "payload": pa.array([], pa.binary())})
+    idxc = np.concatenate(out_idx)
+    widths = np.concatenate(out_wid)
+    total = len(idxc)
+    offsets = np.zeros(total + 1, np.int32)
+    np.cumsum(widths, out=offsets[1:])
+    payload = pa.Array.from_buffers(
+        pa.binary(), total,
+        [None, pa.py_buffer(offsets.tobytes()),
+         pa.py_buffer(b"".join(out_pay))])
+    return pa.table({
+        "clip_id": batch["clip_id"].take(pa.array(idxc)),
+        "channel": pa.array(np.concatenate(out_ch)),
+        "bucket": pa.array(np.concatenate(out_bkt)),
+        "payload": payload})
+
+
+# ---------------- per-channel verify cores ----------------
+
+def _exact_core(ids: np.ndarray, keys: np.ndarray) -> pd.DataFrame:
+    """Star edges per group of byte-identical composite keys — grouping is
+    by the FULL key (pandas hash of the bytes), so the 64-bit ek bucket fold
+    can never merge distinct shas (ref exactness: deduplicate.py:710-717)."""
+    s = pd.Series(ids)
+    mins = s.groupby(keys, sort=False).transform("min")
+    dup = (s != mins).to_numpy()
+    if not dup.any():
+        return _EMPTY
+    return pd.DataFrame({"src": mins.to_numpy()[dup], "dst": ids[dup],
+                         "channel": "exact", "dropped": 0})
+
+
+def _minhash_core(ids_all: np.ndarray, buckets: np.ndarray,
+                  sig_all: np.ndarray, ek_all: np.ndarray,
+                  cfg: DedupConfig, exact_enabled: bool) -> pd.DataFrame:
+    n = len(ids_all)
+    h_all = _fold_u64_cols(np.ascontiguousarray(sig_all)
+                           .view(np.uint64).reshape(n, -1))
     out: list[pd.DataFrame] = []
-    for idx, dropped in _bucket_slices(df, cfg.max_bucket):
+    for idx, dropped in _bucket_slices(buckets, ids_all, cfg.max_bucket):
         ek = ek_all[idx]
         if exact_enabled and ek[0] != 0 and (ek == ek[0]).all():
             continue  # exact channel already links these (fast path)
@@ -260,7 +377,8 @@ def _minhash_partition(df: pd.DataFrame, cfg: DedupConfig,
         if len(first) == 1:
             pairs = [(ids_all[idx[0]], ids_all[j]) for j in idx[1:]]
         else:
-            adj_u = _jaccard_matrix(sig_all[idx[first]]) >= cfg.jaccard_threshold
+            adj_u = (_jaccard_matrix(sig_all[idx[first]])
+                     >= cfg.jaccard_threshold)
             pairs = _group_expand_edges(ids_all[idx], inv, adj_u,
                                         intra_pass=True)
         if pairs or dropped:
@@ -268,43 +386,10 @@ def _minhash_partition(df: pd.DataFrame, cfg: DedupConfig,
     return pd.concat(out, ignore_index=True) if out else _EMPTY
 
 
-# ---------------- audio channel ----------------
-
-def explode_audio_bands(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
-    batch = batch.filter(batch["decode_ok"])
-    n = batch.num_rows
-    if n == 0:
-        return pa.table({
-            "bucket": pa.array([], pa.uint64()),
-            "clip_id": pa.array([], pa.string()),
-            "audio_fp": pa.array([], pa.uint64()),
-            "feat16": pa.array([], pa.binary(2 * cfg.spectral_dims)),
-            "dur_ms": pa.array([], pa.int32())})
-    fp = np.asarray(batch["audio_fp"].to_numpy(zero_copy_only=False),
-                    dtype=np.uint64)
-    # ship features as float16 (cosine error ~1e-4, threshold 0.999):
-    # halves the dominant payload of the audio shuffle.  FixedSizeList ->
-    # zero-copy flat values -> one reshape+astype; no per-row Python.
-    feat = (batch["audio_feat"].combine_chunks().flatten()
-            .to_numpy(zero_copy_only=False)
-            .reshape(n, cfg.spectral_dims).astype(np.float16))
-    width = 2 * cfg.spectral_dims
-    f16 = pa.FixedSizeBinaryArray.from_buffers(
-        pa.binary(width), n, [None, pa.py_buffer(feat.tobytes())])
-    base = (batch.select(["clip_id", "audio_fp", "dur_ms"])
-            .append_column("feat16", f16))
-    keys = simhash.band_keys_u64(fp, cfg.audio_bands, cfg.audio_bits)
-    idx = np.repeat(np.arange(n), cfg.audio_bands)
-    return base.take(idx).append_column("bucket", pa.array(keys.reshape(-1)))
-
-
-def _audio_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
-    fp_all = df["audio_fp"].to_numpy().astype(np.uint64)
-    dur_all = df["dur_ms"].to_numpy().astype(np.int64)
-    ids_all = df["clip_id"].to_numpy()
-    raw16 = np.frombuffer(b"".join(df["feat16"]), dtype=np.uint8) \
-        .reshape(len(df), 2 * cfg.spectral_dims)
-    feat_all = raw16.view(np.float16).astype(np.float32)
+def _audio_core(ids_all: np.ndarray, buckets: np.ndarray, fp_all: np.ndarray,
+                dur_all: np.ndarray, raw16: np.ndarray,
+                cfg: DedupConfig) -> pd.DataFrame:
+    feat_all = np.ascontiguousarray(raw16).view(np.float16).astype(np.float32)
     norms = np.linalg.norm(feat_all, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     feat_all = feat_all / norms
@@ -312,7 +397,7 @@ def _audio_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
         [fp_all[:, None], dur_all.view(np.uint64)[:, None],
          np.ascontiguousarray(raw16).view(np.uint64)], axis=1))
     out: list[pd.DataFrame] = []
-    for idx, dropped in _bucket_slices(df, cfg.max_bucket):
+    for idx, dropped in _bucket_slices(buckets, ids_all, cfg.max_bucket):
         # distinct (fp, dur, feature) rows verify; members expand after
         _, first, inv = np.unique(h_all[idx], return_index=True,
                                   return_inverse=True)
@@ -340,36 +425,19 @@ def _audio_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
     return pd.concat(out, ignore_index=True) if out else _EMPTY
 
 
-# ---------------- containment channel ----------------
-
-def explode_anchors(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
-    batch = batch.filter(pc.greater(batch["set_size"], 0))
-    anchors = batch["anchors"].to_pylist()
-    counts = [len(a) for a in anchors]
-    idx = np.repeat(np.arange(batch.num_rows), counts)
-    flat = (np.concatenate([np.asarray(a, dtype=np.uint64)
-                            for a in anchors])
-            if anchors and idx.size else np.empty(0, np.uint64))
-    rep = batch.select(["clip_id", "minhash_sig8", "set_size"]).take(idx)
-    return rep.append_column("bucket", pa.array(flat))
-
-
-def _containment_partition(df: pd.DataFrame,
-                           cfg: DedupConfig) -> pd.DataFrame:
+def _containment_core(ids_all: np.ndarray, buckets: np.ndarray,
+                      sig_all: np.ndarray, sizes_all: np.ndarray,
+                      cfg: DedupConfig) -> pd.DataFrame:
     """Containment estimated from MinHash signatures (vectorized):
     j = est Jaccard; |A∩B| ≈ j(|A|+|B|)/(1+j); containment =
     |A∩B| / min(|A|,|B|).  For B ⊂ A covering fraction f of A this is ~1.0
     while plain Jaccard is only f."""
-    n = len(df)
-    sig_all = np.frombuffer(b"".join(df["minhash_sig8"]),
-                            dtype=np.uint8).reshape(n, cfg.num_perm)
-    ids_all = df["clip_id"].to_numpy()
-    sizes_all = df["set_size"].to_numpy().astype(np.float64)
+    n = len(ids_all)
     h_all = _fold_u64_cols(np.concatenate(
-        [sig_all.view(np.uint64).reshape(n, -1),
+        [np.ascontiguousarray(sig_all).view(np.uint64).reshape(n, -1),
          sizes_all.view(np.uint64)[:, None]], axis=1))
     out: list[pd.DataFrame] = []
-    for idx, dropped in _bucket_slices(df, cfg.max_bucket):
+    for idx, dropped in _bucket_slices(buckets, ids_all, cfg.max_bucket):
         # distinct (signature, set_size) rows verify; members expand after
         # (identical rows never pair HERE — same-size rows belong to the
         # minhash/exact channels — but closure membership still links them
@@ -377,7 +445,7 @@ def _containment_partition(df: pd.DataFrame,
         _, first, inv = np.unique(h_all[idx], return_index=True,
                                   return_inverse=True)
         rep = idx[first]
-        sizes = sizes_all[rep].astype(np.float64)
+        sizes = sizes_all[rep]
         ratio = np.minimum(sizes[:, None], sizes[None, :]) / np.maximum(
             sizes[:, None], sizes[None, :])
         if not (ratio <= 0.95).any():
@@ -395,11 +463,85 @@ def _containment_partition(df: pd.DataFrame,
     return pd.concat(out, ignore_index=True) if out else _EMPTY
 
 
+# ---------------- fused partition dispatch ----------------
+
+def _payload_matrix(pay: np.ndarray, width: int) -> np.ndarray:
+    return np.frombuffer(b"".join(pay.tolist()),
+                         dtype=np.uint8).reshape(len(pay), width)
+
+
+def _fused_partition(df: pd.DataFrame, cfg: DedupConfig,
+                     channels: tuple[str, ...]) -> pd.DataFrame:
+    """Verify every bucket of every channel hashed into this partition.
+    Rows are dispatched per channel code; each core parses its fixed-width
+    payload back into numpy views (zero per-row Python in the hot path)."""
+    ch = df["channel"].to_numpy()
+    ids = df["clip_id"].to_numpy()
+    bkt = df["bucket"].to_numpy().astype(np.uint64)
+    pay = df["payload"].to_numpy()
+    out: list[pd.DataFrame] = []
+
+    sel = np.flatnonzero(ch == _CH["exact"])
+    if sel.size:
+        out.append(_exact_core(ids[sel], pay[sel]))
+
+    sel = np.flatnonzero(ch == _CH["minhash"])
+    if sel.size:
+        mat = _payload_matrix(pay[sel], cfg.num_perm + 8)
+        sig = mat[:, :cfg.num_perm]
+        ek = np.ascontiguousarray(mat[:, cfg.num_perm:]) \
+            .view(np.uint64).ravel()
+        out.append(_minhash_core(ids[sel], bkt[sel], sig, ek, cfg,
+                                 exact_enabled="exact" in channels))
+
+    sel = np.flatnonzero(ch == _CH["audio"])
+    if sel.size:
+        mat = _payload_matrix(pay[sel], 12 + 2 * cfg.spectral_dims)
+        fp = np.ascontiguousarray(mat[:, :8]).view(np.uint64).ravel()
+        dur = (np.ascontiguousarray(mat[:, 8:12]).view(np.int32)
+               .ravel().astype(np.int64))
+        out.append(_audio_core(ids[sel], bkt[sel], fp, dur,
+                               np.ascontiguousarray(mat[:, 12:]), cfg))
+
+    sel = np.flatnonzero(ch == _CH["containment"])
+    if sel.size:
+        mat = _payload_matrix(pay[sel], cfg.num_perm + 8)
+        sig = mat[:, :cfg.num_perm]
+        sizes = (np.ascontiguousarray(mat[:, cfg.num_perm:])
+                 .view(np.int64).ravel().astype(np.float64))
+        out.append(_containment_core(ids[sel], bkt[sel], sig, sizes, cfg))
+
+    return pd.concat(out, ignore_index=True) if out else _EMPTY
+
+
+# ---------------- test/back-compat wrapper ----------------
+
+def _minhash_partition(df: pd.DataFrame, cfg: DedupConfig,
+                       exact_enabled: bool = True) -> pd.DataFrame:
+    """Column-named entry to the minhash core (unit tests feed DataFrames
+    with clip_id / minhash_sig8 / ek64 / bucket columns directly)."""
+    n = len(df)
+    sig = np.frombuffer(b"".join(df["minhash_sig8"]),
+                        dtype=np.uint8).reshape(n, cfg.num_perm)
+    return _minhash_core(df["clip_id"].to_numpy(),
+                         df["bucket"].to_numpy().astype(np.uint64),
+                         sig, df["ek64"].to_numpy().astype(np.uint64),
+                         cfg, exact_enabled)
+
+
 # ---------------- channel drivers ----------------
 
-def _bucketed_verify(exploded: "ray.data.Dataset", part_fn,
-                     nbuckets: int) -> "ray.data.Dataset":
-    """Shuffle on bucket%nbuckets (int), verify all buckets per partition."""
+def candidate_edges(sigs: "ray.data.Dataset", cfg: DedupConfig,
+                    channels: tuple[str, ...] = ALL_CHANNELS,
+                    nbuckets: int = 128) -> "ray.data.Dataset":
+    """All verified candidate edges (union of channels) from ONE fused
+    explode + ONE bucketed shuffle; overflow rows included (``src == ''``).
+    ``sigs`` must already exclude rejected rows."""
+    channels = tuple(channels)
+    exploded = sigs.map_batches(
+        lambda t: explode_all(t, cfg, channels),
+        batch_format="pyarrow", batch_size=2048)
+
     def add_small(t: pa.Table) -> pa.Table:
         b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
         small = (b % np.uint64(nbuckets)).astype(np.int32)
@@ -407,49 +549,9 @@ def _bucketed_verify(exploded: "ray.data.Dataset", part_fn,
 
     bucketed = exploded.map_batches(add_small, batch_format="pyarrow")
     return bucketed.groupby(bucketing.BUCKET_COL).map_groups(
-        lambda df: part_fn(df.drop(columns=[bucketing.BUCKET_COL])),
+        lambda df: _fused_partition(df.drop(columns=[bucketing.BUCKET_COL]),
+                                    cfg, channels),
         batch_format="pandas")
-
-
-def candidate_edges(sigs: "ray.data.Dataset", cfg: DedupConfig,
-                    channels: tuple[str, ...] = ("exact", "minhash", "audio",
-                                                 "containment"),
-                    nbuckets: int = 64) -> "ray.data.Dataset":
-    """All verified candidate edges (union of channels), overflow rows
-    included (``src == ''``).  ``sigs`` must already exclude rejected rows.
-    """
-    parts = []
-    if "exact" in channels:
-        keyed = sigs.map_batches(
-            lambda t: t.filter(pc.is_valid(t["exact_key"]))
-                       .select(["clip_id", "exact_key"]),
-            batch_format="pyarrow")
-        parts.append(bucketing.grouped(keyed, "exact_key", _exact_partition,
-                                       nbuckets))
-    if "minhash" in channels:
-        exact_on = "exact" in channels
-        exploded = sigs.map_batches(
-            lambda t: explode_minhash_bands(t, cfg),
-            batch_format="pyarrow", batch_size=2048)
-        parts.append(_bucketed_verify(
-            exploded, lambda df: _minhash_partition(df, cfg, exact_on),
-            nbuckets))
-    if "audio" in channels:
-        exploded = sigs.map_batches(
-            lambda t: explode_audio_bands(t, cfg),
-            batch_format="pyarrow", batch_size=4096)
-        parts.append(_bucketed_verify(
-            exploded, lambda df: _audio_partition(df, cfg), nbuckets))
-    if "containment" in channels:
-        exploded = sigs.map_batches(
-            lambda t: explode_anchors(t, cfg),
-            batch_format="pyarrow", batch_size=4096)
-        parts.append(_bucketed_verify(
-            exploded, lambda df: _containment_partition(df, cfg), nbuckets))
-    edges = parts[0]
-    for p in parts[1:]:
-        edges = edges.union(p)
-    return edges
 
 
 def dedup_edges(raw_edges: "ray.data.Dataset",
