@@ -34,8 +34,10 @@ def _wav_header(fmt_tag: int, sr_hz: int, bits: int, n_bytes: int) -> bytes:
     )
 
 
-def _parse_wav(data: bytes) -> tuple[int, int, bytes]:
-    """Return (fmt_tag, sr_hz, payload). Raises ValueError on malformed input."""
+def _parse_wav(data: "bytes | memoryview") -> tuple[int, int, "bytes | memoryview"]:
+    """Return (fmt_tag, sr_hz, payload). Raises ValueError on malformed input.
+    Accepts a memoryview so callers can pass Arrow buffer slices without a
+    per-row bytes copy; the returned payload is then a memoryview too."""
     if len(data) < _RIFF.size:
         raise ValueError("truncated WAV header")
     (riff, _sz, wave, _fmt, _fmtsz, fmt_tag, channels, sr_hz,
@@ -108,7 +110,11 @@ def encode(x: np.ndarray, sr_hz: int, codec: str) -> bytes:
     return enc(x, sr_hz)
 
 
-def decode(data: bytes, declared_codec: str | None = None) -> tuple[np.ndarray, int]:
+_TAG_SAMPLE_BYTES = {1: 2, 7: 1}
+
+
+def decode(data: "bytes | memoryview", declared_codec: str | None = None,
+           max_samples: int | None = None) -> tuple[np.ndarray, int]:
     """Decode `bytes` -> (float32 PCM, sr_hz).
 
     Mirrors the reference's declared-then-sniffed fallback cascade
@@ -116,6 +122,12 @@ def decode(data: bytes, declared_codec: str | None = None) -> tuple[np.ndarray, 
     declared codec; unknown tags / malformed containers raise ValueError
     (the decode *stage* converts that into a rejection row, never an
     exception — ref: deduplicate.py:563-576).
+
+    ``data`` may be a memoryview (zero-copy Arrow buffer slice); the
+    container is still validated against its declared length in full.
+    ``max_samples`` limits the sample CONVERSION to a prefix — the decode
+    stage only feeds the first ``_FFT_WINDOW`` samples to the spectral
+    features, so converting the rest is pure DRAM traffic at 100 TB scale.
     """
     if declared_codec == "flac":
         return _decode_flac(data), 0
@@ -123,6 +135,8 @@ def decode(data: bytes, declared_codec: str | None = None) -> tuple[np.ndarray, 
     dec = _TAG_DECODERS.get(fmt_tag)
     if dec is None:
         raise ValueError(f"unsupported WAV format tag {fmt_tag}")
+    if max_samples is not None:
+        payload = payload[:_TAG_SAMPLE_BYTES[fmt_tag] * max_samples]
     return dec(payload), sr_hz
 
 
