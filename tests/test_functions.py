@@ -44,6 +44,61 @@ class TestCodecs:
         with pytest.raises(NotImplementedError):
             codecs.decode(b"fLaC....", "flac")
 
+    def test_memoryview_input_matches_bytes(self):
+        # the decode stage slices memoryviews off the Arrow buffer
+        data = codecs.encode(_tone(), 16000, "pcm_s16le")
+        yb, srb = codecs.decode(data)
+        ym, srm = codecs.decode(memoryview(data))
+        assert srb == srm and np.array_equal(yb, ym)
+
+    @pytest.mark.parametrize("codec", ["pcm_s16le", "ulaw"])
+    def test_max_samples_prefix(self, codec):
+        x = _tone()
+        data = codecs.encode(x, 16000, codec)
+        full, _ = codecs.decode(data, codec)
+        pre, _ = codecs.decode(data, codec, max_samples=100)
+        assert len(pre) == 100 and np.array_equal(pre, full[:100])
+        # asking for more than the clip holds returns the whole clip
+        over, _ = codecs.decode(data, codec, max_samples=10 * len(x))
+        assert np.array_equal(over, full)
+
+
+class TestDecodeStageZeroCopy:
+    """The decode stage reads payloads as Arrow-buffer memoryview slices;
+    null rows, sliced batches and chunked columns must all behave."""
+
+    def _table(self, payloads, codecs_col=None):
+        n = len(payloads)
+        return pa.table({
+            "clip_id": pa.array([f"c{i}" for i in range(n)]),
+            "bytes": pa.array(payloads, pa.binary()),
+            "sr_hz": pa.array([16000] * n, pa.int32()),
+            "dur_ms": pa.array([500] * n, pa.int32()),
+            "codec": pa.array(codecs_col or ["pcm_s16le"] * n),
+            "transcript": pa.array(["t"] * n),
+        })
+
+    def test_null_payload_is_rejected_not_crash(self):
+        from mail_deduplicate_ray.stages.decode import DecodeStage
+        good = codecs.encode(_tone(), 16000, "pcm_s16le")
+        out = DecodeStage(DedupConfig())(self._table([good, None, good]))
+        assert out["decode_ok"].to_pylist() == [True, False, True]
+        assert out["decode_reason"].to_pylist()[1] == "decode_failed"
+        fps = out["audio_fp"].to_pylist()
+        assert fps[0] == fps[2] != 0
+
+    def test_sliced_and_chunked_batches_match_whole(self):
+        from mail_deduplicate_ray.stages.decode import DecodeStage
+        payloads = [codecs.encode(_tone(f=200.0 + 50 * i), 16000, "pcm_s16le")
+                    for i in range(6)]
+        tbl = self._table(payloads)
+        stage = DecodeStage(DedupConfig())
+        whole = stage(tbl)["audio_fp"].to_pylist()
+        sliced = stage(tbl.slice(2, 3))["audio_fp"].to_pylist()
+        assert sliced == whole[2:5]
+        chunked = pa.concat_tables([tbl.slice(0, 2), tbl.slice(2)])
+        assert stage(chunked)["audio_fp"].to_pylist() == whole
+
 
 class TestNormalize:
     def test_strip_leading_markers(self):
