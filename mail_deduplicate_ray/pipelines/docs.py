@@ -211,30 +211,21 @@ def minhash_clusters_docs(sf_dir: str) -> "ray.data.Dataset":
 
 class _NgramJaccardScorer:
     """Actor-pool stage for EXACT n-gram-set Jaccard pairs: the corpus'
-    per-doc sorted trigram-hash sets are broadcast once via ray.put and
-    fetched in __init__; each batch emits (a_id, b_id) for pairs with
-    set-Jaccard >= threshold (a < b, so each unordered pair appears once).
+    inverted trigram index is BUILT ONCE on the driver and broadcast via
+    ray.put; each actor's __init__ just ray.gets the numpy arrays
+    (zero-copy reads from the object store — building per actor cost a
+    multi-second 10M-element argsort times the pool size).  Each batch
+    emits (a_id, b_id) for pairs with set-Jaccard >= threshold (a < b, so
+    each unordered pair appears once).
 
-    A set-size ratio prefilter (exact bound: J(A,B) <= min/max set size)
-    prunes before any intersection; survivors intersect via sorted-array
-    np.intersect1d.  This is the exact-verify counterpart of the MinHash
-    channel — at 10^12 scale pair GENERATION goes through LSH buckets
+    This is the exact-verify counterpart of the MinHash channel — at
+    10^12 scale pair GENERATION goes through LSH buckets
     (stages/candidates.py) and this kernel only verifies candidates."""
 
-    def __init__(self, corpus_ref, threshold: float) -> None:
-        import numpy as np
+    def __init__(self, index_ref, threshold: float) -> None:
         import ray as _ray
-        self.ids, sets = _ray.get(corpus_ref)
-        self.sizes = np.array([len(s) for s in sets], dtype=np.int64)
-        # inverted index built ONCE per actor: gram -> posting slice of
-        # corpus doc positions (flat arrays, binary-searchable)
-        flat = np.concatenate(sets) if sets else np.empty(0, np.uint64)
-        docpos = np.repeat(np.arange(len(sets)), self.sizes)
-        order = np.argsort(flat, kind="stable")
-        flat = flat[order]
-        self.postings = docpos[order]
-        self.uniq, starts = np.unique(flat, return_index=True)
-        self.starts = np.append(starts, len(flat))
+        (self.ids, self.sizes, self.uniq, self.starts,
+         self.postings) = _ray.get(index_ref)
         self.threshold = threshold
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -247,7 +238,11 @@ class _NgramJaccardScorer:
             if na == 0:
                 continue
             # postings walk: exact intersection COUNT against every corpus
-            # doc in one vectorized pass (no per-pair loop)
+            # doc in one vectorized pass (no per-pair loop).  Per-DOC, not
+            # per-batch-matrix on purpose: common trigrams have posting
+            # lists touching most of the corpus, so a batched gather
+            # materializes ~10^9-element temporaries and runs 15x slower
+            # than this cache-resident per-doc walk (measured).
             if not len(self.uniq):
                 continue
             loc = np.minimum(np.searchsorted(self.uniq, grams),
@@ -293,14 +288,33 @@ def ngram_jaccard_pairs(sf_dir: str,
     """(a_id, b_id) pairs with exact character-trigram-set Jaccard >=
     threshold (the n-gram-Jaccard dedup family member with a full DuckDB
     oracle; MinHash estimates the same quantity at scale)."""
+    import numpy as np
     import pyarrow.parquet as pq
     corpus = pq.read_table(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     ids = corpus["doc_id"].to_numpy(zero_copy_only=False)
     sets = list(_gram_sets(corpus))
+    # inverted index gram -> posting slice of corpus doc positions,
+    # built once here, shipped to every actor as read-only plasma arrays
+    sizes = np.array([len(s) for s in sets], dtype=np.int64)
+    flat = np.concatenate(sets) if sets else np.empty(0, np.uint64)
+    docpos = np.repeat(np.arange(len(sets)), sizes)
+    order = np.argsort(flat, kind="stable")
+    uniq, starts = np.unique(flat[order], return_index=True)
     import ray as _ray
-    ref = _ray.put((ids, sets))
+    ref = _ray.put((ids, sizes, uniq, np.append(starts, len(flat)),
+                    docpos[order]))
     from mail_deduplicate_ray.stages.bucketing import pool_size
+    # pool no bigger than the number of batches it will see — a
+    # cluster-sized pool spends more wall on actor startup than scoring
+    # when the query side is small
+    # small batches: per-batch output (pair lists) is highly skewed —
+    # duplicate-dense id ranges emit 10x the pairs of sparse ones, so fine
+    # batch granularity is what bounds the straggler
+    batch = 64
+    n_tasks = max(1, (corpus.num_rows + batch - 1) // batch)
+    _, hi = pool_size()
+    hi = max(2, min(hi, n_tasks))
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _NgramJaccardScorer, fn_constructor_args=(ref, threshold),
-        batch_format="pyarrow", batch_size=512, concurrency=pool_size())
+        batch_format="pyarrow", batch_size=batch, concurrency=(1, hi))
