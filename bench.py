@@ -69,6 +69,15 @@ def run_bench() -> dict:
     res = clips.flagship(SF_DIR, n_base=n_base)
     headline = time.time() - t0
 
+    # like-for-like with the reference's published workload shape (exact
+    # dedup only, no near-dup machinery): channels=("exact",)
+    from mail_deduplicate_ray.config import DedupConfig
+    from mail_deduplicate_ray.pipelines import neardup
+    t0 = time.time()
+    neardup.dedup_clips(clips.read_clips(SF_DIR, n_base), DedupConfig(),
+                        channels=("exact",))
+    exact_only = time.time() - t0
+
     qtimes: dict[str, float] = {}
     if not os.environ.get("MDR_BENCH_ONLY_FLAGSHIP"):
         qs = entrymod.queries()
@@ -86,6 +95,8 @@ def run_bench() -> dict:
         "num_cpus": NCPU,
         "n_clips": n_clips,
         "clips_per_sec": round(n_clips / headline, 1),
+        "exact_only_sec": round(exact_only, 3),
+        "exact_only_clips_per_sec": round(n_clips / exact_only, 1),
         "stats": res.stats.to_dict(),
         "stage_times": res.stage_times,
     }
