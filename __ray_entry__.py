@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": docs.simhash_docs,          # rows-only
         "minhash_clusters_docs": docs.minhash_clusters_docs,  # rows-only
         "ngram_jaccard_pairs": docs.ngram_jaccard_pairs,
+        "substring_pairs": docs.substring_pairs,
         # --- events / relational ---
         "events_window_5m": relational.events_window_5m,
         "events_per_day": relational.events_per_day,
@@ -130,6 +131,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.grams, b.grams)) * 1.0
                   / (len(a.grams) + len(b.grams)
                      - len(list_intersect(a.grams, b.grams))) >= 0.6
+        """,
+        # exact-substring containment (suffix-array detector): contained
+        # text strictly shorter, at least 64 chars (ASCII corpus: byte and
+        # char lengths agree)
+        "substring_pairs": """
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM documents a, documents b
+            WHERE a.doc_id <> b.doc_id
+              AND length(b.text) >= 64
+              AND length(b.text) < length(a.text)
+              AND position(b.text IN a.text) > 0
         """,
         "events_window_5m": """
             SELECT user_id,

@@ -28,7 +28,8 @@ BENCH_QUERIES = [
     "quality_scores", "events_window_5m", "keep_oldest_per_user",
     "lineitem_pricing_summary", "top_spenders", "ann_bruteforce_top10",
     "embedding_neardup_pairs", "embedding_neardup_pairs_lsh",
-    "ngram_jaccard_pairs", "ann_ivf_top10", "minhash_clusters_docs",
+    "ngram_jaccard_pairs", "substring_pairs", "ann_ivf_top10",
+    "minhash_clusters_docs",
 ]
 
 

@@ -45,6 +45,33 @@ def batch_shingles(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
     return flat, offsets
 
 
+def positional_shingle_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """uint64 hash per k-gram POSITION of a uint8 byte array (no dedup, in
+    text order) — the winnowing/minimizer unit.  Empty result if the text
+    is shorter than k."""
+    if len(data) < k:
+        return np.empty(0, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(data, k)
+    h = np.full(win.shape[0], _OFFS, dtype=np.uint64)
+    for j in range(k):
+        h = h * _BASE + win[:, j].astype(np.uint64)
+    return h
+
+
+def minimizers(data: np.ndarray, k: int, w: int) -> np.ndarray:
+    """Unique winnowing minimizer VALUES of a uint8 byte array: the min
+    k-gram hash of every w-gram-wide window.  Guarantee used by the
+    substring detector: if pattern P (len >= w + k - 1) occurs inside text
+    T, then minimizers(P) & minimizers(T) != {} — P's windows reappear
+    verbatim inside T, so each window's min value is selected for both.
+    Texts shorter than w + k - 1 bytes return an empty set."""
+    h = positional_shingle_hashes(data, k)
+    if len(h) < w:
+        return np.empty(0, dtype=np.uint64)
+    wins = np.lib.stride_tricks.sliding_window_view(h, w)
+    return np.unique(wins.min(axis=1))
+
+
 def token_hashes(text: str) -> np.ndarray:
     """uint64 hash per whitespace token (for token-level SimHash / Jaccard)."""
     toks = text.split()

@@ -283,6 +283,129 @@ def _gram_sets(t: pa.Table, k: int = 3):
         yield h if len(h) else empty
 
 
+class _SubstringVerifier:
+    """Actor stage: verifies candidate (container_class, contained_class)
+    pairs by SUFFIX-ARRAY search (functions/suffixarray.py — the
+    north-star's exact-substring detector), then expands each verified
+    class pair to its (container doc, contained doc) cross product.
+    Container suffix arrays are memoized per actor — at scale the same
+    container is probed by many patterns."""
+
+    def __init__(self, corpus_ref) -> None:
+        import ray as _ray
+        self.texts, self.members = _ray.get(corpus_ref)
+        self._sa: dict[int, "np.ndarray"] = {}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from mail_deduplicate_ray.functions.suffixarray import (sa_contains,
+                                                                suffix_array)
+        a_out, b_out = [], []
+        for big, small in zip(t["big"].to_numpy(zero_copy_only=False),
+                              t["small"].to_numpy(zero_copy_only=False)):
+            big, small = int(big), int(small)
+            sa = self._sa.get(big)
+            if sa is None:
+                sa = suffix_array(np.frombuffer(self.texts[big], np.uint8))
+                self._sa[big] = sa
+            if sa_contains(self.texts[big], sa, self.texts[small]):
+                bm, sm = self.members[big], self.members[small]
+                a_out.append(np.repeat(bm, len(sm)))
+                b_out.append(np.tile(sm, len(bm)))
+        cat = (np.concatenate(a_out) if a_out
+               else np.empty(0, np.int64))
+        catb = (np.concatenate(b_out) if b_out
+                else np.empty(0, np.int64))
+        return pa.table({"a_id": pa.array(cat, pa.int64()),
+                         "b_id": pa.array(catb, pa.int64())})
+
+
+def substring_pairs(sf_dir: str, min_len: int = 64,
+                    k: int = 16) -> "ray.data.Dataset":
+    """(a_id, b_id) pairs where doc b's text occurs VERBATIM inside doc
+    a's strictly longer text and len(b) >= min_len — exact-substring
+    containment (the north-star's suffix-array detector; ref analogue:
+    byte-identical grouping mail.py:423-439 generalized to containment).
+
+    Shape: winnowing-minimizer candidate buckets (window w = min_len-k+1,
+    so any valid pattern provably shares >= 1 minimizer with its
+    container — see functions/shingles.minimizers) -> groupby(bucket)
+    pair-gen over DISTINCT text classes -> suffix-array verify in an
+    actor pool -> expand classes to doc pairs.  Texts are ASCII in this
+    corpus, so byte and char lengths agree with the SQL oracle.  At
+    10^12 scale the class texts join back by key instead of the ray.put
+    broadcast, and hot minimizer buckets salt exactly like the LSH
+    channels (stages/candidates._bucket_slices)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from mail_deduplicate_ray.functions.shingles import minimizers
+    w = min_len - k + 1
+    corpus = pq.read_table(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    ids = corpus["doc_id"].to_numpy(zero_copy_only=False)
+    codes, uniq = pd.factorize(
+        pd.Series([v or "" for v in corpus["text"].to_pylist()]))
+    texts = [u.encode("utf-8") for u in uniq]
+    members = [ids[np.flatnonzero(codes == c)].astype(np.int64)
+               for c in range(len(uniq))]
+    import ray as _ray
+    ref = _ray.put((texts, members))
+
+    lens = np.array([len(b) for b in texts], dtype=np.int64)
+    eligible = np.flatnonzero(lens >= min_len)  # both sides need >= min_len
+    cls_tbl = pa.table({
+        "cls": pa.array(eligible, pa.int64()),
+        "n_bytes": pa.array(lens[eligible], pa.int64()),
+        "text": pa.array([uniq[c] for c in eligible], pa.string()),
+    })
+
+    def explode(t: pa.Table) -> pa.Table:
+        buckets, cls_out, len_out = [], [], []
+        for cls, nb, txt in zip(t["cls"].to_numpy(zero_copy_only=False),
+                                t["n_bytes"].to_numpy(zero_copy_only=False),
+                                t["text"].to_pylist()):
+            mins = minimizers(np.frombuffer(txt.encode("utf-8"), np.uint8),
+                              k, w)
+            buckets.append(mins)
+            cls_out.append(np.full(len(mins), cls, np.int64))
+            len_out.append(np.full(len(mins), nb, np.int64))
+        return pa.table({
+            "bucket": pa.array(np.concatenate(buckets) if buckets
+                               else np.empty(0, np.uint64)),
+            "cls": pa.array(np.concatenate(cls_out) if cls_out
+                            else np.empty(0, np.int64)),
+            "n_bytes": pa.array(np.concatenate(len_out) if len_out
+                                else np.empty(0, np.int64)),
+        })
+
+    def pair_gen(g: pa.Table) -> pa.Table:
+        n_bytes = g["n_bytes"].to_numpy(zero_copy_only=False)
+        cls = g["cls"].to_numpy(zero_copy_only=False)
+        order = np.argsort(n_bytes, kind="stable")
+        nb, cl = n_bytes[order], cls[order]
+        i, j = np.triu_indices(len(cl), k=1)
+        strict = nb[i] < nb[j]  # contained must be STRICTLY shorter
+        return pa.table({"big": pa.array(cl[j][strict], pa.int64()),
+                         "small": pa.array(cl[i][strict], pa.int64())})
+
+    n_blocks = max(2, min(64, len(eligible)))
+    cand = (ray.data.from_arrow(cls_tbl).repartition(n_blocks)
+            .map_batches(explode, batch_format="pyarrow")
+            .groupby("bucket").map_groups(pair_gen, batch_format="pyarrow"))
+    # a class pair can surface from many shared minimizers: verify once
+    distinct = cand.groupby(["big", "small"]).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow")
+    from mail_deduplicate_ray.stages.bucketing import pool_size
+    _, hi = pool_size()
+    return distinct.map_batches(
+        _SubstringVerifier, fn_constructor_args=(ref,),
+        batch_format="pyarrow", batch_size=64,
+        concurrency=(1, max(2, hi // 2)))
+
+
 def ngram_jaccard_pairs(sf_dir: str,
                         threshold: float = 0.6) -> "ray.data.Dataset":
     """(a_id, b_id) pairs with exact character-trigram-set Jaccard >=

@@ -263,3 +263,41 @@ class TestTomlConfig:
         bad.write_text("[dedup]\nnot_a_key = 1\n")
         with pytest.raises(ValueError, match="unknown config keys"):
             DedupConfig.from_toml(str(bad))
+
+
+class TestSuffixArray:
+    def test_suffix_array_matches_sorted_suffixes(self):
+        from mail_deduplicate_ray.functions.suffixarray import suffix_array
+        rng = np.random.default_rng(7)
+        for n in (0, 1, 2, 37, 256):
+            data = rng.integers(97, 101, size=n).astype(np.uint8)
+            sa = suffix_array(data)
+            b = data.tobytes()
+            expect = sorted(range(n), key=lambda i: b[i:])
+            assert sa.tolist() == expect
+
+    def test_sa_contains(self):
+        from mail_deduplicate_ray.functions.suffixarray import (sa_contains,
+                                                                suffix_array)
+        text = b"the quick brown fox jumps over the lazy dog"
+        sa = suffix_array(np.frombuffer(text, np.uint8))
+        assert sa_contains(text, sa, b"quick brown")
+        assert sa_contains(text, sa, b"the lazy dog")
+        assert sa_contains(text, sa, b"")
+        assert not sa_contains(text, sa, b"quick browns")
+        assert not sa_contains(text, sa, b"zzz")
+
+    def test_minimizer_containment_guarantee(self):
+        # if P (len >= w+k-1) occurs in T, minimizers intersect
+        from mail_deduplicate_ray.functions.shingles import minimizers
+        rng = np.random.default_rng(3)
+        k, w = 16, 49  # min_len = w + k - 1 = 64
+        text = rng.integers(97, 123, size=5000).astype(np.uint8)
+        for start, plen in ((0, 64), (123, 64), (1000, 400), (4936, 64)):
+            pat = text[start:start + plen]
+            mp = minimizers(pat, k, w)
+            mt = minimizers(text, k, w)
+            assert len(mp) > 0
+            assert len(np.intersect1d(mp, mt)) > 0
+        # too-short pattern yields empty set
+        assert len(minimizers(text[:63], k, w)) == 0
