@@ -51,7 +51,45 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--config", default=None,
                    help="TOML config file ([dedup] table, strict keys; "
                         "CLI flags override — ref: cli.py:299-318)")
+    f = sub.add_parser(
+        "diff", help="verbose labeled diff of two clips' normalized "
+                     "transcripts (≙ pretty_diff, ref: deduplicate.py:384-401)")
+    f.add_argument("--input", action="append", required=True)
+    f.add_argument("--time-source", default=None)
+    f.add_argument("clip_a")
+    f.add_argument("clip_b")
+    f.add_argument("--num-cpus", type=int, default=None)
     return p
+
+
+def run_diff(args) -> int:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from mail_deduplicate_ray.functions import normalize
+    from mail_deduplicate_ray.sources import read_clips_parquet
+    from mail_deduplicate_ray.stages.settle import pretty_diff
+    ts_col = args.time_source or "ingest_ts"
+    want = {args.clip_a, args.clip_b}
+    rows: dict[str, tuple[str, float | None]] = {}
+    ds = read_clips_parquet(list(args.input))
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        mask = pc.is_in(b["clip_id"], value_set=pa.array(sorted(want)))
+        b = b.filter(mask)
+        if b.num_rows == 0:
+            continue
+        tnorm = normalize.normalize_transcript(b["transcript"])
+        ts = (b[ts_col].to_pylist() if ts_col != "none" and
+              ts_col in b.schema.names else [None] * b.num_rows)
+        for i in range(b.num_rows):
+            rows[b["clip_id"][i].as_py()] = (tnorm[i].as_py() or "", ts[i])
+    missing = want - rows.keys()
+    if missing:
+        raise ValueError(f"clip ids not found: {sorted(missing)}")
+    a, b_ = rows[args.clip_a], rows[args.clip_b]
+    out = pretty_diff(args.clip_a, a[0], a[1], args.clip_b, b_[0], b_[1])
+    print(out if out else "(transcripts identical)")
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -63,6 +101,12 @@ def main(argv: list[str] | None = None) -> int:
                  include_dashboard=False, logging_level="ERROR")
     import ray.data
     ray.data.DataContext.get_current().enable_progress_bars = False
+
+    if args.cmd == "diff":
+        rc = run_diff(args)
+        if owns_session:
+            ray.shutdown()
+        return rc
 
     from mail_deduplicate_ray.config import DedupConfig
     from mail_deduplicate_ray.pipelines import actions, neardup

@@ -42,6 +42,20 @@ def _content_diff(a: str, b: str) -> int:
     return len("".join(unified_diff(a.splitlines(), b.splitlines(), n=0)))
 
 
+def pretty_diff(a_id: str, a_text: str, a_ts: float | None,
+                b_id: str, b_text: str, b_ts: float | None) -> str:
+    """Verbose labeled unified diff between two clips' normalized
+    transcripts (G5; ref: pretty_diff deduplicate.py:384-401 — same
+    from/tofile labels and 2-decimal timestamp dates, 0 context)."""
+    return "".join(unified_diff(
+        a_text.splitlines(), b_text.splitlines(),
+        fromfile=f"Normalized transcript of <Clip {a_id}>",
+        tofile=f"Normalized transcript of <Clip {b_id}>",
+        fromfiledate="" if a_ts is None else f"{a_ts:0.2f}",
+        tofiledate="" if b_ts is None else f"{b_ts:0.2f}",
+        n=0, lineterm="\n"))
+
+
 def _offending_matrix(df: pd.DataFrame, cfg: DedupConfig) -> "np.ndarray":
     """(m, m) bool offending-pair adjacency, vectorized.
 

@@ -125,3 +125,20 @@ def test_toml_time_source_not_clobbered(tmp_path, clips_file, capsys):
                  "--strategy", "select-newest"]) == 0
     stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats2["stats"].get("set_deduplicated", 0) > 0
+
+
+def test_diff_subcommand_pretty_labels(clips_file, capsys):
+    # G5 pretty diff (ref: pretty_diff deduplicate.py:384-401)
+    ids = pq.read_table(clips_file, columns=["clip_id"])["clip_id"].to_pylist()
+    assert main(["diff", "--input", clips_file, ids[0], ids[3]]) == 0
+    out = capsys.readouterr().out
+    assert f"--- Normalized transcript of <Clip {ids[0]}>" in out
+    assert f"+++ Normalized transcript of <Clip {ids[3]}>" in out
+    # timestamp date fields rendered with 2 decimals
+    assert "\t16" in out and ".00\n" in out
+    # identical pair -> empty diff message
+    assert main(["diff", "--input", clips_file, ids[0], ids[0]]) == 0
+    assert "identical" in capsys.readouterr().out
+    # unknown id -> clean ValueError
+    with pytest.raises(ValueError, match="not found"):
+        main(["diff", "--input", clips_file, ids[0], "no-such-clip"])
