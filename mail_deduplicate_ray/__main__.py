@@ -42,7 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "sr_hz,codec_norm,dur_bucket")
     d.add_argument("--size-threshold", type=int, default=512)
     d.add_argument("--content-threshold", type=int, default=768)
-    d.add_argument("--channels", default="exact,minhash,audio,containment")
+    d.add_argument("--channels",
+                   default="exact,minhash,audio,containment,substring")
     d.add_argument("--checkpoint-root", default=None)
     d.add_argument("--dry-run", action="store_true")
     d.add_argument("--hash-only", action="store_true",

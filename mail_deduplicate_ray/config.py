@@ -109,6 +109,15 @@ class DedupConfig:
     # construction (the suffix-array-matching semantics, BASELINE.json).
     anchor_k: int = 24
 
+    # exact-substring channel (the suffix-array detector, BASELINE.json
+    # north star): winnowing minimizers of k-gram hashes with window
+    # w = substring_min_len - k + 1, so any contained transcript of
+    # >= substring_min_len chars provably shares a minimizer with its
+    # container (functions/shingles.minimizers); candidates then verify
+    # by suffix-array search (functions/suffixarray.py)
+    substring_k: int = 16
+    substring_min_len: int = 64
+
     # SimHash / SRP over decoded-PCM spectral features
     audio_bits: int = 64
     audio_bands: int = 4  # split audio fingerprint into bands of bits/bands
@@ -154,6 +163,9 @@ class DedupConfig:
         if self.max_bucket < 2:
             raise ValueError("max_bucket must be >= 2 (salted chunks need "
                              "a pivot plus at least one fresh member)")
+        if self.substring_min_len <= self.substring_k:
+            raise ValueError("substring_min_len must exceed substring_k "
+                             "(the minimizer window needs >= 1 k-gram)")
 
     # fields whose change invalidates SIGNATURE checkpoints (what the
     # decode+signature actors compute); verification thresholds live in
@@ -184,6 +196,8 @@ class DedupConfig:
         "audio_hamming_max",
         "audio_cosine_min",
         "max_bucket",
+        "substring_k",
+        "substring_min_len",
     )
 
     # bump whenever the signature FORMAT changes outside config (feature

@@ -90,8 +90,7 @@ class DedupResult:
 
 
 def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
-                channels: tuple[str, ...] = ("exact", "minhash", "audio",
-                                             "containment"),
+                channels: tuple[str, ...] = candidates.ALL_CHANNELS,
                 checkpoint_root: str | None = None) -> DedupResult:
     """Full run.  With ``checkpoint_root``, the signature stage is
     resumable: rows already checkpointed under this config fingerprint are
@@ -144,7 +143,12 @@ def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
                    or edge_mf.get("edge_fp") != edge_fp)
     if edges_fresh:
         deduped = candidates.dedup_edges(
-            candidates.candidate_edges(usable, cfg, channels)).materialize()
+            candidates.candidate_edges(usable, cfg, channels))
+        if "substring" in channels:
+            # exact suffix-array verification of the substring channel's
+            # candidate pairs (bucketed text join; the north-star detector)
+            deduped = candidates.verify_substring_edges(deduped, usable, cfg)
+        deduped = deduped.materialize()
         if store is not None and store.write("edges", deduped):
             store._update_manifest("edges", {
                 **store.manifest().get("edges", {}),

@@ -1,6 +1,6 @@
 """Candidate generation + in-bucket verification -> verified edge table.
 
-Four channels, all riding ONE explode pass and ONE all-to-all shuffle
+Five channels, all riding ONE explode pass and ONE all-to-all shuffle
 (SURVEY.md §4.3 shuffle #1; ref analogue: the hash-index grouping
 deduplicate.py:1009 generalized from exact keys to LSH buckets):
 
@@ -13,8 +13,18 @@ deduplicate.py:1009 generalized from exact keys to LSH buckets):
   audio        16-bit bands of the 64-bit SRP audio fingerprint; in-bucket
                Hamming <= audio_hamming_max AND duration within tolerance.
   containment  bottom-m anchor shingles; in-bucket bottom-k containment
-               estimate >= containment_threshold (the suffix-array
-               exact-substring analogue from BASELINE.json).
+               estimate >= containment_threshold (approximate
+               near-containment; complements the exact channel below).
+  substring    winnowing-minimizer buckets over transcript_norm; a
+               contained transcript of >= substring_min_len chars provably
+               shares a minimizer with its container
+               (functions/shingles.minimizers).  The fused partition emits
+               CANDIDATE pairs (strictly-shorter member vs longer); exact
+               verification is a separate bucketed-text-join stage
+               (``verify_substring_edges``) running suffix-array search —
+               the north star's third detector (BASELINE.json:
+               "suffix-array exact-substring matching for contained
+               transcripts").
 
 Shuffle shape: ``explode_all`` makes ONE pass over each usable-signature
 batch and emits every enabled channel's bucket rows in a unified narrow
@@ -55,10 +65,11 @@ _EMPTY = pd.DataFrame({"src": pd.Series(dtype=str),
                        "channel": pd.Series(dtype=str),
                        "dropped": pd.Series(dtype="int64")})
 
-ALL_CHANNELS = ("exact", "minhash", "audio", "containment")
+ALL_CHANNELS = ("exact", "minhash", "audio", "containment", "substring")
 
 # channel codes in the fused explode (uint8 column)
-_CH = {"exact": 0, "minhash": 1, "audio": 2, "containment": 3}
+_CH = {"exact": 0, "minhash": 1, "audio": 2, "containment": 3,
+       "substring": 4}
 
 
 def _edges_df(pairs: list[tuple[str, str]], channel: str,
@@ -231,6 +242,7 @@ def explode_all(batch: pa.Table, cfg: DedupConfig,
         minhash      minhash_sig8 (num_perm B) || ek64 (8 B LE)
         audio        audio_fp (8 B) || dur_ms (4 B) || feat16 (2*dims B)
         containment  minhash_sig8 (num_perm B) || set_size (8 B LE)
+        substring    n_chars of transcript_norm (8 B LE)
     """
     n = batch.num_rows
     out_idx: list[np.ndarray] = []    # row index into batch
@@ -320,6 +332,28 @@ def explode_all(batch: pa.Table, cfg: DedupConfig,
             out_bkt.append(flat_b)
             out_pay.append(pay.tobytes())
             out_wid.append(np.full(ridx.size, pay.shape[1], np.int32))
+
+    if "substring" in channels and n:
+        from mail_deduplicate_ray.functions.shingles import minimizers
+        w = cfg.substring_min_len - cfg.substring_k + 1
+        tn = batch["transcript_norm"].to_pylist()
+        n_chars = np.fromiter((len(t) if t else 0 for t in tn), np.int64,
+                              count=n)
+        el = np.flatnonzero(n_chars >= cfg.substring_min_len)
+        if el.size:
+            mins = [minimizers(np.frombuffer(tn[i].encode("utf-8"),
+                                             np.uint8), cfg.substring_k, w)
+                    for i in el.tolist()]
+            counts = np.fromiter((len(m) for m in mins), np.int64,
+                                 count=el.size)
+            ridx = np.repeat(el, counts)
+            if ridx.size:
+                out_idx.append(ridx)
+                out_ch.append(np.full(ridx.size, _CH["substring"], np.uint8))
+                out_bkt.append(np.concatenate(mins))
+                pay = n_chars[ridx][:, None].view(np.uint8)
+                out_pay.append(pay.tobytes())
+                out_wid.append(np.full(ridx.size, 8, np.int32))
 
     if not out_idx:
         return pa.table({"clip_id": pa.array([], pa.string()),
@@ -463,6 +497,26 @@ def _containment_core(ids_all: np.ndarray, buckets: np.ndarray,
     return pd.concat(out, ignore_index=True) if out else _EMPTY
 
 
+def _substring_core(ids_all: np.ndarray, buckets: np.ndarray,
+                    sizes_all: np.ndarray, cfg: DedupConfig) -> pd.DataFrame:
+    """CANDIDATE (container, contained) pairs per shared-minimizer bucket:
+    every strictly-shorter member may be contained in every longer one.
+    No verification here — texts are not shipped with the band rows;
+    ``verify_substring_edges`` re-attaches them by bucketed join and runs
+    the suffix-array check.  Orientation is recovered there by length, so
+    the (min, max) clip_id normalization of the edge schema is lossless."""
+    out: list[pd.DataFrame] = []
+    for idx, dropped in _bucket_slices(buckets, ids_all, cfg.max_bucket):
+        nb = sizes_all[idx]
+        i, j = np.triu_indices(len(idx), k=1)
+        strict = nb[i] != nb[j]  # equal length can never strictly contain
+        pairs = [(ids_all[idx[a]], ids_all[idx[b]])
+                 for a, b in zip(i[strict].tolist(), j[strict].tolist())]
+        if pairs or dropped:
+            out.append(_edges_df(pairs, "substring", dropped))
+    return pd.concat(out, ignore_index=True) if out else _EMPTY
+
+
 # ---------------- fused partition dispatch ----------------
 
 def _payload_matrix(pay: np.ndarray, width: int) -> np.ndarray:
@@ -510,6 +564,12 @@ def _fused_partition(df: pd.DataFrame, cfg: DedupConfig,
         sizes = (np.ascontiguousarray(mat[:, cfg.num_perm:])
                  .view(np.int64).ravel().astype(np.float64))
         out.append(_containment_core(ids[sel], bkt[sel], sig, sizes, cfg))
+
+    sel = np.flatnonzero(ch == _CH["substring"])
+    if sel.size:
+        sizes = (np.ascontiguousarray(_payload_matrix(pay[sel], 8))
+                 .view(np.int64).ravel())
+        out.append(_substring_core(ids[sel], bkt[sel], sizes, cfg))
 
     return pd.concat(out, ignore_index=True) if out else _EMPTY
 
@@ -562,7 +622,13 @@ def dedup_edges(raw_edges: "ray.data.Dataset",
     serves both the edge list and the dropped-rows metric (split with
     :func:`split_edges`)."""
     def part(df: pd.DataFrame) -> pd.DataFrame:
-        real = df[df["src"] != ""].drop_duplicates(subset=["src", "dst"])
+        real = df[df["src"] != ""]
+        # substring rows are unverified CANDIDATES at this point: when the
+        # same pair also surfaced from a verified channel, keep that row
+        # (or a failed suffix-array verify would erase a true edge)
+        sub = real["channel"] == "substring"
+        real = pd.concat([real[~sub], real[sub]]).drop_duplicates(
+            subset=["src", "dst"])
         return pd.concat([real, df[df["src"] == ""]], ignore_index=True)
 
     return bucketing.grouped(
@@ -570,6 +636,97 @@ def dedup_edges(raw_edges: "ray.data.Dataset",
             lambda t: t.select(["src", "dst", "channel", "dropped"]),
             batch_format="pyarrow"),
         "src", part, nbuckets)
+
+
+def verify_substring_edges(deduped: "ray.data.Dataset",
+                           usable: "ray.data.Dataset", cfg: DedupConfig,
+                           nbuckets: int = 64) -> "ray.data.Dataset":
+    """Exact suffix-array verification of the substring channel's
+    candidate pairs (the north-star detector, BASELINE.json).
+
+    Texts are NOT shipped with the band rows (that would multiply shuffle
+    volume by the minimizer count); instead two bucketed hash-joins
+    re-attach ``transcript_norm`` to each side of the candidate pair —
+    each join ships the text table once, O(corpus text), the same cost
+    class as one LSH band pass — then the partition verifies
+    contained-in-container with a per-container suffix array memoized
+    within the partition (actor-state analogue: the north star's
+    "suffix-array builders" pool).  Orientation is recovered by length
+    (candidates enforce strictly-different lengths).  Non-substring edges
+    and overflow accounting rows pass through untouched."""
+    rest = deduped.map_batches(
+        lambda t: t.filter(pc.or_(pc.not_equal(t["channel"], "substring"),
+                                  pc.equal(t["src"], ""))),
+        batch_format="pyarrow")
+    cand = deduped.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t["channel"], "substring"),
+                                   pc.not_equal(t["src"], ""))),
+        batch_format="pyarrow")
+    texts = usable.select_columns(["clip_id", "transcript_norm"])
+
+    # join 1 (key = src): attach the src side's text
+    pair1 = cand.map_batches(
+        lambda t: pa.table({"key": t["src"], "other": t["dst"],
+                            "otext": pa.nulls(t.num_rows, pa.string()),
+                            "text": pa.nulls(t.num_rows, pa.string())}),
+        batch_format="pyarrow")
+    text_rows = texts.map_batches(
+        lambda t: pa.table({"key": t["clip_id"],
+                            "other": pa.nulls(t.num_rows, pa.string()),
+                            "otext": pa.nulls(t.num_rows, pa.string()),
+                            "text": t["transcript_norm"]}),
+        batch_format="pyarrow")
+
+    def j1(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        is_text = df["text"].notna()
+        tmap = df.loc[is_text].set_index("key")["text"]
+        pairs = df.loc[~is_text]
+        return pa.table({
+            "key": pa.array(pairs["other"], pa.string()),    # re-key by dst
+            "other": pa.array(pairs["key"], pa.string()),    # src
+            "otext": pa.array(pairs["key"].map(tmap), pa.string()),
+            "text": pa.nulls(len(pairs), pa.string())})
+
+    p1 = bucketing.grouped(pair1.union(text_rows), "key", j1, nbuckets,
+                           batch_format="pyarrow")
+
+    # join 2 (key = dst): attach the dst side's text, then verify
+    def j2(t: pa.Table) -> pa.Table:
+        from mail_deduplicate_ray.functions.suffixarray import (sa_contains,
+                                                                suffix_array)
+        df = t.to_pandas()
+        is_text = df["text"].notna()
+        tmap = dict(zip(df.loc[is_text, "key"], df.loc[is_text, "text"]))
+        pairs = df.loc[~is_text]
+        out_s: list[str] = []
+        out_d: list[str] = []
+        cache: dict[str, tuple[bytes, np.ndarray]] = {}
+        for dst, src, stext in zip(pairs["key"], pairs["other"],
+                                   pairs["otext"]):
+            dtext = tmap.get(dst)
+            if stext is None or dtext is None or len(stext) == len(dtext):
+                continue
+            big_id, big, small = ((src, stext, dtext)
+                                  if len(stext) > len(dtext)
+                                  else (dst, dtext, stext))
+            ent = cache.get(big_id)
+            if ent is None:
+                bb = big.encode("utf-8")
+                ent = (bb, suffix_array(np.frombuffer(bb, np.uint8)))
+                cache[big_id] = ent
+            if sa_contains(ent[0], ent[1], small.encode("utf-8")):
+                out_s.append(src)
+                out_d.append(dst)
+        return pa.table({
+            "src": pa.array(out_s, pa.string()),
+            "dst": pa.array(out_d, pa.string()),
+            "channel": pa.array(["substring"] * len(out_s), pa.string()),
+            "dropped": pa.array([0] * len(out_s), pa.int64())})
+
+    verified = bucketing.grouped(p1.union(text_rows), "key", j2, nbuckets,
+                                 batch_format="pyarrow")
+    return rest.union(verified)
 
 
 def split_edges(deduped: "ray.data.Dataset",

@@ -358,3 +358,54 @@ def test_distributed_cc_partition_count_independent(nbuckets):
     ref = {r["node"]: r["label"] for r in components.connected_components(
         edges, driver_threshold=10**9).take_all()}
     assert got == ref
+
+
+def test_substring_channel_exact_containment(small_corpus):
+    # the suffix-array detector alone finds every planted contained pair
+    # (BASELINE.json north star: "suffix-array exact-substring matching")
+    tbl, truth = small_corpus
+    ds = ray.data.from_arrow(tbl)
+    res = neardup.dedup_clips(ds, DedupConfig(), channels=("substring",))
+    pred = _pred_clusters(res)
+    pairs = [(a, b) for a, b, k in truth["pairs"] if k == "contained"]
+    assert pairs
+    for a, b in pairs:
+        assert pred[a] == pred[b]
+    # every substring edge is a TRUE verbatim containment (exactness):
+    import pyarrow as _pa
+    from mail_deduplicate_ray.functions import normalize as _norm
+    texts = dict(zip(tbl["clip_id"].to_pylist(),
+                     _norm.normalize_transcript(
+                         tbl.column("transcript").combine_chunks()).to_pylist()))
+    ed = res.edges.to_pandas()
+    for s, d in ed[ed.channel == "substring"][["src", "dst"]].to_numpy():
+        a_t, b_t = texts[s] or "", texts[d] or ""
+        small, big = (a_t, b_t) if len(a_t) < len(b_t) else (b_t, a_t)
+        assert small in big and len(small) < len(big)
+
+
+def test_substring_channel_tiny_fragment_beyond_estimates():
+    # a 70-char verbatim fragment of a ~1200-char container: containment
+    # ESTIMATE channels can miss it (bottom-k anchor overlap is tiny), the
+    # suffix-array channel cannot — it is exact by construction
+    big_text = " ".join(
+        f"token{i:04d} filler phrase segment" for i in range(48))
+    frag = big_text[200:290]
+    frag = frag[frag.index(" ") + 1: frag.rindex(" ")]  # token boundaries
+    assert 64 <= len(frag) < len(big_text)
+    rows = []
+    for cid, text in (("big-0", big_text), ("small-0", frag),
+                      ("other-0", " ".join(f"zz{i:05d} unrelated words here"
+                                           for i in range(40)))):
+        wave = np.zeros(1600, dtype=np.float32)
+        from mail_deduplicate_ray import codecs
+        rows.append({"clip_id": cid,
+                     "bytes": codecs.encode(wave, 16000, "pcm_s16le"),
+                     "sr_hz": 16000, "dur_ms": 100, "codec": "pcm_s16le",
+                     "transcript": text, "ingest_ts": 1.0})
+    tbl = pa.Table.from_pylist(rows)
+    res = neardup.dedup_clips(ray.data.from_arrow(tbl), DedupConfig(),
+                              channels=("substring",))
+    ed = res.edges.to_pandas()
+    assert set(map(tuple, ed[["src", "dst"]].to_numpy())) == {
+        ("big-0", "small-0")}
