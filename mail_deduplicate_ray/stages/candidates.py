@@ -16,10 +16,10 @@ deduplicate.py:1009 generalized from exact keys to LSH buckets):
                estimate >= containment_threshold (approximate
                near-containment; complements the exact channel below).
   substring    winnowing-minimizer buckets over transcript_norm; a
-               contained transcript of >= substring_min_len chars provably
-               shares a minimizer with its container
-               (functions/shingles.minimizers).  The fused partition emits
-               CANDIDATE pairs (strictly-shorter member vs longer); exact
+               contained transcript's minimizer set is provably a SUBSET of
+               its container's (functions/shingles.minimizers), so each
+               text candidates as containee in ONE bucket (its global-min
+               row) against the bucket's longer distinct texts.  Exact
                verification is a separate bucketed-text-join stage
                (``verify_substring_edges``) running suffix-array search —
                the north star's third detector (BASELINE.json:
@@ -66,6 +66,12 @@ _EMPTY = pd.DataFrame({"src": pd.Series(dtype=str),
                        "dropped": pd.Series(dtype="int64")})
 
 ALL_CHANNELS = ("exact", "minhash", "audio", "containment", "substring")
+
+# substring-verify regime switch (see verify_substring_edges): broadcast
+# the participating texts when pairs and pruned text bytes are small;
+# fall back to bucketed hash-joins above either cap
+_PAIR_BROADCAST_LIMIT = 4_000_000
+_TEXT_BYTES_CAP = 1 << 30
 
 # channel codes in the fused explode (uint8 column)
 _CH = {"exact": 0, "minhash": 1, "audio": 2, "containment": 3,
@@ -242,7 +248,8 @@ def explode_all(batch: pa.Table, cfg: DedupConfig,
         minhash      minhash_sig8 (num_perm B) || ek64 (8 B LE)
         audio        audio_fp (8 B) || dur_ms (4 B) || feat16 (2*dims B)
         containment  minhash_sig8 (num_perm B) || set_size (8 B LE)
-        substring    n_chars of transcript_norm (8 B LE)
+        substring    n_chars (8 B LE) || tfp minimizer-set fingerprint
+                     (8 B LE) || role (1 B: 1 = global-min row)
     """
     n = batch.num_rows
     out_idx: list[np.ndarray] = []    # row index into batch
@@ -348,12 +355,30 @@ def explode_all(batch: pa.Table, cfg: DedupConfig,
                                  count=el.size)
             ridx = np.repeat(el, counts)
             if ridx.size:
+                flat = np.concatenate(mins)
+                # text fingerprint (order-insensitive XOR fold of the
+                # minimizer SET + length): groups byte-identical texts so
+                # the verify core pairs DISTINCT texts, not members
+                tfp = np.repeat(np.array(
+                    [np.bitwise_xor.reduce(m) ^
+                     (np.uint64(len(m)) * _FOLD_P) for m in mins],
+                    np.uint64) ^ n_chars[el].view(np.uint64), counts)
+                # role=1 on the text's GLOBAL-MIN minimizer row: if P is
+                # contained in T then minimizers(P) <= minimizers(T), so
+                # P's global min is in T's set — ONE bucket per containee
+                # suffices, and every candidate pair is emitted exactly once
+                gmin = np.repeat(np.array([m.min() for m in mins],
+                                          np.uint64), counts)
+                role = (flat == gmin).astype(np.uint8)
+                pay = np.concatenate(
+                    [n_chars[ridx][:, None].view(np.uint8),
+                     tfp[:, None].view(np.uint8),
+                     role[:, None]], axis=1)
                 out_idx.append(ridx)
                 out_ch.append(np.full(ridx.size, _CH["substring"], np.uint8))
-                out_bkt.append(np.concatenate(mins))
-                pay = n_chars[ridx][:, None].view(np.uint8)
-                out_pay.append(pay.tobytes())
-                out_wid.append(np.full(ridx.size, 8, np.int32))
+                out_bkt.append(flat)
+                out_pay.append(np.ascontiguousarray(pay).tobytes())
+                out_wid.append(np.full(ridx.size, 17, np.int32))
 
     if not out_idx:
         return pa.table({"clip_id": pa.array([], pa.string()),
@@ -498,20 +523,79 @@ def _containment_core(ids_all: np.ndarray, buckets: np.ndarray,
 
 
 def _substring_core(ids_all: np.ndarray, buckets: np.ndarray,
-                    sizes_all: np.ndarray, cfg: DedupConfig) -> pd.DataFrame:
-    """CANDIDATE (container, contained) pairs per shared-minimizer bucket:
-    every strictly-shorter member may be contained in every longer one.
-    No verification here — texts are not shipped with the band rows;
-    ``verify_substring_edges`` re-attaches them by bucketed join and runs
-    the suffix-array check.  Orientation is recovered there by length, so
-    the (min, max) clip_id normalization of the edge schema is lossless."""
+                    sizes_all: np.ndarray, tfp_all: np.ndarray,
+                    roles_all: np.ndarray, cfg: DedupConfig) -> pd.DataFrame:
+    """CANDIDATE (containee, container) pairs, BIPARTITE per bucket.
+
+    If P occurs in T then every w-window of P recurs verbatim in T, so
+    minimizers(P) ⊆ minimizers(T) — in particular P's GLOBAL-MIN k-gram
+    hash is in T's minimizer set.  The explode marks that one row per text
+    (``role=1``); here only role-1 texts act as containees and they pair
+    with every longer text in the bucket.  Consequences at scale:
+
+    * each true candidate pair is emitted in exactly ONE bucket (the
+      containee's global-min bucket) — no minimizer-count-fold duplication;
+    * pairing is over DISTINCT texts (grouped by the minimizer-set
+      fingerprint ``tfp``), so a cluster of identical copies costs
+      O(members) star rows, never O(members²) — the memoized-verification
+      idiom shared with the other channels (ref all-identical fast path:
+      deduplicate.py:292-310);
+    * equal-length pairs are emitted only within a tfp group (identical
+      texts); the verify stage checks them by string equality.
+
+    No text verification here — ``verify_substring_edges`` re-attaches
+    transcripts by bucketed join and runs the exact suffix-array check.
+    Hot buckets are capped at ``max_bucket`` DISTINCT containees and, per
+    containee, ``max_bucket`` shortest containers (nearest parents in a
+    containment chain; a longer ancestor is reached transitively through
+    the parent's own containee role) — overflow is counted in
+    ``dropped``."""
+    cap = cfg.max_bucket
     out: list[pd.DataFrame] = []
-    for idx, dropped in _bucket_slices(buckets, ids_all, cfg.max_bucket):
-        nb = sizes_all[idx]
-        i, j = np.triu_indices(len(idx), k=1)
-        strict = nb[i] != nb[j]  # equal length can never strictly contain
-        pairs = [(ids_all[idx[a]], ids_all[idx[b]])
-                 for a, b in zip(i[strict].tolist(), j[strict].tolist())]
+    order = np.lexsort((ids_all, buckets))
+    b_sorted = buckets[order]
+    bounds = np.flatnonzero(np.concatenate(
+        ([True], b_sorted[1:] != b_sorted[:-1], [True])))
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s < 2:
+            continue
+        idx = order[s:e]
+        dropped = 0
+        pairs: list[tuple[str, str]] = []
+        # distinct texts (first occurrence = min clip_id: idx is sorted)
+        _, first, inv = np.unique(tfp_all[idx], return_index=True,
+                                  return_inverse=True)
+        rep = idx[first]
+        g_n = sizes_all[rep]
+        g_role = roles_all[rep]
+        # intra-group identical-copy stars, once per text (global-min bkt)
+        morder = np.argsort(inv, kind="stable")
+        gb = np.flatnonzero(np.concatenate(
+            ([True], inv[morder][1:] != inv[morder][:-1], [True])))
+        for gs, ge in zip(gb[:-1], gb[1:]):
+            g = inv[morder[gs]]
+            if ge - gs > 1 and g_role[g]:
+                r = ids_all[rep[g]]
+                pairs.extend((r, ids_all[idx[m]])
+                             for m in morder[gs:ge].tolist()
+                             if idx[m] != rep[g])
+        # bipartite candidates between distinct texts
+        c_sel = np.flatnonzero(g_role == 1)
+        if c_sel.size and len(rep) > 1:
+            if c_sel.size > cap:
+                dropped += int(c_sel.size - cap)
+                c_sel = c_sel[:cap]
+            by_len = np.lexsort((rep, g_n))  # containers shortest-first
+            n_sorted = g_n[by_len]
+            for gi in c_sel.tolist():
+                lo = np.searchsorted(n_sorted, g_n[gi], side="right")
+                bigger = by_len[lo:]
+                if bigger.size > cap:
+                    dropped += int(bigger.size - cap)
+                    bigger = bigger[:cap]
+                a = ids_all[rep[gi]]
+                pairs.extend((a, ids_all[rep[gj]])
+                             for gj in bigger.tolist())
         if pairs or dropped:
             out.append(_edges_df(pairs, "substring", dropped))
     return pd.concat(out, ignore_index=True) if out else _EMPTY
@@ -567,9 +651,12 @@ def _fused_partition(df: pd.DataFrame, cfg: DedupConfig,
 
     sel = np.flatnonzero(ch == _CH["substring"])
     if sel.size:
-        sizes = (np.ascontiguousarray(_payload_matrix(pay[sel], 8))
-                 .view(np.int64).ravel())
-        out.append(_substring_core(ids[sel], bkt[sel], sizes, cfg))
+        mat = _payload_matrix(pay[sel], 17)
+        sizes = np.ascontiguousarray(mat[:, :8]).view(np.int64).ravel()
+        tfp = np.ascontiguousarray(mat[:, 8:16]).view(np.uint64).ravel()
+        roles = mat[:, 16]
+        out.append(_substring_core(ids[sel], bkt[sel], sizes, tfp, roles,
+                                   cfg))
 
     return pd.concat(out, ignore_index=True) if out else _EMPTY
 
@@ -638,6 +725,45 @@ def dedup_edges(raw_edges: "ray.data.Dataset",
         "src", part, nbuckets)
 
 
+def _verify_pair_rows(srcs, dsts, stexts, dtexts) -> pa.Table:
+    """The exact verification kernel shared by both verify paths: for each
+    candidate (src, dst) with attached texts, keep the pair iff the shorter
+    text occurs verbatim in the longer (suffix-array binary search; a
+    per-call cache memoizes one suffix array per container — the north
+    star's "suffix-array builders" actor state).  Equal-length pairs are
+    identical-copy star candidates (same tfp group) and verify by string
+    equality — equal length can never strictly contain."""
+    from mail_deduplicate_ray.functions.suffixarray import (sa_contains,
+                                                            suffix_array)
+    out_s: list[str] = []
+    out_d: list[str] = []
+    cache: dict[str, tuple[bytes, np.ndarray]] = {}
+    for src, dst, stext, dtext in zip(srcs, dsts, stexts, dtexts):
+        if not isinstance(stext, str) or not isinstance(dtext, str):
+            continue  # missing side (null text or NaN from pandas)
+        if len(stext) == len(dtext):
+            if stext == dtext:
+                out_s.append(src)
+                out_d.append(dst)
+            continue
+        big_id, big, small = ((src, stext, dtext)
+                              if len(stext) > len(dtext)
+                              else (dst, dtext, stext))
+        ent = cache.get(big_id)
+        if ent is None:
+            bb = big.encode("utf-8")
+            ent = (bb, suffix_array(np.frombuffer(bb, np.uint8)))
+            cache[big_id] = ent
+        if sa_contains(ent[0], ent[1], small.encode("utf-8")):
+            out_s.append(src)
+            out_d.append(dst)
+    return pa.table({
+        "src": pa.array(out_s, pa.string()),
+        "dst": pa.array(out_d, pa.string()),
+        "channel": pa.array(["substring"] * len(out_s), pa.string()),
+        "dropped": pa.array([0] * len(out_s), pa.int64())})
+
+
 def verify_substring_edges(deduped: "ray.data.Dataset",
                            usable: "ray.data.Dataset", cfg: DedupConfig,
                            nbuckets: int = 64) -> "ray.data.Dataset":
@@ -645,15 +771,25 @@ def verify_substring_edges(deduped: "ray.data.Dataset",
     candidate pairs (the north-star detector, BASELINE.json).
 
     Texts are NOT shipped with the band rows (that would multiply shuffle
-    volume by the minimizer count); instead two bucketed hash-joins
-    re-attach ``transcript_norm`` to each side of the candidate pair —
-    each join ships the text table once, O(corpus text), the same cost
-    class as one LSH band pass — then the partition verifies
-    contained-in-container with a per-container suffix array memoized
-    within the partition (actor-state analogue: the north star's
-    "suffix-array builders" pool).  Orientation is recovered by length
-    (candidates enforce strictly-different lengths).  Non-substring edges
-    and overflow accounting rows pass through untouched."""
+    volume by the minimizer count); they are re-attached here.  Two
+    regimes, chosen by measured size (the hybrid small-side/bucketed
+    split, same shape as components.py):
+
+    * **broadcast** (the common case — candidate pairs are O(near-dups),
+      ≪ corpus): the pair-id set prunes the text table (semi-join), and
+      if the surviving texts fit under ``_TEXT_BYTES_CAP`` they are
+      ``ray.put`` ONCE as an id→text map; verification is then a plain
+      ``map_batches`` over the pair rows — ZERO shuffles.
+    * **bucketed joins** (mega-dup corpora): two bucketed hash-joins
+      attach ``transcript_norm`` to each side of the pair — each join
+      ships the (pruned) text table once, O(participating text), the
+      same cost class as one LSH band pass.  ``nbuckets`` scales down
+      with the pair count so tiny jobs don't pay 64 partitions of fixed
+      overhead.
+
+    Non-substring edges and overflow accounting rows pass through
+    untouched."""
+    import ray as _ray
     rest = deduped.map_batches(
         lambda t: t.filter(pc.or_(pc.not_equal(t["channel"], "substring"),
                                   pc.equal(t["src"], ""))),
@@ -661,8 +797,57 @@ def verify_substring_edges(deduped: "ray.data.Dataset",
     cand = deduped.map_batches(
         lambda t: t.filter(pc.and_(pc.equal(t["channel"], "substring"),
                                    pc.not_equal(t["src"], ""))),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
+    n_pairs = cand.count()
+    if n_pairs == 0:
+        return rest
     texts = usable.select_columns(["clip_id", "transcript_norm"])
+
+    if n_pairs <= _PAIR_BROADCAST_LIMIT:
+        # semi-join prune: only texts participating in a pair are needed
+        parts: list[np.ndarray] = []
+        for b in cand.select_columns(["src", "dst"]).iter_batches(
+                batch_format="numpy", batch_size=65536):
+            parts.append(np.asarray(b["src"]))
+            parts.append(np.asarray(b["dst"]))
+        need = np.unique(np.concatenate(parts))
+        need_ref = _ray.put(need)
+
+        def prune(t: pa.Table, ref=need_ref) -> pa.Table:
+            arr = _ray.get(ref)
+            ids = np.asarray(t["clip_id"].to_numpy(zero_copy_only=False))
+            pos = np.clip(np.searchsorted(arr, ids), 0, len(arr) - 1)
+            return t.filter(pa.array(arr[pos] == ids))
+
+        texts = texts.map_batches(prune, batch_format="pyarrow")
+
+        # zero-shuffle fast path: broadcast the pruned id→text map
+        tmap: dict | None = {}
+        total = 0
+        for b in texts.iter_batches(batch_format="pyarrow",
+                                    batch_size=8192):
+            for cid, txt in zip(b["clip_id"].to_pylist(),
+                                b["transcript_norm"].to_pylist()):
+                tmap[cid] = txt
+                total += len(txt) if txt else 0
+            if total > _TEXT_BYTES_CAP:
+                tmap = None
+                break
+        if tmap is not None:
+            tref = _ray.put(tmap)
+
+            def vmap(t: pa.Table, ref=tref) -> pa.Table:
+                m = _ray.get(ref)
+                srcs = t["src"].to_pylist()
+                dsts = t["dst"].to_pylist()
+                return _verify_pair_rows(
+                    srcs, dsts, [m.get(s) for s in srcs],
+                    [m.get(d) for d in dsts])
+
+            return rest.union(cand.map_batches(vmap,
+                                               batch_format="pyarrow"))
+
+    nbuckets = max(4, min(nbuckets, n_pairs // 2000 + 1))
 
     # join 1 (key = src): attach the src side's text
     pair1 = cand.map_batches(
@@ -693,36 +878,14 @@ def verify_substring_edges(deduped: "ray.data.Dataset",
 
     # join 2 (key = dst): attach the dst side's text, then verify
     def j2(t: pa.Table) -> pa.Table:
-        from mail_deduplicate_ray.functions.suffixarray import (sa_contains,
-                                                                suffix_array)
         df = t.to_pandas()
         is_text = df["text"].notna()
         tmap = dict(zip(df.loc[is_text, "key"], df.loc[is_text, "text"]))
         pairs = df.loc[~is_text]
-        out_s: list[str] = []
-        out_d: list[str] = []
-        cache: dict[str, tuple[bytes, np.ndarray]] = {}
-        for dst, src, stext in zip(pairs["key"], pairs["other"],
-                                   pairs["otext"]):
-            dtext = tmap.get(dst)
-            if stext is None or dtext is None or len(stext) == len(dtext):
-                continue
-            big_id, big, small = ((src, stext, dtext)
-                                  if len(stext) > len(dtext)
-                                  else (dst, dtext, stext))
-            ent = cache.get(big_id)
-            if ent is None:
-                bb = big.encode("utf-8")
-                ent = (bb, suffix_array(np.frombuffer(bb, np.uint8)))
-                cache[big_id] = ent
-            if sa_contains(ent[0], ent[1], small.encode("utf-8")):
-                out_s.append(src)
-                out_d.append(dst)
-        return pa.table({
-            "src": pa.array(out_s, pa.string()),
-            "dst": pa.array(out_d, pa.string()),
-            "channel": pa.array(["substring"] * len(out_s), pa.string()),
-            "dropped": pa.array([0] * len(out_s), pa.int64())})
+        return _verify_pair_rows(
+            pairs["other"].tolist(), pairs["key"].tolist(),
+            [None if t_ is None else t_ for t_ in pairs["otext"]],
+            [tmap.get(k) for k in pairs["key"]])
 
     verified = bucketing.grouped(p1.union(text_rows), "key", j2, nbuckets,
                                  batch_format="pyarrow")

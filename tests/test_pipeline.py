@@ -381,7 +381,23 @@ def test_substring_channel_exact_containment(small_corpus):
     for s, d in ed[ed.channel == "substring"][["src", "dst"]].to_numpy():
         a_t, b_t = texts[s] or "", texts[d] or ""
         small, big = (a_t, b_t) if len(a_t) < len(b_t) else (b_t, a_t)
-        assert small in big and len(small) < len(big)
+        # strict containment, or an identical-copy star (equal texts)
+        assert small in big
+
+
+def test_substring_verify_bucketed_fallback_parity(small_corpus,
+                                                   monkeypatch):
+    # the mega-dup fallback (bucketed text joins) must produce the exact
+    # same verified edge set as the broadcast fast path
+    from mail_deduplicate_ray.stages import candidates
+    tbl, _ = small_corpus
+    ds = ray.data.from_arrow(tbl)
+    fast = neardup.dedup_clips(ds, DedupConfig(), channels=("substring",))
+    monkeypatch.setattr(candidates, "_PAIR_BROADCAST_LIMIT", 0)
+    slow = neardup.dedup_clips(ds, DedupConfig(), channels=("substring",))
+    key = lambda r: sorted(map(tuple, r.edges.to_pandas()
+                               [["src", "dst", "channel"]].to_numpy()))
+    assert key(fast) == key(slow) and key(fast)
 
 
 def test_substring_channel_tiny_fragment_beyond_estimates():
