@@ -14,6 +14,19 @@ _BASE = np.uint64(1099511628211)  # FNV prime, wraps mod 2^64
 _OFFS = np.uint64(14695981039346656037)
 
 
+def _poly_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """uint64 polynomial hash per k-gram position (``len(data)-k+1``
+    results).  Accumulates over CONTIGUOUS shifted slices
+    ``data[j:j+m]`` — ~2x faster than iterating the columns of a
+    sliding_window_view, whose per-column access is a strided gather."""
+    m = len(data) - k + 1
+    h = np.full(m, _OFFS, dtype=np.uint64)
+    for j in range(k):
+        h *= _BASE
+        h += data[j:j + m]
+    return h
+
+
 def shingle_hashes(text: str, k: int) -> np.ndarray:
     """Unique uint64 hashes of all k-char shingles of ``text``.
 
@@ -24,14 +37,8 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
     if len(data) == 0:
         return np.empty(0, dtype=np.uint64)
     if len(data) < k:
-        win = data[None, :]
-    else:
-        win = np.lib.stride_tricks.sliding_window_view(data, k)
-    # polynomial accumulate: h = ((OFFS*B + c0)*B + c1)*B + ...
-    h = np.full(win.shape[0], _OFFS, dtype=np.uint64)
-    for j in range(win.shape[1]):
-        h = h * _BASE + win[:, j].astype(np.uint64)
-    return np.unique(h)
+        return _poly_hashes(data, len(data))
+    return np.unique(_poly_hashes(data, k))
 
 
 def batch_shingles(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -51,11 +58,23 @@ def positional_shingle_hashes(data: np.ndarray, k: int) -> np.ndarray:
     is shorter than k."""
     if len(data) < k:
         return np.empty(0, dtype=np.uint64)
-    win = np.lib.stride_tricks.sliding_window_view(data, k)
-    h = np.full(win.shape[0], _OFFS, dtype=np.uint64)
-    for j in range(k):
-        h = h * _BASE + win[:, j].astype(np.uint64)
-    return h
+    return _poly_hashes(data, k)
+
+
+def _sliding_min(h: np.ndarray, w: int) -> np.ndarray:
+    """Min of every length-``w`` window of ``h`` in O(n): the two-pass
+    block trick — prefix mins and suffix mins over w-aligned blocks; a
+    window [i, i+w) spans at most two blocks, so its min is
+    ``min(suffix[i], prefix[i+w-1])``.  ~w/2x fewer comparisons than a
+    sliding_window_view .min(axis=1)."""
+    n = len(h)
+    nb = -(-n // w)
+    pad = np.full(nb * w, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    pad[:n] = h
+    blocks = pad.reshape(nb, w)
+    pref = np.minimum.accumulate(blocks, axis=1).ravel()
+    suff = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    return np.minimum(suff[: n - w + 1], pref[w - 1: n])
 
 
 def minimizers(data: np.ndarray, k: int, w: int) -> np.ndarray:
@@ -68,8 +87,7 @@ def minimizers(data: np.ndarray, k: int, w: int) -> np.ndarray:
     h = positional_shingle_hashes(data, k)
     if len(h) < w:
         return np.empty(0, dtype=np.uint64)
-    wins = np.lib.stride_tricks.sliding_window_view(h, w)
-    return np.unique(wins.min(axis=1))
+    return np.unique(_sliding_min(h, w))
 
 
 def token_hashes(text: str) -> np.ndarray:
