@@ -725,16 +725,32 @@ def dedup_edges(raw_edges: "ray.data.Dataset",
         "src", part, nbuckets)
 
 
+# build a container's suffix array only when enough patterns query it to
+# amortize construction: SA build is ~650us for a 1.5KB text while one
+# two-way `in` search is ~1.6us, so the break-even fanout is O(100)
+_SA_FANOUT = 256
+
+
 def _verify_pair_rows(srcs, dsts, stexts, dtexts) -> pa.Table:
     """The exact verification kernel shared by both verify paths: for each
     candidate (src, dst) with attached texts, keep the pair iff the shorter
-    text occurs verbatim in the longer (suffix-array binary search; a
-    per-call cache memoizes one suffix array per container — the north
-    star's "suffix-array builders" actor state).  Equal-length pairs are
+    text occurs verbatim in the longer.  Low-fanout containers use the
+    C two-way substring search (``in``); containers queried >= _SA_FANOUT
+    times in this call get ONE suffix array built and binary-searched per
+    pattern (the north star's "suffix-array builders" actor state —
+    measured break-even: build 648us vs 1.6us/`in` query, so the SA only
+    pays when many patterns hit one container).  Equal-length pairs are
     identical-copy star candidates (same tfp group) and verify by string
     equality — equal length can never strictly contain."""
     from mail_deduplicate_ray.functions.suffixarray import (sa_contains,
                                                             suffix_array)
+    # fanout census: how many patterns will query each container here
+    fanout: dict[str, int] = {}
+    for src, dst, stext, dtext in zip(srcs, dsts, stexts, dtexts):
+        if (isinstance(stext, str) and isinstance(dtext, str)
+                and len(stext) != len(dtext)):
+            big_id = src if len(stext) > len(dtext) else dst
+            fanout[big_id] = fanout.get(big_id, 0) + 1
     out_s: list[str] = []
     out_d: list[str] = []
     cache: dict[str, tuple[bytes, np.ndarray]] = {}
@@ -749,12 +765,16 @@ def _verify_pair_rows(srcs, dsts, stexts, dtexts) -> pa.Table:
         big_id, big, small = ((src, stext, dtext)
                               if len(stext) > len(dtext)
                               else (dst, dtext, stext))
-        ent = cache.get(big_id)
-        if ent is None:
-            bb = big.encode("utf-8")
-            ent = (bb, suffix_array(np.frombuffer(bb, np.uint8)))
-            cache[big_id] = ent
-        if sa_contains(ent[0], ent[1], small.encode("utf-8")):
+        if fanout[big_id] >= _SA_FANOUT:
+            ent = cache.get(big_id)
+            if ent is None:
+                bb = big.encode("utf-8")
+                ent = (bb, suffix_array(np.frombuffer(bb, np.uint8)))
+                cache[big_id] = ent
+            hit = sa_contains(ent[0], ent[1], small.encode("utf-8"))
+        else:
+            hit = small in big
+        if hit:
             out_s.append(src)
             out_d.append(dst)
     return pa.table({
@@ -790,6 +810,10 @@ def verify_substring_edges(deduped: "ray.data.Dataset",
     Non-substring edges and overflow accounting rows pass through
     untouched."""
     import ray as _ray
+    # pin the upstream edge DAG once: both the cand materialize below and
+    # the rest branch consume it — leaving it lazy re-executes the whole
+    # explode+shuffle a second time (measured ~2x the candidates stage)
+    deduped = deduped.materialize()
     rest = deduped.map_batches(
         lambda t: t.filter(pc.or_(pc.not_equal(t["channel"], "substring"),
                                   pc.equal(t["src"], ""))),
@@ -834,6 +858,10 @@ def verify_substring_edges(deduped: "ray.data.Dataset",
                 tmap = None
                 break
         if tmap is not None:
+            # task map, LARGE batches: tasks fuse with the upstream read
+            # and skip actor-pool ramp-up; the big batch amortizes the
+            # per-task deserialize of the broadcast map (measured 1.3s vs
+            # 5.4s actor pool vs 6.7s at 4k batches, 2.4M pairs)
             tref = _ray.put(tmap)
 
             def vmap(t: pa.Table, ref=tref) -> pa.Table:
@@ -844,7 +872,7 @@ def verify_substring_edges(deduped: "ray.data.Dataset",
                     srcs, dsts, [m.get(s) for s in srcs],
                     [m.get(d) for d in dsts])
 
-            return rest.union(cand.map_batches(vmap,
+            return rest.union(cand.map_batches(vmap, batch_size=65536,
                                                batch_format="pyarrow"))
 
     nbuckets = max(4, min(nbuckets, n_pairs // 2000 + 1))
