@@ -828,20 +828,21 @@ def verify_substring_edges(deduped: "ray.data.Dataset",
     texts = usable.select_columns(["clip_id", "transcript_norm"])
 
     if n_pairs <= _PAIR_BROADCAST_LIMIT:
-        # semi-join prune: only texts participating in a pair are needed
-        parts: list[np.ndarray] = []
+        # semi-join prune: only texts participating in a pair are needed.
+        # Arrow hash-unique / is_in (C++), NOT np.unique over object
+        # strings (sort-based; measured seconds at millions of pairs)
+        parts: list[pa.Array] = []
         for b in cand.select_columns(["src", "dst"]).iter_batches(
-                batch_format="numpy", batch_size=65536):
-            parts.append(np.asarray(b["src"]))
-            parts.append(np.asarray(b["dst"]))
-        need = np.unique(np.concatenate(parts))
+                batch_format="pyarrow", batch_size=65536):
+            parts.append(pc.unique(b["src"]))
+            parts.append(pc.unique(b["dst"]))
+        need = pc.unique(pa.concat_arrays(
+            [p.cast(pa.string()) for p in parts]))
         need_ref = _ray.put(need)
 
         def prune(t: pa.Table, ref=need_ref) -> pa.Table:
-            arr = _ray.get(ref)
-            ids = np.asarray(t["clip_id"].to_numpy(zero_copy_only=False))
-            pos = np.clip(np.searchsorted(arr, ids), 0, len(arr) - 1)
-            return t.filter(pa.array(arr[pos] == ids))
+            return t.filter(pc.is_in(t["clip_id"],
+                                     value_set=_ray.get(ref)))
 
         texts = texts.map_batches(prune, batch_format="pyarrow")
 
