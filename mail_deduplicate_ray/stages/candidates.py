@@ -248,8 +248,9 @@ def explode_all(batch: pa.Table, cfg: DedupConfig,
         minhash      minhash_sig8 (num_perm B) || ek64 (8 B LE)
         audio        audio_fp (8 B) || dur_ms (4 B) || feat16 (2*dims B)
         containment  minhash_sig8 (num_perm B) || set_size (8 B LE)
-        substring    n_chars (8 B LE) || tfp minimizer-set fingerprint
-                     (8 B LE) || role (1 B: 1 = global-min row)
+        substring    n_bytes of utf-8 transcript_norm (8 B LE) || tfp
+                     minimizer-set fingerprint (8 B LE) || role (1 B:
+                     1 = global-min row)
     """
     n = batch.num_rows
     out_idx: list[np.ndarray] = []    # row index into batch
@@ -343,13 +344,27 @@ def explode_all(batch: pa.Table, cfg: DedupConfig,
     if "substring" in channels and n:
         from mail_deduplicate_ray.functions.shingles import minimizers
         w = cfg.substring_min_len - cfg.substring_k + 1
-        tn = batch["transcript_norm"].to_pylist()
-        n_chars = np.fromiter((len(t) if t else 0 for t in tn), np.int64,
-                              count=n)
-        el = np.flatnonzero(n_chars >= cfg.substring_min_len)
+        # zero-copy UTF-8 byte views straight from the Arrow string
+        # buffers (no to_pylist decode + re-encode of every transcript);
+        # all lengths in this channel are BYTE lengths — the minimizer
+        # window math operates on bytes, so byte-based eligibility is the
+        # exact guarantee (a contained text of >= min_len BYTES provably
+        # shares its global-min k-gram with its container)
+        col = batch["transcript_norm"].combine_chunks()
+        off0 = col.offset
+        odt = np.int64 if pa.types.is_large_string(col.type) else np.int32
+        offs = np.frombuffer(col.buffers()[1], odt, count=n + 1,
+                             offset=np.dtype(odt).itemsize * off0
+                             ).astype(np.int64)
+        data = np.frombuffer(col.buffers()[2], np.uint8)
+        n_bytes = offs[1:] - offs[:-1]
+        if col.null_count:
+            n_bytes = np.where(
+                np.asarray(col.is_null()).astype(bool), 0, n_bytes)
+        el = np.flatnonzero(n_bytes >= cfg.substring_min_len)
         if el.size:
-            mins = [minimizers(np.frombuffer(tn[i].encode("utf-8"),
-                                             np.uint8), cfg.substring_k, w)
+            mins = [minimizers(data[offs[i]:offs[i + 1]],
+                               cfg.substring_k, w)
                     for i in el.tolist()]
             counts = np.fromiter((len(m) for m in mins), np.int64,
                                  count=el.size)
@@ -362,7 +377,7 @@ def explode_all(batch: pa.Table, cfg: DedupConfig,
                 tfp = np.repeat(np.array(
                     [np.bitwise_xor.reduce(m) ^
                      (np.uint64(len(m)) * _FOLD_P) for m in mins],
-                    np.uint64) ^ n_chars[el].view(np.uint64), counts)
+                    np.uint64) ^ n_bytes[el].view(np.uint64), counts)
                 # role=1 on the text's GLOBAL-MIN minimizer row: if P is
                 # contained in T then minimizers(P) <= minimizers(T), so
                 # P's global min is in T's set — ONE bucket per containee
@@ -371,7 +386,7 @@ def explode_all(batch: pa.Table, cfg: DedupConfig,
                                           np.uint64), counts)
                 role = (flat == gmin).astype(np.uint8)
                 pay = np.concatenate(
-                    [n_chars[ridx][:, None].view(np.uint8),
+                    [n_bytes[ridx][:, None].view(np.uint8),
                      tfp[:, None].view(np.uint8),
                      role[:, None]], axis=1)
                 out_idx.append(ridx)
@@ -525,7 +540,10 @@ def _containment_core(ids_all: np.ndarray, buckets: np.ndarray,
 def _substring_core(ids_all: np.ndarray, buckets: np.ndarray,
                     sizes_all: np.ndarray, tfp_all: np.ndarray,
                     roles_all: np.ndarray, cfg: DedupConfig) -> pd.DataFrame:
-    """CANDIDATE (containee, container) pairs, BIPARTITE per bucket.
+    """CANDIDATE containee↔container pairs, BIPARTITE per bucket.
+    (Emitted rows are (min_id, max_id)-normalized by ``_edges_df`` —
+    orientation is NOT preserved; the verify stage re-derives it from the
+    attached text lengths.)
 
     If P occurs in T then every w-window of P recurs verbatim in T, so
     minimizers(P) ⊆ minimizers(T) — in particular P's GLOBAL-MIN k-gram
@@ -548,8 +566,13 @@ def _substring_core(ids_all: np.ndarray, buckets: np.ndarray,
     Hot buckets are capped at ``max_bucket`` DISTINCT containees and, per
     containee, ``max_bucket`` shortest containers (nearest parents in a
     containment chain; a longer ancestor is reached transitively through
-    the parent's own containee role) — overflow is counted in
-    ``dropped``."""
+    the parent's own containee role WHEN the parent verifies) — overflow
+    is counted in ``dropped``.  Unlike the LSH channels, a containee has
+    exactly ONE candidate bucket, so capped-away candidates here are not
+    retried by another band: on boilerplate-heavy corpora where thousands
+    of texts share one hot minimizer, raise ``max_bucket`` (or treat a
+    nonzero substring ``dropped`` as the signal to) — the reported count
+    makes the trade visible rather than silent."""
     cap = cfg.max_bucket
     out: list[pd.DataFrame] = []
     order = np.lexsort((ids_all, buckets))
@@ -825,7 +848,12 @@ def verify_substring_edges(deduped: "ray.data.Dataset",
     n_pairs = cand.count()
     if n_pairs == 0:
         return rest
-    texts = usable.select_columns(["clip_id", "transcript_norm"])
+    # null transcripts can never verify; dropping them here keeps them out
+    # of the broadcast map AND the fallback joins (where a null-text row
+    # would masquerade as a pair row through the notna() classification)
+    texts = usable.select_columns(["clip_id", "transcript_norm"]) \
+        .map_batches(lambda t: t.filter(pc.is_valid(t["transcript_norm"])),
+                     batch_format="pyarrow")
 
     if n_pairs <= _PAIR_BROADCAST_LIMIT:
         # semi-join prune: only texts participating in a pair are needed.
@@ -851,10 +879,13 @@ def verify_substring_edges(deduped: "ray.data.Dataset",
         total = 0
         for b in texts.iter_batches(batch_format="pyarrow",
                                     batch_size=8192):
-            for cid, txt in zip(b["clip_id"].to_pylist(),
-                                b["transcript_norm"].to_pylist()):
-                tmap[cid] = txt
-                total += len(txt) if txt else 0
+            # UTF-8 BYTES, not str length (binary_length counts bytes):
+            # the cap guards driver/object-store memory, so it must
+            # measure what is actually stored
+            total += pc.sum(pc.binary_length(b["transcript_norm"])
+                            ).as_py() or 0
+            tmap.update(zip(b["clip_id"].to_pylist(),
+                            b["transcript_norm"].to_pylist()))
             if total > _TEXT_BYTES_CAP:
                 tmap = None
                 break
@@ -913,7 +944,7 @@ def verify_substring_edges(deduped: "ray.data.Dataset",
         pairs = df.loc[~is_text]
         return _verify_pair_rows(
             pairs["other"].tolist(), pairs["key"].tolist(),
-            [None if t_ is None else t_ for t_ in pairs["otext"]],
+            pairs["otext"].tolist(),  # NaN/None handled by the kernel
             [tmap.get(k) for k in pairs["key"]])
 
     verified = bucketing.grouped(p1.union(text_rows), "key", j2, nbuckets,
