@@ -54,6 +54,16 @@ def add_bucket(ds: "ray.data.Dataset", key: str,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def arrow_clean(df: pd.DataFrame) -> pa.Table:
+    """pandas → Arrow with the schema metadata STRIPPED.  Conversion via
+    ``from_pandas`` attaches a b'pandas' metadata dict, which makes the
+    schema unhashable and defeats Ray's schema-dedup ("Failed to hash the
+    schemas" warnings on every downstream unify) — map_groups bodies that
+    build pandas frames should return through this."""
+    return pa.Table.from_pandas(
+        df, preserve_index=False).replace_schema_metadata(None)
+
+
 def grouped(ds: "ray.data.Dataset", key: str, part_fn: Callable,
             nbuckets: int = 64,
             batch_format: str = "pandas") -> "ray.data.Dataset":
@@ -67,8 +77,11 @@ def grouped(ds: "ray.data.Dataset", key: str, part_fn: Callable,
     bucketed = add_bucket(ds, key, nbuckets)
 
     if batch_format == "pandas":
-        def runner(df: pd.DataFrame) -> pd.DataFrame:
-            return part_fn(df.drop(columns=[BUCKET_COL]))
+        def runner(df: pd.DataFrame) -> pa.Table:
+            out = part_fn(df.drop(columns=[BUCKET_COL]))
+            if isinstance(out, pd.DataFrame):
+                return arrow_clean(out)
+            return out
     else:
         def runner(t: pa.Table) -> pa.Table:
             return part_fn(t.drop_columns([BUCKET_COL]))

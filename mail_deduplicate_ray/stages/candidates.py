@@ -719,8 +719,9 @@ def candidate_edges(sigs: "ray.data.Dataset", cfg: DedupConfig,
 
     bucketed = exploded.map_batches(add_small, batch_format="pyarrow")
     return bucketed.groupby(bucketing.BUCKET_COL).map_groups(
-        lambda df: _fused_partition(df.drop(columns=[bucketing.BUCKET_COL]),
-                                    cfg, channels),
+        lambda df: bucketing.arrow_clean(
+            _fused_partition(df.drop(columns=[bucketing.BUCKET_COL]),
+                             cfg, channels)),
         batch_format="pandas")
 
 

@@ -28,6 +28,7 @@ import pyarrow as pa
 import ray.data
 
 from mail_deduplicate_ray.stages.bucketing import (BUCKET_COL, add_bucket,
+                                                   arrow_clean,
                                                    hash_to_buckets)
 
 
@@ -107,7 +108,7 @@ def _pointer_jump(labels: "ray.data.Dataset",
     tagged = probe.union(mapping)
     bucketed = add_bucket(tagged, "jk", nbuckets)
     return bucketed.groupby(BUCKET_COL).map_groups(
-        lambda df: jump(df.drop(columns=[BUCKET_COL])),
+        lambda df: arrow_clean(jump(df.drop(columns=[BUCKET_COL]))),
         batch_format="pandas")
 
 
@@ -141,7 +142,7 @@ def connected_components(edges: "ray.data.Dataset", max_rounds: int = 10,
         return pd.DataFrame({"node": nodes, "label": nodes})
 
     labels = adj.groupby(BUCKET_COL).map_groups(
-        lambda df: init_labels(df), batch_format="pandas") \
+        lambda df: arrow_clean(init_labels(df)), batch_format="pandas") \
         .repartition(nbuckets).materialize()
 
     # Alternate min-label propagation with pointer-jumping compression:
@@ -178,7 +179,7 @@ def connected_components(edges: "ray.data.Dataset", max_rounds: int = 10,
                              ignore_index=True)
 
         msgs = tagged_l.union(tagged_e).groupby(BUCKET_COL).map_groups(
-            lambda df: send(df.drop(columns=[BUCKET_COL])),
+            lambda df: arrow_clean(send(df.drop(columns=[BUCKET_COL]))),
             batch_format="pandas")
 
         def adopt(df: pd.DataFrame) -> pd.DataFrame:
@@ -194,7 +195,7 @@ def connected_components(edges: "ray.data.Dataset", max_rounds: int = 10,
 
         new_labels = add_bucket(msgs, "node", nbuckets) \
             .groupby(BUCKET_COL).map_groups(
-                lambda df: adopt(df.drop(columns=[BUCKET_COL])),
+                lambda df: arrow_clean(adopt(df.drop(columns=[BUCKET_COL]))),
                 batch_format="pandas").repartition(nbuckets).materialize()
         changed = int(new_labels.sum("changed") or 0)
         labels = new_labels.drop_columns(["changed"])
