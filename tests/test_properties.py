@@ -87,3 +87,65 @@ def test_driver_union_find_matches_bruteforce(edge_ints):
         if not changed:
             break
     assert want == label
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=600),
+       st.integers(min_value=1, max_value=64))
+def test_sliding_min_matches_naive(raw, w):
+    h = np.frombuffer(raw, np.uint8).astype(np.uint64) * np.uint64(
+        0x9E3779B97F4A7C15)
+    if len(h) < w:
+        return
+    naive = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+    assert np.array_equal(shingles._sliding_min(h, w), naive)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=1, max_size=500),
+       st.integers(min_value=1, max_value=24))
+def test_poly_hashes_match_windowed_formula(data, k):
+    arr = np.frombuffer(data, np.uint8)
+    if len(arr) < k:
+        return
+    win = np.lib.stride_tricks.sliding_window_view(arr, k)
+    ref = np.full(win.shape[0], shingles._OFFS, dtype=np.uint64)
+    for j in range(k):
+        ref = ref * shingles._BASE + win[:, j].astype(np.uint64)
+    assert np.array_equal(shingles._poly_hashes(arr, k), ref)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(alphabet="abcdefgh ", min_size=80, max_size=400),
+       st.integers(min_value=0, max_value=300),
+       st.integers(min_value=64, max_value=200))
+def test_minimizer_subset_guarantee(container, start, length):
+    # BASELINE.json north star: if P occurs in T and len(P) >= min_len,
+    # then minimizers(P) is a SUBSET of minimizers(T) — in particular P's
+    # global-min k-gram hash (the bipartite candidate probe) is in T's set
+    k, min_len = 16, 64
+    w = min_len - k + 1
+    cb = container.encode("utf-8")
+    start = min(start, max(0, len(cb) - min_len))
+    pb = cb[start:start + length]
+    if len(pb) < min_len:
+        return
+    mt = set(shingles.minimizers(
+        np.frombuffer(cb, np.uint8), k, w).tolist())
+    mp = shingles.minimizers(np.frombuffer(pb, np.uint8), k, w)
+    assert set(mp.tolist()) <= mt
+    assert int(mp.min()) in mt
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=1, max_size=400),
+       st.binary(min_size=0, max_size=60))
+def test_suffix_array_contains_matches_in(text, pattern):
+    from mail_deduplicate_ray.functions.suffixarray import (sa_contains,
+                                                            suffix_array)
+    sa = suffix_array(np.frombuffer(text, np.uint8))
+    assert sa_contains(text, sa, pattern) == (pattern in text)
+    # and a guaranteed-present pattern
+    if len(text) >= 3:
+        sub = text[len(text) // 3: 2 * len(text) // 3]
+        assert sa_contains(text, sa, sub)
