@@ -117,6 +117,15 @@ class DedupConfig:
     # by suffix-array search (functions/suffixarray.py)
     substring_k: int = 16
     substring_min_len: int = 64
+    # candidate probes per containee: its q SMALLEST minimizer values (all
+    # provably present in any container's set).  q=1 suffices for recall
+    # whenever buckets stay under max_bucket; raise to 2 on corpora where
+    # the substring channel reports cap drops (dropped > 0) — a capped
+    # containee then retries from its second probe bucket.  Cost: each
+    # probe pairs the containee with a DIFFERENT container population, so
+    # unique candidates (and exact-verify work) scale ~linearly in q
+    # (measured 2.38M -> 4.48M pairs at q=1->2 on the 190k bench corpus).
+    substring_probes: int = 1
 
     # SimHash / SRP over decoded-PCM spectral features
     audio_bits: int = 64
@@ -166,6 +175,8 @@ class DedupConfig:
         if self.substring_min_len <= self.substring_k:
             raise ValueError("substring_min_len must exceed substring_k "
                              "(the minimizer window needs >= 1 k-gram)")
+        if self.substring_probes < 1:
+            raise ValueError("substring_probes must be >= 1")
 
     # fields whose change invalidates SIGNATURE checkpoints (what the
     # decode+signature actors compute); verification thresholds live in
@@ -198,6 +209,7 @@ class DedupConfig:
         "max_bucket",
         "substring_k",
         "substring_min_len",
+        "substring_probes",
     )
 
     # bump whenever the signature FORMAT changes outside config (feature

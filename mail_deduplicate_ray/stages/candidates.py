@@ -18,8 +18,9 @@ deduplicate.py:1009 generalized from exact keys to LSH buckets):
   substring    winnowing-minimizer buckets over transcript_norm; a
                contained transcript's minimizer set is provably a SUBSET of
                its container's (functions/shingles.minimizers), so each
-               text candidates as containee in ONE bucket (its global-min
-               row) against the bucket's longer distinct texts.  Exact
+               text candidates as containee in its q smallest-minimizer
+               buckets (cfg.substring_probes; q=2 survives one hot-bucket
+               cap) against each bucket's longer distinct texts.  Exact
                verification is a separate bucketed-text-join stage
                (``verify_substring_edges``) running suffix-array search —
                the north star's third detector (BASELINE.json:
@@ -378,13 +379,16 @@ def explode_all(batch: pa.Table, cfg: DedupConfig,
                     [np.bitwise_xor.reduce(m) ^
                      (np.uint64(len(m)) * _FOLD_P) for m in mins],
                     np.uint64) ^ n_bytes[el].view(np.uint64), counts)
-                # role=1 on the text's GLOBAL-MIN minimizer row: if P is
+                # role=1 on the text's q SMALLEST minimizer rows: if P is
                 # contained in T then minimizers(P) <= minimizers(T), so
-                # P's global min is in T's set — ONE bucket per containee
-                # suffices, and every candidate pair is emitted exactly once
-                gmin = np.repeat(np.array([m.min() for m in mins],
-                                          np.uint64), counts)
-                role = (flat == gmin).astype(np.uint8)
+                # every probe of P is in T's set — each candidate pair is
+                # emitted from <= q buckets (deduped downstream); extra
+                # probes make a pair survive a hot-bucket cap drop.
+                # minimizers() output is sorted, so the probes are simply
+                # the first q rows of each text's segment.
+                starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                pos_in_seg = np.arange(ridx.size) - np.repeat(starts, counts)
+                role = (pos_in_seg < cfg.substring_probes).astype(np.uint8)
                 pay = np.concatenate(
                     [n_bytes[ridx][:, None].view(np.uint8),
                      tfp[:, None].view(np.uint8),
@@ -546,13 +550,15 @@ def _substring_core(ids_all: np.ndarray, buckets: np.ndarray,
     attached text lengths.)
 
     If P occurs in T then every w-window of P recurs verbatim in T, so
-    minimizers(P) ⊆ minimizers(T) — in particular P's GLOBAL-MIN k-gram
-    hash is in T's minimizer set.  The explode marks that one row per text
-    (``role=1``); here only role-1 texts act as containees and they pair
-    with every longer text in the bucket.  Consequences at scale:
+    minimizers(P) ⊆ minimizers(T) — in particular P's q SMALLEST minimizer
+    values are all in T's minimizer set.  The explode marks those rows per
+    text (``role=1``, q = cfg.substring_probes); here only role-1 texts
+    act as containees and they pair with every longer text in the bucket.
+    Consequences at scale:
 
-    * each true candidate pair is emitted in exactly ONE bucket (the
-      containee's global-min bucket) — no minimizer-count-fold duplication;
+    * each true candidate pair is emitted from at most q buckets (the
+      containee's probe buckets; deduped by ``dedup_edges``) — never once
+      per shared minimizer;
     * pairing is over DISTINCT texts (grouped by the minimizer-set
       fingerprint ``tfp``), so a cluster of identical copies costs
       O(members) star rows, never O(members²) — the memoized-verification
@@ -567,12 +573,13 @@ def _substring_core(ids_all: np.ndarray, buckets: np.ndarray,
     containee, ``max_bucket`` shortest containers (nearest parents in a
     containment chain; a longer ancestor is reached transitively through
     the parent's own containee role WHEN the parent verifies) — overflow
-    is counted in ``dropped``.  Unlike the LSH channels, a containee has
-    exactly ONE candidate bucket, so capped-away candidates here are not
-    retried by another band: on boilerplate-heavy corpora where thousands
-    of texts share one hot minimizer, raise ``max_bucket`` (or treat a
-    nonzero substring ``dropped`` as the signal to) — the reported count
-    makes the trade visible rather than silent."""
+    is counted in ``dropped``.  Unlike the LSH channels a containee has
+    only its q probe buckets, so a candidate capped away in ALL of them is
+    not retried elsewhere: on boilerplate-heavy corpora where thousands of
+    texts share the same hot minimizers, raise ``max_bucket`` or
+    ``substring_probes`` (treat a nonzero substring ``dropped`` as the
+    signal to) — the reported count makes the trade visible rather than
+    silent."""
     cap = cfg.max_bucket
     out: list[pd.DataFrame] = []
     order = np.lexsort((ids_all, buckets))

@@ -385,6 +385,38 @@ def test_substring_channel_exact_containment(small_corpus):
         assert small in big
 
 
+def test_substring_second_probe_survives_containee_cap():
+    # a containee capped out of its first probe bucket still candidates
+    # from its second probe bucket (cfg.substring_probes=2 hardening):
+    # bucket 100 holds cap+1 containee groups — 'pat' sorts last by tfp
+    # and is dropped there — but bucket 200 holds it within cap
+    from mail_deduplicate_ray.stages.candidates import _substring_core
+    cfg = DedupConfig(max_bucket=2)
+    ids, bkts, sizes, tfps, roles = [], [], [], [], []
+
+    def row(cid, bkt, n, tfp, role):
+        ids.append(cid); bkts.append(bkt); sizes.append(n)
+        tfps.append(tfp); roles.append(role)
+
+    # bucket 100: three containee groups (cap=2 keeps tfp-sorted first 2),
+    # plus the container; 'pat' gets tfp sorting LAST -> dropped here
+    row("deco-1", 100, 70, 1, 1)
+    row("deco-2", 100, 71, 2, 1)
+    row("pat-0", 100, 80, 9, 1)
+    row("big-0", 100, 500, 5, 0)
+    # bucket 200 (pat's second probe): only pat + container -> within cap
+    row("pat-0", 200, 80, 9, 1)
+    row("big-0", 200, 500, 5, 0)
+    df = _substring_core(np.array(ids), np.array(bkts, np.uint64),
+                         np.array(sizes, np.int64),
+                         np.array(tfps, np.uint64),
+                         np.array(roles, np.uint8), cfg)
+    real = df[df.src != ""]
+    pairs = set(map(tuple, real[["src", "dst"]].to_numpy()))
+    assert ("big-0", "pat-0") in pairs
+    assert df["dropped"].sum() > 0  # the bucket-100 cap drop is reported
+
+
 def test_substring_verify_bucketed_fallback_parity(small_corpus,
                                                    monkeypatch):
     # the mega-dup fallback (bucketed text joins) must produce the exact
