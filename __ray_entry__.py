@@ -51,6 +51,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "orders_by_status": relational.orders_by_status,
         "top_spenders": relational.top_spenders,
+        # --- joins (stages/joins.py: broadcast / shuffle / semi / anti) ---
+        "revenue_by_nation": relational.revenue_by_nation,
+        "part_brand_revenue": relational.part_brand_revenue,
+        "customers_without_orders": relational.customers_without_orders,
+        "priority_orders_semi": relational.priority_orders_semi,
         # --- similarity search ---
         "ann_bruteforce_top10": ann.ann_bruteforce_topk,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
@@ -205,6 +210,37 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS total_cents
             FROM orders GROUP BY o_custkey
             ORDER BY total_cents DESC, o_custkey ASC LIMIT 25
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "part_brand_revenue": """
+            SELECT p_brand,
+                   count(*) AS n_items,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_totalprice > 300000)
+            ORDER BY c_custkey
+        """,
+        "priority_orders_semi": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 WHERE l_quantity >= 48)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "ann_bruteforce_top10": """
             SELECT query_id, vec_id, rank FROM (

@@ -17,6 +17,13 @@ from mail_deduplicate_ray.sources.clips_io import read_parquet_clean
 _US_PER_5MIN = 300 * 1_000_000
 
 
+def _cents(col) -> pa.Array:
+    """Dollars->cents as int64, half-away-from-zero to match DuckDB
+    ``round()`` (pc.round defaults to half-to-even — VERDICT r1 item 2)."""
+    return pc.cast(pc.round(pc.multiply(col, 100.0),
+                            round_mode="half_towards_infinity"), pa.int64())
+
+
 def events_window_5m(sf_dir: str) -> "ray.data.Dataset":
     """Tumbling 5-minute window per user: partial-aggregate inside
     map_batches (one row per (user, window) per batch) then a tiny final
@@ -202,3 +209,145 @@ def top_spenders(sf_dir: str, k: int = 25) -> "ray.data.Dataset":
         final, batch_format="pyarrow")
     return totals.sort(["total_cents", "o_custkey"], descending=[True, False]) \
                  .limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Join-backed queries (stages/joins.py): the reference has no relational
+# joins (SURVEY.md §2.6), so these exercise the engine's general join
+# surface — broadcast for dimensions, bucketed shuffle for fact x fact,
+# distinct-key semi/anti for filters.
+
+
+def revenue_by_nation(sf_dir: str) -> "ray.data.Dataset":
+    """orders |><| customer |><| nation, grouped by nation name.
+
+    Physical plan: (1) per-batch partial aggregation of orders by custkey
+    (shuffle moves one row per (batch, custkey), never the fact rows);
+    (2) customer -> nation via broadcast_join (nation is a 25-row
+    dimension, ray.put once); (3) partials x customer via shuffle_join on
+    custkey (customer is NOT broadcastable at 100 TB scale); (4) tiny
+    final groupby(n_name)."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from mail_deduplicate_ray.stages.joins import broadcast_join, shuffle_join
+
+    # driver-side read of a fixed-cardinality dimension table (25 rows)
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+    cust_n = broadcast_join(cust, nation, "c_nationkey", "n_nationkey",
+                            how="inner").select_columns(
+                                ["c_custkey", "n_name"])
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = pa.table({"c_custkey": t["o_custkey"],
+                      "cents": _cents(t["o_totalprice"])})
+        g = t.group_by("c_custkey").aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({"c_custkey": g["c_custkey"],
+                         "cents": g["cents_sum"],
+                         "n": pc.cast(g["cents_count"], pa.int64())})
+
+    totals = orders.map_batches(partial, batch_format="pyarrow")
+    joined = shuffle_join(totals, cust_n, "c_custkey", "c_custkey",
+                          how="inner")
+    out = joined.groupby("n_name").aggregate(
+        Sum("n", alias_name="n_orders"),
+        Sum("cents", alias_name="total_cents"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "n_name": t["n_name"],
+            "n_orders": pc.cast(t["n_orders"], pa.int64()),
+            "total_cents": pc.cast(t["total_cents"], pa.int64())}),
+        batch_format="pyarrow").sort("n_name")
+
+
+def part_brand_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """lineitem |><| part by partkey, revenue per brand — the fact x fact
+    shuffle-join path, with lineitem pre-aggregated per batch so the join
+    input is ~distinct-partkeys rows, not fact rows."""
+    from ray.data.aggregate import Sum
+
+    from mail_deduplicate_ray.stages.joins import shuffle_join
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = pa.table({"p_partkey": t["l_partkey"],
+                      "cents": _cents(t["l_extendedprice"])})
+        g = t.group_by("p_partkey").aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({"p_partkey": g["p_partkey"],
+                         "cents": g["cents_sum"],
+                         "n": pc.cast(g["cents_count"], pa.int64())})
+
+    partials = li.map_batches(partial, batch_format="pyarrow")
+    parts = read_parquet_clean(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey", "p_brand"])
+    joined = shuffle_join(partials, parts, "p_partkey", "p_partkey",
+                          how="inner")
+    out = joined.groupby("p_brand").aggregate(
+        Sum("n", alias_name="n_items"),
+        Sum("cents", alias_name="revenue_cents"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "p_brand": t["p_brand"],
+            "n_items": pc.cast(t["n_items"], pa.int64()),
+            "revenue_cents": pc.cast(t["revenue_cents"], pa.int64())}),
+        batch_format="pyarrow").sort("p_brand")
+
+
+def customers_without_orders(sf_dir: str, min_price: float = 300_000.0,
+                             ) -> "ray.data.Dataset":
+    """Distributed ANTI join: customers with no order above ``min_price``.
+    Only DISTINCT qualifying order custkeys enter the shuffle."""
+    from mail_deduplicate_ray.stages.joins import semi_anti_join
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_name"])
+    big_orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"]).map_batches(
+            lambda t: pa.table(
+                {"o_custkey":
+                 t.filter(pc.greater(t["o_totalprice"],
+                                     min_price))["o_custkey"]}),
+            batch_format="pyarrow")
+    out = semi_anti_join(cust, big_orders, "c_custkey", "o_custkey",
+                         anti=True)
+    return out.sort("c_custkey")
+
+
+def priority_orders_semi(sf_dir: str, min_qty: float = 48.0,
+                         ) -> "ray.data.Dataset":
+    """Distributed SEMI join: orders having at least one line item with
+    quantity >= ``min_qty``, counted per order priority."""
+    from ray.data.aggregate import Count
+
+    from mail_deduplicate_ray.stages.joins import semi_anti_join
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderpriority"])
+    big = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"]).map_batches(
+            lambda t: pa.table(
+                {"l_orderkey":
+                 t.filter(pc.greater_equal(t["l_quantity"],
+                                           min_qty))["l_orderkey"]}),
+            batch_format="pyarrow")
+    hits = semi_anti_join(orders, big, "o_orderkey", "l_orderkey")
+    out = hits.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_orders"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "n_orders": pc.cast(t["n_orders"], pa.int64())}),
+        batch_format="pyarrow").sort("o_orderpriority")

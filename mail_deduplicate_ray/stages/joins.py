@@ -1,0 +1,170 @@
+"""Distributed joins — the two physical shapes that survive 100 TB.
+
+The reference has no relational joins (SURVEY.md §2.6: its only
+lookup-shaped operator is the cache anti-join, ref: cache.py:265-296);
+these close the gap for the engine's general data-processing surface and
+re-use the same two scale idioms the dedup core is built on:
+
+- ``broadcast_join``: the build side is ``ray.put`` ONCE and every probe
+  task resolves it from the local object store (zero-copy Plasma read, not
+  re-shipped per batch); the probe side streams through a task map doing a
+  vectorized ``pc.index_in`` + ``take``.  No shuffle at all.  Right for
+  dimension tables that fit a worker heap at any corpus scale.
+- ``shuffle_join``: both sides are hash-bucketed on the key into small
+  INT bucket ids (the ``bucketing`` idiom — shuffle moves int32 keys, and
+  Python overhead is O(buckets), not O(distinct keys)), unioned with a
+  side tag, moved by ONE ``groupby(bucket)`` shuffle, and joined locally
+  per bucket with a vectorized pandas merge.  Right for fact × fact.
+
+``semi_anti_join`` ships only the DISTINCT keys of the filter side
+(per-batch ``pc.unique`` before the shuffle), so the filter side's payload
+never moves — the generalization of the checkpoint anti-join
+(state/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from mail_deduplicate_ray.stages.bucketing import (BUCKET_COL, add_bucket,
+                                                   arrow_clean)
+
+_SIDE_COL = "__side"
+
+
+def _pa_schema(ds: "ray.data.Dataset") -> pa.Schema:
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.schema(list(zip(sch.names, sch.types)))
+
+
+def broadcast_join(probe: "ray.data.Dataset", build: pa.Table,
+                   left_key: str, right_key: str,
+                   how: str = "inner") -> "ray.data.Dataset":
+    """Join ``probe`` (streaming Dataset) against a small in-memory build
+    table.  ``how`` ∈ {inner, left, semi, anti}.  For inner/left every
+    build column except the key is appended to the probe rows; semi/anti
+    only filter.  The build table crosses the cluster once (``ray.put``);
+    each task's ``ray.get`` is a node-local zero-copy handle.
+    """
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    build = build.combine_chunks()
+    if pc.count_distinct(build[right_key]).as_py() != build.num_rows:
+        raise ValueError(f"broadcast_join build side has duplicate "
+                         f"{right_key!r} keys")
+    ref = ray.put(build)
+    payload_cols = [c for c in build.column_names if c != right_key]
+
+    def probe_fn(t: pa.Table) -> pa.Table:
+        tbl = ray.get(ref)
+        idx = pc.index_in(t[left_key], value_set=tbl[right_key])
+        matched = pc.is_valid(idx)
+        if how == "anti":
+            return t.filter(pc.invert(matched))
+        if how == "semi":
+            return t.filter(matched)
+        if how == "inner":
+            t = t.filter(matched)
+            idx = idx.filter(matched)
+        # null indices under how="left" take() to null payload values
+        for c in payload_cols:
+            t = t.append_column(c, tbl[c].take(idx))
+        return t
+
+    return probe.map_batches(probe_fn, batch_format="pyarrow")
+
+
+def _tagged(ds: "ray.data.Dataset", key: str, out_key: str,
+            own_cols: list[tuple[str, pa.DataType]],
+            other_cols: list[tuple[str, pa.DataType]],
+            order: list[str], side: int) -> "ray.data.Dataset":
+    """Project ``ds`` onto the union schema: own columns kept, the other
+    side's columns appended as typed nulls, plus the side tag."""
+    def f(t: pa.Table) -> pa.Table:
+        cols = {out_key: t[key]}
+        for name, _ in own_cols:
+            cols[name] = t[name]
+        for name, typ in other_cols:
+            cols[name] = pa.nulls(t.num_rows, typ)
+        cols[_SIDE_COL] = pa.array([side] * t.num_rows, pa.int8())
+        return pa.table({n: cols[n] for n in order})
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                 left_key: str, right_key: str, how: str = "inner",
+                 nbuckets: int = 64) -> "ray.data.Dataset":
+    """Partitioned hash join of two Datasets on one key.
+
+    Both sides are tagged and projected onto the union schema (the
+    missing side's columns become typed null arrays — Arrow null columns
+    are O(1) in the shuffle), bucketed on the key, and merged per bucket
+    with pandas.  ``how`` ∈ {inner, left}.  Output key column keeps the
+    LEFT name; non-key column names must be disjoint across sides.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+    lsch, rsch = _pa_schema(left), _pa_schema(right)
+    lcols = [(n, lsch.field(n).type) for n in lsch.names if n != left_key]
+    rcols = [(n, rsch.field(n).type) for n in rsch.names if n != right_key]
+    overlap = {n for n, _ in lcols} & {n for n, _ in rcols}
+    if overlap:
+        raise ValueError(f"non-key column collision: {sorted(overlap)}")
+    order = ([left_key] + [n for n, _ in lcols] + [n for n, _ in rcols]
+             + [_SIDE_COL])
+    lt = _tagged(left, left_key, left_key, lcols, rcols, order, 0)
+    rt = _tagged(right, right_key, left_key, rcols, lcols, order, 1)
+    both = add_bucket(lt.union(rt), left_key, nbuckets)
+
+    lnames = [left_key] + [n for n, _ in lcols]
+    rnames = [left_key] + [n for n, _ in rcols]
+
+    def part(df):
+        df = df.drop(columns=[BUCKET_COL])
+        l = df[df[_SIDE_COL] == 0][lnames]
+        r = df[df[_SIDE_COL] == 1][rnames]
+        out = l.merge(r, on=left_key, how=how)
+        return arrow_clean(out)
+
+    return both.groupby(BUCKET_COL).map_groups(part, batch_format="pandas")
+
+
+def semi_anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                   left_key: str, right_key: str, anti: bool = False,
+                   nbuckets: int = 64) -> "ray.data.Dataset":
+    """Distributed semi (``anti=False``) / anti (``anti=True``) join:
+    keep left rows whose key does (not) appear in ``right``.  Only the
+    DISTINCT keys of the right side enter the shuffle (per-batch
+    ``pc.unique``), so the filter side's payload never moves."""
+    lsch = _pa_schema(left)
+    lcols = [(n, lsch.field(n).type) for n in lsch.names if n != left_key]
+    order = [left_key] + [n for n, _ in lcols] + [_SIDE_COL]
+
+    def rkeys(t: pa.Table) -> pa.Table:
+        u = pc.unique(t[right_key])
+        cols = {left_key: u}
+        for n, typ in lcols:
+            cols[n] = pa.nulls(len(u), typ)
+        cols[_SIDE_COL] = pa.array([1] * len(u), pa.int8())
+        return pa.table({n: cols[n] for n in order})
+
+    lt = _tagged(left, left_key, left_key, lcols, [], order, 0)
+    rt = right.map_batches(rkeys, batch_format="pyarrow")
+    both = add_bucket(lt.union(rt), left_key, nbuckets)
+    lnames = [left_key] + [n for n, _ in lcols]
+
+    def part(df):
+        df = df.drop(columns=[BUCKET_COL])
+        l = df[df[_SIDE_COL] == 0][lnames]
+        present = l[left_key].isin(df[df[_SIDE_COL] == 1][left_key])
+        out = l[~present] if anti else l[present]
+        return arrow_clean(out)
+
+    return both.groupby(BUCKET_COL).map_groups(part, batch_format="pandas")

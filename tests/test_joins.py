@@ -1,0 +1,121 @@
+"""Join stage (stages/joins.py): unit semantics + DuckDB oracle parity.
+
+The reference has no relational joins (SURVEY.md §2.6); these cover the
+engine's general join surface: broadcast (dimension), bucketed shuffle
+(fact x fact), and distinct-key semi/anti.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from mail_deduplicate_ray.stages.joins import (broadcast_join,
+                                               semi_anti_join, shuffle_join)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _left():
+    return ray.data.from_arrow(pa.table({
+        "k": [1, 2, 2, 3, 5], "lval": ["a", "b", "c", "d", "e"]}))
+
+
+_BUILD = pa.table({"rk": [1, 2, 4], "rval": [10, 20, 40]})
+
+
+def _rows(ds, order):
+    df = ds.to_pandas().sort_values(order).reset_index(drop=True)
+    return list(df.itertuples(index=False, name=None))
+
+
+def test_broadcast_inner():
+    out = broadcast_join(_left(), _BUILD, "k", "rk", how="inner")
+    assert _rows(out, ["k", "lval"]) == [
+        (1, "a", 10), (2, "b", 20), (2, "c", 20)]
+
+
+def test_broadcast_left():
+    out = broadcast_join(_left(), _BUILD, "k", "rk", how="left")
+    df = out.to_pandas().sort_values(["k", "lval"])
+    assert df["rval"].tolist()[:3] == [10, 20, 20]
+    assert df["rval"].isna().tolist() == [False, False, False, True, True]
+
+
+def test_broadcast_semi_anti():
+    semi = broadcast_join(_left(), _BUILD, "k", "rk", how="semi")
+    anti = broadcast_join(_left(), _BUILD, "k", "rk", how="anti")
+    assert sorted(semi.to_pandas()["k"]) == [1, 2, 2]
+    assert sorted(anti.to_pandas()["k"]) == [3, 5]
+    # no payload columns appended on semi/anti
+    assert semi.schema().names == ["k", "lval"]
+
+
+def test_broadcast_duplicate_build_keys_rejected():
+    dup = pa.table({"rk": [1, 1], "rval": [0, 0]})
+    with pytest.raises(ValueError, match="duplicate"):
+        broadcast_join(_left(), dup, "k", "rk")
+
+
+def _right_ds():
+    return ray.data.from_arrow(pa.table({
+        "rk": [1, 2, 2, 4], "rval": [10, 20, 21, 40]}))
+
+
+def test_shuffle_join_inner_matches_pandas():
+    out = shuffle_join(_left(), _right_ds(), "k", "rk", how="inner",
+                       nbuckets=3)
+    got = _rows(out, ["k", "lval", "rval"])
+    exp = (_left().to_pandas()
+           .merge(_right_ds().to_pandas().rename(columns={"rk": "k"}),
+                  on="k", how="inner"))
+    assert got == sorted(exp.itertuples(index=False, name=None))
+
+
+def test_shuffle_join_left_nulls():
+    out = shuffle_join(_left(), _right_ds(), "k", "rk", how="left",
+                       nbuckets=3).to_pandas()
+    assert len(out) == 7  # 1x1 + 2x(2 dup rvals) + 3 + 5 unmatched
+    assert out.loc[out.k.isin([3, 5]), "rval"].isna().all()
+
+
+def test_shuffle_join_collision_rejected():
+    bad = ray.data.from_arrow(pa.table({"rk": [1], "lval": ["x"]}))
+    with pytest.raises(ValueError, match="collision"):
+        shuffle_join(_left(), bad, "k", "rk")
+
+
+def test_semi_anti_join_distributed():
+    right = ray.data.from_arrow(pa.table({"rk": [2, 2, 5, 9]}))
+    semi = semi_anti_join(_left(), right, "k", "rk", nbuckets=3)
+    anti = semi_anti_join(_left(), right, "k", "rk", anti=True, nbuckets=3)
+    assert sorted(semi.to_pandas()["k"]) == [2, 2, 5]
+    assert sorted(anti.to_pandas()["k"]) == [1, 3]
+    assert list(anti.to_pandas().columns) == ["k", "lval"]
+
+
+# --- oracle parity on the real sf0.001 tables -----------------------------
+
+_ORACLE_QUERIES = ["revenue_by_nation", "part_brand_revenue",
+                   "customers_without_orders", "priority_orders_semi"]
+
+
+@pytest.mark.parametrize("name", _ORACLE_QUERIES)
+def test_join_queries_match_duckdb(name):
+    import __ray_entry__ as e
+    got = e.queries()[name](SF).to_pandas()
+    con = duckdb.connect()
+    for t in ["orders", "customer", "nation", "lineitem", "part"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    exp = con.execute(e.oracle_sql()[name]).fetchdf()
+    assert list(got.columns) == list(exp.columns)
+    key = list(got.columns)
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    for c in got.columns:
+        pd.testing.assert_series_equal(
+            got[c], exp[c].astype(got[c].dtype), check_names=False)
