@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": docs.lang_id_docs,          # rows-only
         "doc_fingerprints": docs.doc_fingerprints,  # rows-only
         "simhash_docs": docs.simhash_docs,          # rows-only
+        "simhash_neardup_pairs": docs.simhash_neardup_pairs,  # rows-only (exact-banding parity-tested)
         "minhash_clusters_docs": docs.minhash_clusters_docs,  # rows-only
         "ngram_jaccard_pairs": docs.ngram_jaccard_pairs,
         "substring_pairs": docs.substring_pairs,
@@ -56,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_revenue": relational.part_brand_revenue,
         "customers_without_orders": relational.customers_without_orders,
         "priority_orders_semi": relational.priority_orders_semi,
+        "purchase_after_signup": relational.purchase_after_signup,
         # --- similarity search ---
         "ann_bruteforce_top10": ann.ann_bruteforce_topk,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
@@ -241,6 +243,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
                                  WHERE l_quantity >= 48)
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "purchase_after_signup": """
+            SELECT p.event_id AS event_id, p.user_id AS user_id,
+                   s.event_id AS signup_event_id,
+                   epoch_us(p.ts) - epoch_us(s.ts) AS wait_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+              ON p.user_id = s.user_id AND p.ts >= s.ts
+            ORDER BY event_id
         """,
         "ann_bruteforce_top10": """
             SELECT query_id, vec_id, rank FROM (

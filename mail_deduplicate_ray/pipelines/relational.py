@@ -351,3 +351,42 @@ def priority_orders_semi(sf_dir: str, min_qty: float = 48.0,
             "o_orderpriority": t["o_orderpriority"],
             "n_orders": pc.cast(t["n_orders"], pa.int64())}),
         batch_format="pyarrow").sort("o_orderpriority")
+
+
+def purchase_after_signup(sf_dir: str) -> "ray.data.Dataset":
+    """AS-OF join (stages/joins.asof_join): each purchase event matched to
+    the same user's most recent signup at-or-before it, with the wait in
+    microseconds.  DuckDB's native ASOF JOIN is the oracle."""
+    from mail_deduplicate_ray.stages.joins import asof_join
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+
+    def split(kind: str, rename: dict[str, str], extra_us: bool):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], kind))
+            cols = {rename.get(c, c): t[c]
+                    for c in ("user_id", "ts", "event_id")}
+            if extra_us:
+                cols["signup_us"] = pc.cast(t["ts"], pa.int64())
+            return pa.table(cols)
+        return f
+
+    purchases = ev.map_batches(split("purchase", {}, False),
+                               batch_format="pyarrow")
+    signups = ev.map_batches(
+        split("signup", {"event_id": "signup_event_id"}, True),
+        batch_format="pyarrow")
+    joined = asof_join(purchases, signups, key="user_id", on="ts")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["signup_event_id"]))
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "signup_event_id": t["signup_event_id"],
+            "wait_us": pc.subtract(pc.cast(t["ts"], pa.int64()),
+                                   t["signup_us"])})
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("event_id")

@@ -168,3 +168,75 @@ def semi_anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         return arrow_clean(out)
 
     return both.groupby(BUCKET_COL).map_groups(part, batch_format="pandas")
+
+
+def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              key: str, on: str, nbuckets: int = 64) -> "ray.data.Dataset":
+    """Backward as-of join — each left row is matched to the right row
+    with the greatest ``on`` <= the left row's ``on`` within the same
+    ``key`` (the windowed-lookup operator Ray Data lacks; DuckDB's
+    ``ASOF JOIN`` is the oracle).  Composition: side-tagged union ->
+    ONE bucket-by-key shuffle -> per-partition ``pandas.merge_asof``
+    (vectorized C merge over sorted frames).
+
+    LEFT-join semantics: unmatched rows keep null right columns.
+    Partitioning assumption (SURVEY.md: custom operators document their
+    key): all rows of one ``key`` value fit one bucket partition.
+    Both sides must share ``key``/``on`` names; other column names must
+    be disjoint.  The right side's ``on`` is not carried over — copy it
+    into a payload column first if the match timestamp is needed.
+    """
+    import pandas as pd
+
+    lsch, rsch = _pa_schema(left), _pa_schema(right)
+    shared = (key, on)
+    lcols = [(n, lsch.field(n).type) for n in lsch.names if n not in shared]
+    rcols = [(n, rsch.field(n).type) for n in rsch.names if n not in shared]
+    overlap = {n for n, _ in lcols} & {n for n, _ in rcols}
+    if overlap:
+        raise ValueError(f"non-key column collision: {sorted(overlap)}")
+    on_type = lsch.field(on).type
+    fields = ([(key, lsch.field(key).type), (on, on_type)]
+              + lcols + rcols)
+    order = [n for n, _ in fields] + [_SIDE_COL]
+
+    def project(side: int, own, other):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {key: t[key], on: t[on]}
+            for n, _ in own:
+                cols[n] = t[n]
+            for n, typ in other:
+                cols[n] = pa.nulls(t.num_rows, typ)
+            cols[_SIDE_COL] = pa.array([side] * t.num_rows, pa.int8())
+            return pa.table({n: cols[n] for n in order})
+        return f
+
+    lt = left.map_batches(project(0, lcols, rcols), batch_format="pyarrow")
+    rt = right.map_batches(project(1, rcols, lcols), batch_format="pyarrow")
+    both = add_bucket(lt.union(rt), key, nbuckets)
+
+    lnames = [key, on] + [n for n, _ in lcols]
+    rnames = [key, on] + [n for n, _ in rcols]
+
+    def to_schema(df) -> pa.Table:
+        return pa.table({n: pa.Array.from_pandas(df[n], type=typ)
+                         for n, typ in fields})
+
+    def part(df):
+        df = df.drop(columns=[BUCKET_COL])
+        l = (df[df[_SIDE_COL] == 0][lnames]
+             .sort_values(on, kind="mergesort"))
+        r = (df[df[_SIDE_COL] == 1][rnames]
+             .sort_values(on, kind="mergesort"))
+        if len(l) == 0 or len(r) == 0:
+            out = l.copy()
+            for n, _ in rcols:
+                out[n] = None
+            return to_schema(out)
+        out = pd.merge_asof(l, r.drop(columns=[c for c, _ in lcols],
+                                      errors="ignore"),
+                            on=on, by=key, direction="backward",
+                            allow_exact_matches=True)
+        return to_schema(out)
+
+    return both.groupby(BUCKET_COL).map_groups(part, batch_format="pandas")

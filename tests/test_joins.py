@@ -13,7 +13,7 @@ import pyarrow as pa
 import pytest
 import ray.data
 
-from mail_deduplicate_ray.stages.joins import (broadcast_join,
+from mail_deduplicate_ray.stages.joins import (asof_join, broadcast_join,
                                                semi_anti_join, shuffle_join)
 
 SF = "/root/testdata/sf0.001"
@@ -119,3 +119,66 @@ def test_join_queries_match_duckdb(name):
     for c in got.columns:
         pd.testing.assert_series_equal(
             got[c], exp[c].astype(got[c].dtype), check_names=False)
+
+
+# --- as-of join -----------------------------------------------------------
+
+def test_asof_join_backward_semantics():
+    left = ray.data.from_arrow(pa.table({
+        "k": [1, 1, 2, 3], "t": [10, 25, 7, 5], "lv": ["p1", "p2", "p3", "p4"]}))
+    right = ray.data.from_arrow(pa.table({
+        "k": [1, 1, 2], "t": [8, 20, 9], "rv": [100, 200, 300]}))
+    out = (asof_join(left, right, key="k", on="t", nbuckets=2)
+           .to_pandas().sort_values("lv").reset_index(drop=True))
+    # p1@10 -> rv@8; p2@25 -> rv@20; p3@7 -> no right t<=7 for k=2 -> null;
+    # p4 (k=3, no right rows) -> null
+    assert out["rv"].tolist()[:2] == [100, 200]
+    assert out["rv"].isna().tolist() == [False, False, True, True]
+
+
+def test_asof_join_exact_match_allowed():
+    left = ray.data.from_arrow(pa.table({"k": [1], "t": [20], "lv": ["x"]}))
+    right = ray.data.from_arrow(pa.table({"k": [1], "t": [20], "rv": [7]}))
+    out = asof_join(left, right, key="k", on="t").to_pandas()
+    assert out["rv"].tolist() == [7]
+
+
+def test_purchase_after_signup_matches_duckdb_asof():
+    import __ray_entry__ as e
+    got = e.queries()["purchase_after_signup"](SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    exp = con.execute(e.oracle_sql()["purchase_after_signup"]).fetchdf()
+    assert list(got.columns) == list(exp.columns)
+    got = got.sort_values("event_id").reset_index(drop=True)
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    for c in got.columns:
+        assert (got[c].values == exp[c].astype(got[c].dtype).values).all(), c
+
+
+# --- simhash near-dup pairs: exact banding vs brute force -----------------
+
+def test_simhash_pairs_match_bruteforce():
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mail_deduplicate_ray.functions import shingles, simhash
+    from mail_deduplicate_ray.pipelines.docs import simhash_neardup_pairs
+
+    got = simhash_neardup_pairs(SF, max_hamming=3).to_pandas()
+    got_pairs = set(zip(got["a_id"], got["b_id"]))
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = t["doc_id"].to_numpy()
+    fp = np.asarray(
+        [simhash.token_simhash(shingles.token_hashes((v or "").lower()))
+         for v in t["text"].to_pylist()], dtype=np.uint64)
+    iu, ju = np.triu_indices(len(fp), 1)
+    ok = simhash.hamming(fp[iu], fp[ju]) <= 3
+    a = np.minimum(ids[iu[ok]], ids[ju[ok]])
+    b = np.maximum(ids[iu[ok]], ids[ju[ok]])
+    exp_pairs = set(zip(a, b))
+    assert len(exp_pairs) > 0
+    assert got_pairs == exp_pairs
