@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": relational.customers_without_orders,
         "priority_orders_semi": relational.priority_orders_semi,
         "purchase_after_signup": relational.purchase_after_signup,
+        "top3_orders_per_customer": relational.top3_orders_per_customer,
+        "user_cumulative_value": relational.user_cumulative_value,
         # --- similarity search ---
         "ann_bruteforce_top10": ann.ann_bruteforce_topk,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
@@ -252,6 +254,24 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
               ON p.user_id = s.user_id AND p.ts >= s.ts
             ORDER BY event_id
+        """,
+        "top3_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, cents, rank FROM (
+                SELECT o_custkey, o_orderkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY round(o_totalprice * 100) DESC,
+                                    o_orderkey ASC) AS rank
+                FROM orders)
+            WHERE rank <= 3 ORDER BY o_custkey, rank
+        """,
+        "user_cumulative_value": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+            FROM events ORDER BY event_id
         """,
         "ann_bruteforce_top10": """
             SELECT query_id, vec_id, rank FROM (

@@ -390,3 +390,53 @@ def purchase_after_signup(sf_dir: str) -> "ray.data.Dataset":
                                    t["signup_us"])})
 
     return joined.map_batches(finish, batch_format="pyarrow").sort("event_id")
+
+
+def top3_orders_per_customer(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Grouped top-k (the per-key window shape): each customer's k
+    highest-value orders with dense rank — bucketed shuffle on custkey,
+    vectorized sort + head(k) per partition (no per-key Python)."""
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderkey",
+                                     "o_totalprice"])
+    cents = ds.map_batches(
+        lambda t: pa.table({"o_custkey": t["o_custkey"],
+                            "o_orderkey": t["o_orderkey"],
+                            "cents": _cents(t["o_totalprice"])}),
+        batch_format="pyarrow")
+
+    def part(df):
+        df = df.sort_values(["o_custkey", "cents", "o_orderkey"],
+                            ascending=[True, False, True])
+        df = df.groupby("o_custkey", sort=False).head(k).copy()
+        df["rank"] = df.groupby("o_custkey", sort=False).cumcount() + 1
+        df["rank"] = df["rank"].astype("int64")
+        return df
+
+    return grouped(cents, "o_custkey", part).sort(["o_custkey", "rank"])
+
+
+def user_cumulative_value(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user running total of event value (ordered stateful per-key
+    compute, SURVEY.md §2.9): bucketed shuffle on user, vectorized
+    sort + groupby().cumsum() per partition, integer cents."""
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "value"])
+    cents = ds.map_batches(
+        lambda t: pa.table({"event_id": t["event_id"],
+                            "user_id": t["user_id"],
+                            "ts_us": pc.cast(t["ts"], pa.int64()),
+                            "cents": _cents(t["value"])}),
+        batch_format="pyarrow")
+
+    def part(df):
+        df = df.sort_values(["user_id", "ts_us", "event_id"])
+        df["cum_cents"] = (df.groupby("user_id", sort=False)["cents"]
+                           .cumsum().astype("int64"))
+        return df[["event_id", "user_id", "cum_cents"]]
+
+    return grouped(cents, "user_id", part).sort("event_id")
