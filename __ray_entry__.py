@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_after_signup": relational.purchase_after_signup,
         "top3_orders_per_customer": relational.top3_orders_per_customer,
         "user_cumulative_value": relational.user_cumulative_value,
+        "order_price_quantiles": relational.order_price_quantiles,
         # --- similarity search ---
         "ann_bruteforce_top10": ann.ann_bruteforce_topk,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
@@ -272,6 +273,16 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
             FROM events ORDER BY event_id
+        """,
+        "order_price_quantiles": """
+            SELECT o_orderstatus,
+                   CAST(unnest([25, 50, 75, 95]) AS BIGINT) AS q_pct,
+                   unnest(quantile_disc(cents, [0.25, 0.5, 0.75, 0.95]))
+                       AS value_cents
+            FROM (SELECT o_orderstatus,
+                         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                  FROM orders)
+            GROUP BY o_orderstatus ORDER BY o_orderstatus, q_pct
         """,
         "ann_bruteforce_top10": """
             SELECT query_id, vec_id, rank FROM (

@@ -440,3 +440,55 @@ def user_cumulative_value(sf_dir: str) -> "ray.data.Dataset":
         return df[["event_id", "user_id", "cum_cents"]]
 
     return grouped(cents, "user_id", part).sort("event_id")
+
+
+def order_price_quantiles(sf_dir: str) -> "ray.data.Dataset":
+    """EXACT distributed discrete quantiles (p25/p50/p75/p95) of order
+    value per status — the sketch-free quantile operator.
+
+    Value-count compression: per-batch (group, value) -> count partials,
+    so the shuffle moves one row per distinct (group, value) per batch
+    and the per-group scan holds DISTINCT VALUES, not raw rows (int
+    cents are naturally bounded).  Rank convention matches DuckDB
+    ``quantile_disc``: 0-based index ceil(q*n)-1, clamped at 0."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    qs = ((25, 0.25), (50, 0.5), (75, 0.75), (95, 0.95))
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderstatus", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderstatus": t["o_orderstatus"],
+                      "cents": _cents(t["o_totalprice"])})
+        g = t.group_by(["o_orderstatus", "cents"]).aggregate(
+            [("cents", "count")])
+        return pa.table({"o_orderstatus": g["o_orderstatus"],
+                         "cents": g["cents"],
+                         "n": pc.cast(g["cents_count"], pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def part(df):
+        rows = []
+        for status, g in df.groupby("o_orderstatus", sort=True):
+            vc = g.groupby("cents")["n"].sum().sort_index()
+            vals = vc.index.to_numpy()
+            cum = vc.to_numpy().cumsum()
+            total = int(cum[-1])
+            for pct, q in qs:
+                r = max(math.ceil(q * total), 1) - 1
+                idx = int(np.searchsorted(cum, r + 1, side="left"))
+                rows.append((status, pct, int(vals[idx])))
+        out = pd.DataFrame(rows, columns=["o_orderstatus", "q_pct",
+                                          "value_cents"])
+        out["q_pct"] = out["q_pct"].astype("int64")
+        out["value_cents"] = out["value_cents"].astype("int64")
+        return out
+
+    return grouped(partials, "o_orderstatus", part).sort(
+        ["o_orderstatus", "q_pct"])

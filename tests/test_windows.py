@@ -10,7 +10,8 @@ SF = "/root/testdata/sf0.001"
 
 
 @pytest.mark.parametrize("name", ["top3_orders_per_customer",
-                                  "user_cumulative_value"])
+                                  "user_cumulative_value",
+                                  "order_price_quantiles"])
 def test_window_queries_match_duckdb(name):
     import __ray_entry__ as e
     got = e.queries()[name](SF).to_pandas()
