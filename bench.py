@@ -30,6 +30,10 @@ BENCH_QUERIES = [
     "embedding_neardup_pairs", "embedding_neardup_pairs_lsh",
     "ngram_jaccard_pairs", "substring_pairs", "ann_ivf_top10",
     "minhash_clusters_docs",
+    # joins / windows / quantiles (stages/joins.py + relational.py)
+    "revenue_by_nation", "part_brand_revenue", "purchase_after_signup",
+    "top3_orders_per_customer", "order_price_quantiles",
+    "simhash_neardup_pairs",
 ]
 
 

@@ -100,7 +100,7 @@ def _tagged(ds: "ray.data.Dataset", key: str, out_key: str,
 
 def shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                  left_key: str, right_key: str, how: str = "inner",
-                 nbuckets: int = 64) -> "ray.data.Dataset":
+                 nbuckets: int = 64, salt: int = 1) -> "ray.data.Dataset":
     """Partitioned hash join of two Datasets on one key.
 
     Both sides are tagged and projected onto the union schema (the
@@ -108,9 +108,24 @@ def shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     are O(1) in the shuffle), bucketed on the key, and merged per bucket
     with pandas.  ``how`` ∈ {inner, left}.  Output key column keeps the
     LEFT name; non-key column names must be disjoint across sides.
+
+    ``salt > 1`` is the HOT-KEY escape hatch: left rows spread across
+    ``salt`` sub-buckets (round-robin within each batch — assignment is
+    partitioning-dependent but the join result is not), while the right
+    side is replicated into every sub-bucket, so one mega-key's pair
+    work parallelizes ``salt``-ways at the cost of shipping the right
+    side ``salt`` times.  Use when the left is skewed and the right is
+    the smaller side (same trade as the candidate-bucket salting in
+    stages/candidates.py).
     """
+    import numpy as np
+
+    from mail_deduplicate_ray.stages.bucketing import hash_to_buckets
+
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r}")
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
     lsch, rsch = _pa_schema(left), _pa_schema(right)
     lcols = [(n, lsch.field(n).type) for n in lsch.names if n != left_key]
     rcols = [(n, rsch.field(n).type) for n in rsch.names if n != right_key]
@@ -121,7 +136,27 @@ def shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
              + [_SIDE_COL])
     lt = _tagged(left, left_key, left_key, lcols, rcols, order, 0)
     rt = _tagged(right, right_key, left_key, rcols, lcols, order, 1)
-    both = add_bucket(lt.union(rt), left_key, nbuckets)
+    if salt == 1:
+        both = add_bucket(lt.union(rt), left_key, nbuckets)
+    else:
+        def bucket_salted_left(t: pa.Table) -> pa.Table:
+            base = hash_to_buckets(t[left_key].to_pylist(),
+                                   nbuckets).astype(np.int64)
+            s = np.arange(t.num_rows, dtype=np.int64) % salt
+            return t.append_column(
+                BUCKET_COL, pa.array(base * salt + s, pa.int32()))
+
+        def bucket_replicated_right(t: pa.Table) -> pa.Table:
+            base = hash_to_buckets(t[left_key].to_pylist(),
+                                   nbuckets).astype(np.int64)
+            return pa.concat_tables([
+                t.append_column(BUCKET_COL,
+                                pa.array(base * salt + sv, pa.int32()))
+                for sv in range(salt)])
+
+        both = (lt.map_batches(bucket_salted_left, batch_format="pyarrow")
+                .union(rt.map_batches(bucket_replicated_right,
+                                      batch_format="pyarrow")))
 
     lnames = [left_key] + [n for n, _ in lcols]
     rnames = [left_key] + [n for n, _ in rcols]

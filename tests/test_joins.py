@@ -182,3 +182,31 @@ def test_simhash_pairs_match_bruteforce():
     exp_pairs = set(zip(a, b))
     assert len(exp_pairs) > 0
     assert got_pairs == exp_pairs
+
+
+# --- salted (skew) shuffle join -------------------------------------------
+
+def test_salted_shuffle_join_matches_unsalted():
+    import numpy as np
+    rng = np.random.default_rng(7)
+    # one mega-hot key (0) + a tail
+    lk = np.concatenate([np.zeros(500, np.int64),
+                         rng.integers(1, 50, 200)])
+    left = ray.data.from_arrow(pa.table({
+        "k": lk, "lval": np.arange(len(lk), dtype=np.int64)}))
+    right = ray.data.from_arrow(pa.table({
+        "rk": np.arange(0, 50, dtype=np.int64),
+        "rval": np.arange(100, 150, dtype=np.int64)}))
+
+    def rows(ds):
+        df = ds.to_pandas().sort_values(["k", "lval"]).reset_index(drop=True)
+        return list(df.itertuples(index=False, name=None))
+
+    plain = rows(shuffle_join(left, right, "k", "rk", nbuckets=4))
+    salted = rows(shuffle_join(left, right, "k", "rk", nbuckets=4, salt=8))
+    assert salted == plain and len(plain) == 700
+
+    salted_left = rows(shuffle_join(left, right, "k", "rk", how="left",
+                                    nbuckets=4, salt=8))
+    assert salted_left == rows(shuffle_join(left, right, "k", "rk",
+                                            how="left", nbuckets=4))
