@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup_pairs": docs.simhash_neardup_pairs,  # rows-only (exact-banding parity-tested)
         "minhash_clusters_docs": docs.minhash_clusters_docs,  # rows-only
         "ngram_jaccard_pairs": docs.ngram_jaccard_pairs,
+        "stratified_sample_docs": docs.stratified_sample_docs,
         "substring_pairs": docs.substring_pairs,
         # --- events / relational ---
         "events_window_5m": relational.events_window_5m,
@@ -152,6 +153,15 @@ def oracle_sql() -> dict[str, str]:
               AND length(b.text) >= 64
               AND length(b.text) < length(a.text)
               AND position(b.text IN a.text) > 0
+        """,
+        # Knuth multiplicative hash sampling (deterministic, per-stratum
+        # rate); HUGEINT avoids the BIGINT product overflow
+        "stratified_sample_docs": """
+            SELECT doc_id, lang FROM documents
+            WHERE (CAST(doc_id AS HUGEINT) * 2654435761)
+                  % 4294967296 % 100
+                  < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
+            ORDER BY doc_id
         """,
         "events_window_5m": """
             SELECT user_id,

@@ -514,3 +514,30 @@ def simhash_neardup_pairs(sf_dir: str,
     cand = grouped(rows, "band", part, nbuckets=64)
     return cand.groupby(["a_id", "b_id"]).map_groups(
         lambda t: t.slice(0, 1), batch_format="pyarrow")
+
+
+def stratified_sample_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic stratified sampling — the reproducible-subset
+    operator a training-data pipeline needs (same sample at ANY
+    parallelism, cluster size, or re-run; no RNG state).
+
+    Keep a doc iff ``(doc_id * 2654435761 mod 2^32) mod 100 <
+    rate(lang)`` (Knuth multiplicative hash; 10% for 'en', 30%
+    otherwise).  A pure vectorized filter — no shuffle — and the hash
+    arithmetic is replayed exactly by the DuckDB oracle via HUGEINT
+    (numpy uint64 wrap-around agrees because 2^32 divides 2^64).
+    """
+    import numpy as np
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32) \
+            % np.uint64(100)
+        rate = pc.if_else(pc.equal(t["lang"], "en"),
+                          pa.scalar(10, pa.uint64()),
+                          pa.scalar(30, pa.uint64()))
+        keep = pc.less(pa.array(h, pa.uint64()), rate)
+        return t.filter(keep).select(["doc_id", "lang"])
+
+    return _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        f, batch_format="pyarrow").sort("doc_id")

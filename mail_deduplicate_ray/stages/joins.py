@@ -259,19 +259,26 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
     def part(df):
         df = df.drop(columns=[BUCKET_COL])
-        l = (df[df[_SIDE_COL] == 0][lnames]
-             .sort_values(on, kind="mergesort"))
-        r = (df[df[_SIDE_COL] == 1][rnames]
+        l = df[df[_SIDE_COL] == 0][lnames]
+        # null `on` values: right rows can never match (no position on the
+        # timeline); left rows pass through unmatched — mirrors the
+        # MissingTimestamps null fall-through, never an exception
+        l_null = l[l[on].isna()]
+        l = l[l[on].notna()].sort_values(on, kind="mergesort")
+        r = (df[(df[_SIDE_COL] == 1) & df[on].notna()][rnames]
              .sort_values(on, kind="mergesort"))
         if len(l) == 0 or len(r) == 0:
-            out = l.copy()
+            out = pd.concat([l, l_null], ignore_index=True)
             for n, _ in rcols:
                 out[n] = None
             return to_schema(out)
-        out = pd.merge_asof(l, r.drop(columns=[c for c, _ in lcols],
-                                      errors="ignore"),
-                            on=on, by=key, direction="backward",
+        out = pd.merge_asof(l, r, on=on, by=key, direction="backward",
                             allow_exact_matches=True)
+        if len(l_null):
+            nulls = l_null.copy()
+            for n, _ in rcols:
+                nulls[n] = None
+            out = pd.concat([out, nulls], ignore_index=True)
         return to_schema(out)
 
     return both.groupby(BUCKET_COL).map_groups(part, batch_format="pandas")

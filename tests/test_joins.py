@@ -210,3 +210,17 @@ def test_salted_shuffle_join_matches_unsalted():
                                     nbuckets=4, salt=8))
     assert salted_left == rows(shuffle_join(left, right, "k", "rk",
                                             how="left", nbuckets=4))
+
+
+def test_asof_join_null_on_values():
+    left = ray.data.from_arrow(pa.table({
+        "k": [1, 1, 1], "t": pa.array([10, None, 25], pa.int64()),
+        "lv": ["a", "b", "c"]}))
+    right = ray.data.from_arrow(pa.table({
+        "k": [1, 1], "t": pa.array([8, None], pa.int64()),
+        "rv": [100, 999]}))
+    out = (asof_join(left, right, key="k", on="t")
+           .to_pandas().sort_values("lv").reset_index(drop=True))
+    # null-t left row passes through unmatched; null-t right row never matches
+    assert out["rv"].tolist()[0] == 100 and out["rv"].tolist()[2] == 100
+    assert out["rv"].isna().tolist() == [False, True, False]

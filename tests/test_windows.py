@@ -27,3 +27,18 @@ def test_window_queries_match_duckdb(name):
     assert len(got) == len(exp) > 0
     for c in got.columns:
         assert (got[c].values == exp[c].astype(got[c].dtype).values).all(), c
+
+
+def test_stratified_sample_deterministic_and_matches_oracle():
+    import __ray_entry__ as e
+    got = e.queries()["stratified_sample_docs"](SF).to_pandas()
+    again = e.queries()["stratified_sample_docs"](SF).to_pandas()
+    assert got.equals(again)  # no RNG state, reproducible at any layout
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    exp = con.execute(e.oracle_sql()["stratified_sample_docs"]).fetchdf()
+    assert len(got) == len(exp) > 0
+    assert (got["doc_id"].values == exp["doc_id"].values).all()
+    # both strata actually sampled
+    assert set(got["lang"]) >= {"en"} and len(set(got["lang"])) > 1
