@@ -31,7 +31,8 @@ import ray
 import ray.data
 
 from mail_deduplicate_ray.stages.bucketing import (BUCKET_COL, add_bucket,
-                                                   arrow_clean)
+                                                   arrow_clean,
+                                                   default_nbuckets)
 
 _SIDE_COL = "__side"
 
@@ -100,7 +101,8 @@ def _tagged(ds: "ray.data.Dataset", key: str, out_key: str,
 
 def shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                  left_key: str, right_key: str, how: str = "inner",
-                 nbuckets: int = 64, salt: int = 1) -> "ray.data.Dataset":
+                 nbuckets: int | None = None,
+                 salt: int = 1) -> "ray.data.Dataset":
     """Partitioned hash join of two Datasets on one key.
 
     Both sides are tagged and projected onto the union schema (the
@@ -126,6 +128,7 @@ def shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         raise ValueError(f"unsupported how={how!r}")
     if salt < 1:
         raise ValueError("salt must be >= 1")
+    nbuckets = nbuckets or default_nbuckets()
     lsch, rsch = _pa_schema(left), _pa_schema(right)
     lcols = [(n, lsch.field(n).type) for n in lsch.names if n != left_key]
     rcols = [(n, rsch.field(n).type) for n in rsch.names if n != right_key]
@@ -173,11 +176,12 @@ def shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
 def semi_anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                    left_key: str, right_key: str, anti: bool = False,
-                   nbuckets: int = 64) -> "ray.data.Dataset":
+                   nbuckets: int | None = None) -> "ray.data.Dataset":
     """Distributed semi (``anti=False``) / anti (``anti=True``) join:
     keep left rows whose key does (not) appear in ``right``.  Only the
     DISTINCT keys of the right side enter the shuffle (per-batch
     ``pc.unique``), so the filter side's payload never moves."""
+    nbuckets = nbuckets or default_nbuckets()
     lsch = _pa_schema(left)
     lcols = [(n, lsch.field(n).type) for n in lsch.names if n != left_key]
     order = [left_key] + [n for n, _ in lcols] + [_SIDE_COL]
@@ -206,7 +210,8 @@ def semi_anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
 
 def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
-              key: str, on: str, nbuckets: int = 64) -> "ray.data.Dataset":
+              key: str, on: str,
+              nbuckets: int | None = None) -> "ray.data.Dataset":
     """Backward as-of join — each left row is matched to the right row
     with the greatest ``on`` <= the left row's ``on`` within the same
     ``key`` (the windowed-lookup operator Ray Data lacks; DuckDB's
@@ -223,6 +228,7 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     """
     import pandas as pd
 
+    nbuckets = nbuckets or default_nbuckets()
     lsch, rsch = _pa_schema(left), _pa_schema(right)
     shared = (key, on)
     lcols = [(n, lsch.field(n).type) for n in lsch.names if n not in shared]
