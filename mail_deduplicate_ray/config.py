@@ -29,6 +29,9 @@ STRATEGY_ALIASES: dict[str, str] = {
     "discard-matching-path": "select-non-matching-path",
     "discard-all-but-one": "select-one",
     "discard-one": "select-all-but-one",
+    # north-star clip-domain names (BASELINE.json): duration IS the size
+    # analogue, so keep-longest-duration aliases select-biggest
+    "keep-longest-duration": "select-biggest",
 }
 
 CANONICAL_STRATEGIES = (
@@ -44,6 +47,8 @@ CANONICAL_STRATEGIES = (
     "select-non-matching-path",
     "select-one",
     "select-all-but-one",
+    "keep-highest-sr",
+    "transcript-regexp",
 )
 
 

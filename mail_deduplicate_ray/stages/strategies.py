@@ -73,6 +73,24 @@ def select_non_matching_path(df, ctx):
     return ~select_matching_path(df, ctx)
 
 
+# --- north-star clip strategies (BASELINE.json north_star: selection
+# "re-expressed as keep-longest-duration / keep-highest-sr /
+# transcript-regexp winners").  keep-longest-duration is an alias of
+# select-biggest (dur_ms IS the size analogue); these two add the
+# sample-rate and transcript-content variants.
+
+def select_highest_sr(df, ctx):
+    return df["sr_hz"] == df["sr_hz"].max()
+
+
+def select_matching_transcript(df, ctx):
+    if not ctx.regexp:
+        return pd.Series(False, index=df.index)
+    pat = re.compile(ctx.regexp)
+    return df["transcript_norm"].map(
+        lambda s: bool(pat.search(s or "")))
+
+
 def _det_pick(df: pd.DataFrame, ctx: StrategyCtx) -> int:
     """Deterministic single pick: min sha224(cluster_id + clip_id).
 
@@ -109,4 +127,6 @@ REGISTRY = {
     "select-non-matching-path": select_non_matching_path,
     "select-one": select_one,
     "select-all-but-one": select_all_but_one,
+    "keep-highest-sr": select_highest_sr,
+    "transcript-regexp": select_matching_transcript,
 }

@@ -16,6 +16,7 @@ def group(**cols) -> pd.DataFrame:
     base = {
         "clip_id": [f"c{i}" for i in range(n)],
         "dur_ms": [1000] * n,
+        "sr_hz": [16000] * n,
         "ingest_ts": [float(i) for i in range(n)],
         "transcript_norm": ["same text"] * n,
         "cluster_id": ["c0"] * n,
@@ -40,7 +41,17 @@ CASES = [
     ("select-matching-path", {"clip_id": ["c0", "c1", "c2", "c3"]}, ["c1", "c2"]),
     ("select-non-matching-path", {"clip_id": ["c0", "c1", "c2", "c3"]},
      ["c0", "c3"]),
+    # north-star clip strategies (BASELINE.json north_star winners)
+    ("keep-highest-sr", {"sr_hz": [8000, 16000, 16000]}, ["c1", "c2"]),
+    ("transcript-regexp",
+     {"transcript_norm": ["x c1", "y", "z c2"]}, ["c0", "c2"]),
 ]
+
+
+def test_keep_longest_duration_alias():
+    from mail_deduplicate_ray.config import canonicalize_strategies
+    assert canonicalize_strategies(["keep-longest-duration"]) == (
+        "select-biggest",)
 
 
 @pytest.mark.parametrize("name,cols,expected", CASES,
