@@ -490,8 +490,12 @@ def simhash_neardup_pairs(sf_dir: str,
                 continue
             fp = g["fp"].to_numpy().astype(np.uint64)
             ids = g["doc_id"].to_numpy().astype(np.int64)
-            ufp = np.unique(fp)
-            groups = [np.sort(ids[fp == u]) for u in ufp]
+            # one argsort + split, not a boolean mask per unique fp
+            # (O(N log N) vs O(U*N) in skewed buckets)
+            order = np.argsort(fp, kind="stable")
+            fp_s, ids_s = fp[order], ids[order]
+            ufp, starts = np.unique(fp_s, return_index=True)
+            groups = [np.sort(m) for m in np.split(ids_s, starts[1:])]
             # identical fingerprints: all-pairs without popcount
             for m in groups:
                 if len(m) > 1:
@@ -511,9 +515,12 @@ def simhash_neardup_pairs(sf_dir: str,
         return pa.table({"a_id": pa.array(a, pa.int64()),
                          "b_id": pa.array(b, pa.int64())})
 
-    cand = grouped(rows, "band", part, nbuckets=64)
-    return cand.groupby(["a_id", "b_id"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow")
+    cand = grouped(rows, "band", part)
+    # cross-band pair dedup: bucket on a_id + vectorized drop_duplicates
+    # per bucket (the ann.py idiom) — O(nbuckets) Python calls, not one
+    # map_groups lambda per distinct pair
+    return grouped(cand, "a_id",
+                   lambda df: df.drop_duplicates(subset=["a_id", "b_id"]))
 
 
 def stratified_sample_docs(sf_dir: str) -> "ray.data.Dataset":
@@ -533,7 +540,10 @@ def stratified_sample_docs(sf_dir: str) -> "ray.data.Dataset":
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32) \
             % np.uint64(100)
-        rate = pc.if_else(pc.equal(t["lang"], "en"),
+        # coalesce: a null lang takes the ELSE rate, as SQL CASE does
+        # (a null condition would null the rate and drop the row)
+        rate = pc.if_else(pc.coalesce(pc.equal(t["lang"], "en"),
+                                      pa.scalar(False)),
                           pa.scalar(10, pa.uint64()),
                           pa.scalar(30, pa.uint64()))
         keep = pc.less(pa.array(h, pa.uint64()), rate)

@@ -74,16 +74,17 @@ def arrow_clean(df: pd.DataFrame) -> pa.Table:
 
 
 def grouped(ds: "ray.data.Dataset", key: str, part_fn: Callable,
-            nbuckets: int = 64,
+            nbuckets: int | None = None,
             batch_format: str = "pandas") -> "ray.data.Dataset":
     """groupby(key) via bucketed partitions.
 
     ``part_fn(df)`` receives one partition containing ALL rows of every key
     hashed to that bucket (the ``__bucket`` column is already dropped) and
     returns a DataFrame/Table; it is responsible for its own per-key logic
-    (typically a vectorized ``df.groupby(key)``).
+    (typically a vectorized ``df.groupby(key)``).  ``nbuckets=None``
+    resolves to ``default_nbuckets()`` (cluster-sized).
     """
-    bucketed = add_bucket(ds, key, nbuckets)
+    bucketed = add_bucket(ds, key, nbuckets or default_nbuckets())
 
     if batch_format == "pandas":
         def runner(df: pd.DataFrame) -> pa.Table:

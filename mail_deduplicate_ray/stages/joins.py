@@ -31,7 +31,6 @@ import ray
 import ray.data
 
 from mail_deduplicate_ray.stages.bucketing import (BUCKET_COL, add_bucket,
-                                                   arrow_clean,
                                                    default_nbuckets)
 
 _SIDE_COL = "__side"
@@ -82,14 +81,15 @@ def broadcast_join(probe: "ray.data.Dataset", build: pa.Table,
     return probe.map_batches(probe_fn, batch_format="pyarrow")
 
 
-def _tagged(ds: "ray.data.Dataset", key: str, out_key: str,
+def _tagged(ds: "ray.data.Dataset", shared: list[tuple[str, str]],
             own_cols: list[tuple[str, pa.DataType]],
             other_cols: list[tuple[str, pa.DataType]],
             order: list[str], side: int) -> "ray.data.Dataset":
-    """Project ``ds`` onto the union schema: own columns kept, the other
-    side's columns appended as typed nulls, plus the side tag."""
+    """Project ``ds`` onto the union schema: ``shared`` columns renamed
+    ``(out_name, in_name)``, own columns kept, the other side's columns
+    appended as typed nulls, plus the side tag."""
     def f(t: pa.Table) -> pa.Table:
-        cols = {out_key: t[key]}
+        cols = {out: t[src] for out, src in shared}
         for name, _ in own_cols:
             cols[name] = t[name]
         for name, typ in other_cols:
@@ -130,15 +130,21 @@ def shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         raise ValueError("salt must be >= 1")
     nbuckets = nbuckets or default_nbuckets()
     lsch, rsch = _pa_schema(left), _pa_schema(right)
+    if lsch.field(left_key).type != rsch.field(right_key).type:
+        raise ValueError(
+            f"join key type mismatch: {left_key}={lsch.field(left_key).type}"
+            f" vs {right_key}={rsch.field(right_key).type}")
     lcols = [(n, lsch.field(n).type) for n in lsch.names if n != left_key]
     rcols = [(n, rsch.field(n).type) for n in rsch.names if n != right_key]
-    overlap = {n for n, _ in lcols} & {n for n, _ in rcols}
+    overlap = ({n for n, _ in lcols} & {n for n, _ in rcols}) \
+        | ({left_key} & {n for n, _ in rcols})
     if overlap:
         raise ValueError(f"non-key column collision: {sorted(overlap)}")
     order = ([left_key] + [n for n, _ in lcols] + [n for n, _ in rcols]
              + [_SIDE_COL])
-    lt = _tagged(left, left_key, left_key, lcols, rcols, order, 0)
-    rt = _tagged(right, right_key, left_key, rcols, lcols, order, 1)
+    fields = [(left_key, lsch.field(left_key).type)] + lcols + rcols
+    lt = _tagged(left, [(left_key, left_key)], lcols, rcols, order, 0)
+    rt = _tagged(right, [(left_key, right_key)], rcols, lcols, order, 1)
     if salt == 1:
         both = add_bucket(lt.union(rt), left_key, nbuckets)
     else:
@@ -161,17 +167,52 @@ def shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                 .union(rt.map_batches(bucket_replicated_right,
                                       batch_format="pyarrow")))
 
-    lnames = [left_key] + [n for n, _ in lcols]
-    rnames = [left_key] + [n for n, _ in rcols]
+    def part(t: pa.Table) -> pa.Table:
+        # Index-frame merge: ONLY (key, position) crosses into pandas
+        # (Arrow-backed dtypes, exact for any int64); payload columns are
+        # assembled by Arrow `take`, so int64 >= 2^53 survives, nulls stay
+        # typed, and empty partitions keep their declared schema.  A
+        # whole-partition pandas conversion would silently round large
+        # ints through float64 (the typed-null union columns force it).
+        import numpy as np
+        import pandas as pd
 
-    def part(df):
-        df = df.drop(columns=[BUCKET_COL])
-        l = df[df[_SIDE_COL] == 0][lnames]
-        r = df[df[_SIDE_COL] == 1][rnames]
-        out = l.merge(r, on=left_key, how=how)
-        return arrow_clean(out)
+        t = t.drop_columns([BUCKET_COL])
+        lmask = pc.equal(t[_SIDE_COL], 0)
+        l_tbl = t.filter(lmask)
+        r_tbl = t.filter(pc.invert(lmask))
+        # SQL join semantics: a NULL key never matches anything (pandas
+        # merge would match NaN/NA to NA); null-key left rows drop on
+        # inner / pass through unmatched on left
+        l_ok = l_tbl.filter(pc.is_valid(l_tbl[left_key]))
+        l_null = (l_tbl.filter(pc.is_null(l_tbl[left_key]))
+                  if how == "left" else None)
+        r_tbl = r_tbl.filter(pc.is_valid(r_tbl[left_key]))
 
-    return both.groupby(BUCKET_COL).map_groups(part, batch_format="pandas")
+        lf = l_ok.select([left_key]).to_pandas(types_mapper=pd.ArrowDtype)
+        lf["__il"] = np.arange(len(lf), dtype=np.int64)
+        rf = r_tbl.select([left_key]).to_pandas(types_mapper=pd.ArrowDtype)
+        rf["__ir"] = np.arange(len(rf), dtype=np.int64)
+        m = lf.merge(rf, on=left_key, how=how)
+        li = pa.array(m["__il"].to_numpy(dtype=np.int64), pa.int64())
+        ri = pa.Array.from_pandas(m["__ir"], type=pa.int64())
+        cols = {left_key: l_ok[left_key].take(li)}
+        for n, _ in lcols:
+            cols[n] = l_ok[n].take(li)
+        for n, _ in rcols:
+            cols[n] = r_tbl[n].take(ri)
+        out = pa.table({n: cols[n] for n, _ in fields})
+        if l_null is not None and l_null.num_rows:
+            nul = {left_key: l_null[left_key]}
+            for n, _ in lcols:
+                nul[n] = l_null[n]
+            for n, typ in rcols:
+                nul[n] = pa.nulls(l_null.num_rows, typ)
+            out = pa.concat_tables(
+                [out, pa.table({n: nul[n] for n, _ in fields})])
+        return out
+
+    return both.groupby(BUCKET_COL).map_groups(part, batch_format="pyarrow")
 
 
 def semi_anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
@@ -180,33 +221,44 @@ def semi_anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     """Distributed semi (``anti=False``) / anti (``anti=True``) join:
     keep left rows whose key does (not) appear in ``right``.  Only the
     DISTINCT keys of the right side enter the shuffle (per-batch
-    ``pc.unique``), so the filter side's payload never moves."""
+    ``pc.unique``), so the filter side's payload never moves.
+
+    Null-key semantics are relational EXISTS / NOT EXISTS (matching
+    ``broadcast_join`` and SQL joins): a null left key matches nothing,
+    so semi drops it and anti keeps it; null right keys are ignored.
+    (This is NOT the SQL ``NOT IN`` null trap.)
+    """
     nbuckets = nbuckets or default_nbuckets()
     lsch = _pa_schema(left)
     lcols = [(n, lsch.field(n).type) for n in lsch.names if n != left_key]
     order = [left_key] + [n for n, _ in lcols] + [_SIDE_COL]
 
     def rkeys(t: pa.Table) -> pa.Table:
-        u = pc.unique(t[right_key])
-        cols = {left_key: u}
+        u = pc.unique(t[right_key]).drop_null()
+        cols = {left_key: pc.cast(u, lsch.field(left_key).type)}
         for n, typ in lcols:
             cols[n] = pa.nulls(len(u), typ)
         cols[_SIDE_COL] = pa.array([1] * len(u), pa.int8())
         return pa.table({n: cols[n] for n in order})
 
-    lt = _tagged(left, left_key, left_key, lcols, [], order, 0)
+    lt = _tagged(left, [(left_key, left_key)], lcols, [], order, 0)
     rt = right.map_batches(rkeys, batch_format="pyarrow")
     both = add_bucket(lt.union(rt), left_key, nbuckets)
     lnames = [left_key] + [n for n, _ in lcols]
 
-    def part(df):
-        df = df.drop(columns=[BUCKET_COL])
-        l = df[df[_SIDE_COL] == 0][lnames]
-        present = l[left_key].isin(df[df[_SIDE_COL] == 1][left_key])
-        out = l[~present] if anti else l[present]
-        return arrow_clean(out)
+    def part(t: pa.Table) -> pa.Table:
+        # pure Arrow: hash-set membership via pc.is_in, no pandas bridge
+        t = t.drop_columns([BUCKET_COL])
+        lmask = pc.equal(t[_SIDE_COL], 0)
+        l_tbl = t.filter(lmask).select(lnames)
+        rkeys_col = t.filter(pc.invert(lmask))[left_key].combine_chunks()
+        hit = pc.is_in(l_tbl[left_key], value_set=rkeys_col)
+        semi_mask = pc.and_(pc.coalesce(hit, pa.scalar(False)),
+                            pc.is_valid(l_tbl[left_key]))
+        mask = pc.invert(semi_mask) if anti else semi_mask
+        return l_tbl.filter(mask)
 
-    return both.groupby(BUCKET_COL).map_groups(part, batch_format="pandas")
+    return both.groupby(BUCKET_COL).map_groups(part, batch_format="pyarrow")
 
 
 def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
@@ -230,6 +282,11 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
     nbuckets = nbuckets or default_nbuckets()
     lsch, rsch = _pa_schema(left), _pa_schema(right)
+    for col in (key, on):
+        if lsch.field(col).type != rsch.field(col).type:
+            raise ValueError(
+                f"as-of column type mismatch on {col!r}: "
+                f"{lsch.field(col).type} vs {rsch.field(col).type}")
     shared = (key, on)
     lcols = [(n, lsch.field(n).type) for n in lsch.names if n not in shared]
     rcols = [(n, rsch.field(n).type) for n in rsch.names if n not in shared]
@@ -241,50 +298,58 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               + lcols + rcols)
     order = [n for n, _ in fields] + [_SIDE_COL]
 
-    def project(side: int, own, other):
-        def f(t: pa.Table) -> pa.Table:
-            cols = {key: t[key], on: t[on]}
-            for n, _ in own:
-                cols[n] = t[n]
-            for n, typ in other:
-                cols[n] = pa.nulls(t.num_rows, typ)
-            cols[_SIDE_COL] = pa.array([side] * t.num_rows, pa.int8())
-            return pa.table({n: cols[n] for n in order})
-        return f
-
-    lt = left.map_batches(project(0, lcols, rcols), batch_format="pyarrow")
-    rt = right.map_batches(project(1, rcols, lcols), batch_format="pyarrow")
+    shared_cols = [(key, key), (on, on)]
+    lt = _tagged(left, shared_cols, lcols, rcols, order, 0)
+    rt = _tagged(right, shared_cols, rcols, lcols, order, 1)
     both = add_bucket(lt.union(rt), key, nbuckets)
 
-    lnames = [key, on] + [n for n, _ in lcols]
-    rnames = [key, on] + [n for n, _ in rcols]
+    def part(t: pa.Table) -> pa.Table:
+        # Same index-frame idiom as shuffle_join: merge_asof sees only
+        # (key, on, position) with Arrow-backed dtypes; payloads are
+        # assembled by Arrow `take` (int64-exact, schema-stable).
+        # Null `on` or `key` values: right rows can never match (no
+        # position on the timeline / no key), left rows pass through
+        # unmatched — mirrors the MissingTimestamps null fall-through.
+        import numpy as np
 
-    def to_schema(df) -> pa.Table:
-        return pa.table({n: pa.Array.from_pandas(df[n], type=typ)
-                         for n, typ in fields})
+        t = t.drop_columns([BUCKET_COL])
+        lmask = pc.equal(t[_SIDE_COL], 0)
+        l_tbl = t.filter(lmask)
+        r_tbl = t.filter(pc.invert(lmask))
+        l_ok_mask = pc.and_(pc.is_valid(l_tbl[on]), pc.is_valid(l_tbl[key]))
+        l_ok = l_tbl.filter(l_ok_mask)
+        l_un = l_tbl.filter(pc.invert(l_ok_mask))
+        r_ok = r_tbl.filter(pc.and_(pc.is_valid(r_tbl[on]),
+                                    pc.is_valid(r_tbl[key])))
 
-    def part(df):
-        df = df.drop(columns=[BUCKET_COL])
-        l = df[df[_SIDE_COL] == 0][lnames]
-        # null `on` values: right rows can never match (no position on the
-        # timeline); left rows pass through unmatched — mirrors the
-        # MissingTimestamps null fall-through, never an exception
-        l_null = l[l[on].isna()]
-        l = l[l[on].notna()].sort_values(on, kind="mergesort")
-        r = (df[(df[_SIDE_COL] == 1) & df[on].notna()][rnames]
-             .sort_values(on, kind="mergesort"))
-        if len(l) == 0 or len(r) == 0:
-            out = pd.concat([l, l_null], ignore_index=True)
-            for n, _ in rcols:
-                out[n] = None
-            return to_schema(out)
-        out = pd.merge_asof(l, r, on=on, by=key, direction="backward",
-                            allow_exact_matches=True)
-        if len(l_null):
-            nulls = l_null.copy()
-            for n, _ in rcols:
-                nulls[n] = None
-            out = pd.concat([out, nulls], ignore_index=True)
-        return to_schema(out)
+        def unmatched(tbl: pa.Table) -> pa.Table:
+            cols = {key: tbl[key], on: tbl[on]}
+            for n, _ in lcols:
+                cols[n] = tbl[n]
+            for n, typ in rcols:
+                cols[n] = pa.nulls(tbl.num_rows, typ)
+            return pa.table({n: cols[n] for n, _ in fields})
 
-    return both.groupby(BUCKET_COL).map_groups(part, batch_format="pandas")
+        if l_ok.num_rows == 0 or r_ok.num_rows == 0:
+            return pa.concat_tables([unmatched(l_ok), unmatched(l_un)])
+        lf = l_ok.select([key, on]).to_pandas(types_mapper=pd.ArrowDtype)
+        lf["__il"] = np.arange(len(lf), dtype=np.int64)
+        lf = lf.sort_values(on, kind="mergesort")
+        rf = r_ok.select([key, on]).to_pandas(types_mapper=pd.ArrowDtype)
+        rf["__ir"] = np.arange(len(rf), dtype=np.int64)
+        rf = rf.sort_values(on, kind="mergesort")
+        m = pd.merge_asof(lf, rf, on=on, by=key, direction="backward",
+                          allow_exact_matches=True)
+        li = pa.array(m["__il"].to_numpy(dtype=np.int64), pa.int64())
+        ri = pa.Array.from_pandas(m["__ir"], type=pa.int64())
+        cols = {key: l_ok[key].take(li), on: l_ok[on].take(li)}
+        for n, _ in lcols:
+            cols[n] = l_ok[n].take(li)
+        for n, _ in rcols:
+            cols[n] = r_ok[n].take(ri)
+        out = pa.table({n: cols[n] for n, _ in fields})
+        if l_un.num_rows:
+            out = pa.concat_tables([out, unmatched(l_un)])
+        return out
+
+    return both.groupby(BUCKET_COL).map_groups(part, batch_format="pyarrow")

@@ -224,3 +224,81 @@ def test_asof_join_null_on_values():
     # null-t left row passes through unmatched; null-t right row never matches
     assert out["rv"].tolist()[0] == 100 and out["rv"].tolist()[2] == 100
     assert out["rv"].isna().tolist() == [False, True, False]
+
+
+# --- review-fix regressions -----------------------------------------------
+
+def test_shuffle_join_preserves_large_int64():
+    big = 2**53 + 1  # not representable in float64
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "lval": pa.array([big, big + 2], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([1], pa.int64()),
+        "rval": pa.array([big + 1], pa.int64())}))
+    out = shuffle_join(left, right, "k", "rk", how="left", nbuckets=2)
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    assert t.schema.field("lval").type == pa.int64()
+    assert t.schema.field("rval").type == pa.int64()
+    df = t.to_pandas().sort_values("k")
+    assert df["lval"].tolist() == [big, big + 2]  # exact, no float rounding
+    assert df["rval"].tolist()[0] == big + 1
+
+    anti = semi_anti_join(left, right, "k", "rk", anti=True, nbuckets=2)
+    ta = pa.concat_tables(anti.iter_batches(batch_format="pyarrow"))
+    assert ta.schema.field("lval").type == pa.int64()
+    assert ta["lval"].to_pylist() == [big + 2]
+
+
+def test_shuffle_join_right_payload_named_left_key_rejected():
+    bad = ray.data.from_arrow(pa.table({"rk": [1], "k": [9]}))
+    with pytest.raises(ValueError, match="collision"):
+        shuffle_join(_left(), bad, "k", "rk")
+
+
+def test_shuffle_join_key_type_mismatch_rejected():
+    bad = ray.data.from_arrow(pa.table({
+        "rk": pa.array([1], pa.int32()), "rval": [9]}))
+    with pytest.raises(ValueError, match="type mismatch"):
+        shuffle_join(_left(), bad, "k", "rk")
+
+
+def test_null_keys_never_match():
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, None, 2], pa.int64()), "lval": ["a", "b", "c"]}))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([1, None], pa.int64()), "rval": [10, 99]}))
+    inner = shuffle_join(left, right, "k", "rk", nbuckets=2).to_pandas()
+    assert sorted(inner["lval"]) == ["a"]  # null != null
+    lj = shuffle_join(left, right, "k", "rk", how="left",
+                      nbuckets=2).to_pandas().sort_values("lval")
+    assert lj["rval"].isna().tolist() == [False, True, True]
+    # EXISTS / NOT EXISTS: null left key -> no match -> anti keeps it
+    semi = semi_anti_join(left, right, "k", "rk", nbuckets=2).to_pandas()
+    anti = semi_anti_join(left, right, "k", "rk", anti=True,
+                          nbuckets=2).to_pandas()
+    assert sorted(semi["lval"]) == ["a"]
+    assert sorted(anti["lval"]) == ["b", "c"]
+    # broadcast path agrees
+    bsemi = broadcast_join(left, pa.table(
+        {"rk": pa.array([1], pa.int64()), "rval": [10]}), "k", "rk",
+        how="semi").to_pandas()
+    assert sorted(bsemi["lval"]) == ["a"]
+
+
+def test_stratified_sample_null_lang_takes_else_rate():
+    import numpy as np
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+    # null-lang docs must sample at the ELSE (30%) rate, as SQL CASE does
+    ids = np.arange(1000, dtype=np.int64)
+    h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+        % np.uint64(1 << 32) % np.uint64(100)
+    expected = int((h < 30).sum())
+    import pyarrow.parquet as pq, tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "doc_id": ids,
+            "lang": pa.nulls(len(ids), pa.string()),
+            "text": ["x"] * len(ids)}), os.path.join(d, "documents.parquet"))
+        got = docs_mod.stratified_sample_docs(d).to_pandas()
+    assert len(got) == expected > 0
