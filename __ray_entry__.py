@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters_docs": docs.minhash_clusters_docs,  # rows-only
         "ngram_jaccard_pairs": docs.ngram_jaccard_pairs,
         "stratified_sample_docs": docs.stratified_sample_docs,
+        "sample_k_per_lang": docs.sample_k_per_lang,
+        "top_trigrams": docs.top_trigrams,
         "substring_pairs": docs.substring_pairs,
         # --- events / relational ---
         "events_window_5m": relational.events_window_5m,
@@ -162,6 +164,24 @@ def oracle_sql() -> dict[str, str]:
                   % 4294967296 % 100
                   < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
             ORDER BY doc_id
+        """,
+        "sample_k_per_lang": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang, row_number() OVER (
+                    PARTITION BY lang
+                    ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761)
+                             % 4294967296, doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 20 ORDER BY lang, doc_id
+        """,
+        "top_trigrams": """
+            WITH grams AS (
+                SELECT unnest(list_transform(
+                    generate_series(1, length(text) - 2),
+                    i -> substr(text, i, 3))) AS gram
+                FROM documents WHERE length(text) >= 3)
+            SELECT gram, count(*) AS n FROM grams
+            GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 100
         """,
         "events_window_5m": """
             SELECT user_id,

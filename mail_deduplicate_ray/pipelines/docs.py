@@ -551,3 +551,76 @@ def stratified_sample_docs(sf_dir: str) -> "ray.data.Dataset":
 
     return _docs(sf_dir, ["doc_id", "lang"]).map_batches(
         f, batch_format="pyarrow").sort("doc_id")
+
+
+def top_trigrams(sf_dir: str, k: int = 100) -> "ray.data.Dataset":
+    """Corpus-wide character-trigram frequency top-k — the vocab-building
+    scan of a training-data pipeline.
+
+    Combiner-first: each batch emits one (gram, n) partial per DISTINCT
+    trigram (trigrams packed as uint32 codes via a zero-copy sliding
+    window over the batch's concatenated bytes; doc boundaries are NUL
+    separators whose windows are masked out), so the shuffle moves
+    distinct-gram partials, never one row per occurrence.  Codes decode
+    to strings only in the final tiny top-k.  ASCII corpus assumption
+    (byte == char), as documented for substring_pairs."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = [(v or "").encode() for v in t["text"].to_pylist()]
+        joined = b"\x00".join(texts)
+        arr = np.frombuffer(joined, np.uint8)
+        if len(arr) < 3:
+            return pa.table({"code": pa.array([], pa.uint32()),
+                             "n": pa.array([], pa.int64())})
+        win = np.lib.stride_tricks.sliding_window_view(arr, 3)
+        w = win[~(win == 0).any(axis=1)]
+        code = ((w[:, 0].astype(np.uint32) << 16)
+                | (w[:, 1].astype(np.uint32) << 8)
+                | w[:, 2].astype(np.uint32))
+        uniq, counts = np.unique(code, return_counts=True)
+        return pa.table({"code": pa.array(uniq, pa.uint32()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pyarrow")
+    summed = partials.groupby("code").aggregate(Sum("n", alias_name="n"))
+
+    def decode(t: pa.Table) -> pa.Table:
+        codes = t["code"].to_numpy(zero_copy_only=False).astype(np.uint32)
+        grams = [bytes([c >> 16, (c >> 8) & 0xFF, c & 0xFF]).decode()
+                 for c in codes]
+        return pa.table({"gram": pa.array(grams, pa.string()),
+                         "n": pc.cast(t["n"], pa.int64())})
+
+    return (summed.map_batches(decode, batch_format="pyarrow")
+            .sort(["n", "gram"], descending=[True, False]).limit(k))
+
+
+def sample_k_per_lang(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """Deterministic per-stratum k-sample: the first ``k`` docs of each
+    lang in Knuth-hash order (reproducible reservoir — same subset at any
+    parallelism, no RNG).  Bucketed shuffle on lang, vectorized sort +
+    head(k) per partition; oracle replays via row_number over the same
+    hash."""
+    import numpy as np
+
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        return t.append_column("__h", pa.array(h, pa.uint64()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+
+    def part(df):
+        df = df.sort_values(["lang", "__h", "doc_id"])
+        return (df.groupby("lang", sort=False).head(k)
+                [["doc_id", "lang"]])
+
+    return grouped(hashed, "lang", part).sort(["lang", "doc_id"])

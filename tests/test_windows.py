@@ -11,12 +11,14 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.mark.parametrize("name", ["top3_orders_per_customer",
                                   "user_cumulative_value",
-                                  "order_price_quantiles"])
+                                  "order_price_quantiles",
+                                  "sample_k_per_lang",
+                                  "top_trigrams"])
 def test_window_queries_match_duckdb(name):
     import __ray_entry__ as e
     got = e.queries()[name](SF).to_pandas()
     con = duckdb.connect()
-    for t in ["orders", "events"]:
+    for t in ["orders", "events", "documents"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{SF}/{t}.parquet')")
     exp = con.execute(e.oracle_sql()[name]).fetchdf()
