@@ -68,12 +68,12 @@ def run_diff(args) -> int:
     import pyarrow.compute as pc
 
     from mail_deduplicate_ray.functions import normalize
-    from mail_deduplicate_ray.sources import read_clips_parquet
+    from mail_deduplicate_ray.sources import read_clips
     from mail_deduplicate_ray.stages.settle import pretty_diff
     ts_col = args.time_source or "ingest_ts"
     want = {args.clip_a, args.clip_b}
     rows: dict[str, tuple[str, float | None]] = {}
-    ds = read_clips_parquet(list(args.input))
+    ds = read_clips(list(args.input))
     for b in ds.iter_batches(batch_format="pyarrow"):
         mask = pc.is_in(b["clip_id"], value_set=pa.array(sorted(want)))
         b = b.filter(mask)
@@ -111,7 +111,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from mail_deduplicate_ray.config import DedupConfig
     from mail_deduplicate_ray.pipelines import actions, neardup
-    from mail_deduplicate_ray.sources import read_clips_parquet
+    from mail_deduplicate_ray.sources import read_clips
 
     over = dict(
         transcript_hash=args.hash_body,
@@ -129,7 +129,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     cfg = (DedupConfig.from_toml(args.config, **over) if args.config
            else DedupConfig(**over))
-    ds = read_clips_parquet(list(args.input))
+    ds = read_clips(list(args.input))
 
     if args.hash_only:
         # canonical-field table first (≙ pretty_canonical_headers,

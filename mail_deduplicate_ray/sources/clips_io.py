@@ -167,3 +167,93 @@ def write_clips_lance(ds: "ray.data.Dataset", uri: str) -> None:
         write_clips(ds, uri)
         return
     ds.write_lance(uri)
+
+
+# --- interchange source formats (the S5 source-plugin surface) -------------
+# CSV / JSONL clips corpora: `bytes` travels base64-encoded (neither
+# format carries raw binary); rows are normalized into the canonical
+# CLIPS_SCHEMA so every downstream stage is format-agnostic.  Missing
+# optional columns default like the parquet path (null ingest_ts).
+
+
+def _normalize_interchange(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    import base64
+
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        cols = {}
+        names = set(t.column_names)
+        raw = t["bytes"] if "bytes" in names else None
+        if raw is not None and pa.types.is_binary(raw.type):
+            payload = raw
+        elif raw is not None:
+            payload = pa.array(
+                [base64.b64decode(v) if v is not None else None
+                 for v in raw.to_pylist()], pa.binary())
+        else:
+            payload = pa.nulls(t.num_rows, pa.binary())
+        cols["clip_id"] = pc.cast(t["clip_id"], pa.string())
+        cols["bytes"] = payload
+        cols["sr_hz"] = pc.cast(t["sr_hz"], pa.int32())
+        cols["dur_ms"] = pc.cast(t["dur_ms"], pa.int32())
+        cols["codec"] = pc.cast(t["codec"], pa.string())
+        cols["transcript"] = pc.cast(t["transcript"], pa.string())
+        if "ingest_ts" in names:
+            cols["ingest_ts"] = pc.cast(t["ingest_ts"], pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def read_clips_jsonl(paths: str | list[str]) -> "ray.data.Dataset":
+    """JSONL clips source: one JSON object per line, ``bytes`` base64."""
+    if isinstance(paths, list):
+        paths = check_sources(paths)
+    return _validate(_normalize_interchange(ray.data.read_json(paths)))
+
+
+def read_clips_csv(paths: str | list[str]) -> "ray.data.Dataset":
+    """CSV clips source: header row, ``bytes`` column base64."""
+    if isinstance(paths, list):
+        paths = check_sources(paths)
+    return _validate(_normalize_interchange(ray.data.read_csv(paths)))
+
+
+_FORMAT_READERS = {
+    ".parquet": read_clips_parquet,
+    ".jsonl": read_clips_jsonl,
+    ".json": read_clips_jsonl,
+    ".csv": read_clips_csv,
+    ".lance": None,  # resolved lazily (import-gated)
+}
+
+
+def read_clips(paths: str | list[str]) -> "ray.data.Dataset":
+    """Format-autodetecting clips reader (S2 analogue: suffix + schema
+    check, ref: mail_box.py:353-397): routes each input by extension;
+    mixing formats in one call unions the normalized Datasets."""
+    from pathlib import Path
+    plist = [paths] if isinstance(paths, (str, Path)) else list(paths)
+    plist = check_sources([str(p) for p in plist])
+    groups: dict[str, list[str]] = {}
+    for p in plist:
+        suf = Path(p).suffix.lower()
+        if Path(p).is_dir():
+            suf = ".parquet"  # directory of fragments
+        if suf not in _FORMAT_READERS:
+            raise ValueError(f"unsupported clips source format {suf!r} "
+                             f"for {p!r} (supported: "
+                             f"{sorted(_FORMAT_READERS)})")
+        groups.setdefault(suf, []).append(p)
+    parts = []
+    for suf, ps in groups.items():
+        if suf == ".lance":
+            parts.extend(read_clips_lance(p) for p in ps)
+        else:
+            reader = _FORMAT_READERS[suf]
+            parts.append(reader(ps))
+    ds = parts[0]
+    for other in parts[1:]:
+        ds = ds.union(other)
+    return ds

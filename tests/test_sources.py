@@ -80,3 +80,87 @@ def test_read_clips_fast_columns_pruning(tmp_path):
     pq.write_table(tbl.slice(0, 5), str(d / "a.parquet"))
     pq.write_table(tbl.slice(5), str(d / "b.parquet"))
     assert read_clips_fast(str(d)).count() == tbl.num_rows
+
+
+class TestInterchangeFormats:
+    """CSV/JSONL clips sources (S5 plugin surface): base64 payloads
+    normalize into the canonical schema; format autodetect routes by
+    extension and unions mixed inputs."""
+
+    @pytest.fixture(scope="class")
+    def corpus_files(self, tmp_path_factory):
+        import base64
+        import json
+
+        import pyarrow.parquet as pq
+
+        from mail_deduplicate_ray import synth
+        tbl, _ = synth.generate_clips(30, seed=5)
+        d = tmp_path_factory.mktemp("interchange")
+        pq.write_table(tbl, d / "clips.parquet")
+        rows = tbl.to_pylist()
+        with open(d / "clips.jsonl", "w") as f:
+            for r in rows:
+                r = dict(r)
+                r["bytes"] = base64.b64encode(r["bytes"]).decode()
+                f.write(json.dumps(r) + "\n")
+        import csv as csvmod
+        with open(d / "clips.csv", "w", newline="") as f:
+            w = csvmod.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            for r in rows:
+                r = dict(r)
+                r["bytes"] = base64.b64encode(r["bytes"]).decode()
+                w.writerow(r)
+        return d
+
+    def _sorted(self, ds):
+        import pandas as pd
+        df = ds.to_pandas().sort_values("clip_id").reset_index(drop=True)
+        return df
+
+    def test_jsonl_roundtrip_equals_parquet(self, corpus_files):
+        from mail_deduplicate_ray.sources import (read_clips_jsonl,
+                                                  read_clips_parquet)
+        p = self._sorted(read_clips_parquet(str(corpus_files / "clips.parquet")))
+        j = self._sorted(read_clips_jsonl(str(corpus_files / "clips.jsonl")))
+        assert (p["clip_id"] == j["clip_id"]).all()
+        assert (p["bytes"] == j["bytes"]).all()  # exact payload bytes
+        assert (p["sr_hz"] == j["sr_hz"]).all()
+        assert (p["transcript"] == j["transcript"]).all()
+
+    def test_csv_roundtrip_equals_parquet(self, corpus_files):
+        from mail_deduplicate_ray.sources import (read_clips_csv,
+                                                  read_clips_parquet)
+        p = self._sorted(read_clips_parquet(str(corpus_files / "clips.parquet")))
+        c = self._sorted(read_clips_csv(str(corpus_files / "clips.csv")))
+        assert (p["bytes"] == c["bytes"]).all()
+        assert (p["dur_ms"] == c["dur_ms"]).all()
+
+    def test_autodetect_union_mixed_formats(self, corpus_files):
+        from mail_deduplicate_ray.sources import read_clips
+        from mail_deduplicate_ray.sources import read_clips_parquet
+        n_single = read_clips_parquet(
+            str(corpus_files / "clips.parquet")).count()
+        ds = read_clips([str(corpus_files / "clips.parquet"),
+                         str(corpus_files / "clips.jsonl")])
+        df = ds.to_pandas()
+        assert len(df) == 2 * n_single  # both sources contribute fully
+
+    def test_autodetect_rejects_unknown_suffix(self, corpus_files):
+        from mail_deduplicate_ray.sources import read_clips
+        with pytest.raises(ValueError, match="unsupported"):
+            read_clips([str(corpus_files / "clips.xml")])
+
+    def test_dedup_over_jsonl_matches_parquet(self, corpus_files):
+        from mail_deduplicate_ray.config import DedupConfig
+        from mail_deduplicate_ray.pipelines import neardup
+        from mail_deduplicate_ray.sources import read_clips
+        cfg = DedupConfig()
+        r1 = neardup.dedup_clips(
+            read_clips(str(corpus_files / "clips.parquet")), cfg,
+            channels=("exact",))
+        r2 = neardup.dedup_clips(
+            read_clips(str(corpus_files / "clips.jsonl")), cfg,
+            channels=("exact",))
+        assert r1.stats.to_dict() == r2.stats.to_dict()
