@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": relational.customers_without_orders,
         "priority_orders_semi": relational.priority_orders_semi,
         "purchase_after_signup": relational.purchase_after_signup,
+        "user_event_pivot": relational.user_event_pivot,
+        "distinct_users_per_day": relational.distinct_users_per_day,
         "top3_orders_per_customer": relational.top3_orders_per_customer,
         "user_cumulative_value": relational.user_cumulative_value,
         "order_price_quantiles": relational.order_price_quantiles,
@@ -285,6 +287,20 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
               ON p.user_id = s.user_id AND p.ts >= s.ts
             ORDER BY event_id
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "distinct_users_per_day": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY day ORDER BY day
         """,
         "top3_orders_per_customer": """
             SELECT o_custkey, o_orderkey, cents, rank FROM (

@@ -492,3 +492,69 @@ def order_price_quantiles(sf_dir: str) -> "ray.data.Dataset":
 
     return grouped(partials, "o_orderstatus", part).sort(
         ["o_orderstatus", "q_pct"])
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_pivot(sf_dir: str) -> "ray.data.Dataset":
+    """PIVOT: per-user event counts spread into one column per event
+    type.  Partial (user, type) counts per batch (the shuffle moves one
+    row per (batch, user, type)), then a per-user pivot in the bucketed
+    partition — the wide-to-columns reshape operator."""
+    import pandas as pd
+
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")])
+        return pa.table({"user_id": g["user_id"],
+                         "event_type": g["event_type"],
+                         "n": pc.cast(g["event_type_count"], pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def part(df):
+        p = (df.pivot_table(index="user_id", columns="event_type",
+                            values="n", aggfunc="sum", fill_value=0)
+             .reindex(columns=list(_EVENT_TYPES), fill_value=0)
+             .reset_index())
+        out = pd.DataFrame({"user_id": p["user_id"].astype("int64")})
+        for et in _EVENT_TYPES:
+            out[f"n_{et}"] = p[et].astype("int64")
+        return out
+
+    return grouped(partials, "user_id", part).sort("user_id")
+
+
+def distinct_users_per_day(sf_dir: str) -> "ray.data.Dataset":
+    """Exact COUNT DISTINCT: per-batch distinct (day, user) pairs, one
+    global dedup shuffle on the pair, then a tiny per-day count — the
+    shuffle moves distinct pairs, never raw events."""
+    from ray.data.aggregate import Count
+
+    from mail_deduplicate_ray.functions.normalize import normalize_date
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = pa.table({"day": normalize_date(t["ts"]),
+                      "user_id": t["user_id"]})
+        g = t.group_by(["day", "user_id"]).aggregate([("user_id", "count")])
+        return g.select(["day", "user_id"])
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+    distinct = grouped(
+        pairs, "day",
+        lambda df: df.drop_duplicates(subset=["day", "user_id"]))
+    out = distinct.groupby("day").aggregate(Count(alias_name="n_users"))
+    return out.map_batches(
+        lambda t: pa.table({"day": t["day"],
+                            "n_users": pc.cast(t["n_users"], pa.int64())}),
+        batch_format="pyarrow").sort("day")

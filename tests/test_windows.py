@@ -13,7 +13,9 @@ SF = "/root/testdata/sf0.001"
                                   "user_cumulative_value",
                                   "order_price_quantiles",
                                   "sample_k_per_lang",
-                                  "top_trigrams"])
+                                  "top_trigrams",
+                                  "user_event_pivot",
+                                  "distinct_users_per_day"])
 def test_window_queries_match_duckdb(name):
     import __ray_entry__ as e
     got = e.queries()[name](SF).to_pandas()
