@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": docs.stratified_sample_docs,
         "sample_k_per_lang": docs.sample_k_per_lang,
         "top_trigrams": docs.top_trigrams,
+        "decontaminate_docs": docs.decontaminate_docs,
         "substring_pairs": docs.substring_pairs,
         # --- events / relational ---
         "events_window_5m": relational.events_window_5m,
@@ -166,6 +167,25 @@ def oracle_sql() -> dict[str, str]:
                   % 4294967296 % 100
                   < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
             ORDER BY doc_id
+        """,
+        # trigram-containment decontamination vs the doc_id%97 eval split
+        "decontaminate_docs": """
+            WITH s AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, length(text) - 2),
+                    i -> substr(text, i, 3))) AS grams
+                FROM documents WHERE length(text) >= 3),
+            e AS (SELECT * FROM s WHERE doc_id % 97 = 0),
+            t AS (SELECT * FROM s WHERE doc_id % 97 <> 0)
+            SELECT t.doc_id AS doc_id, e.doc_id AS eval_id,
+                   CAST(len(list_intersect(t.grams, e.grams)) AS BIGINT)
+                       AS n_shared,
+                   CAST(len(t.grams) AS BIGINT) AS n_grams
+            FROM t, e
+            WHERE len(t.grams) > 0
+              AND 100 * len(list_intersect(t.grams, e.grams))
+                  >= 80 * len(t.grams)
+            ORDER BY doc_id, eval_id
         """,
         "sample_k_per_lang": """
             SELECT doc_id, lang FROM (

@@ -624,3 +624,78 @@ def sample_k_per_lang(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
                 [["doc_id", "lang"]])
 
     return grouped(hashed, "lang", part).sort(["lang", "doc_id"])
+
+
+def _tri_codes(text: str) -> "np.ndarray":
+    """Distinct character trigrams of ``text`` packed as sorted uint32
+    codes (ASCII corpus: byte == char)."""
+    import numpy as np
+    b = (text or "").encode()
+    if len(b) < 3:
+        return np.empty(0, np.uint32)
+    arr = np.frombuffer(b, np.uint8)
+    win = np.lib.stride_tricks.sliding_window_view(arr, 3)
+    code = ((win[:, 0].astype(np.uint32) << 16)
+            | (win[:, 1].astype(np.uint32) << 8)
+            | win[:, 2].astype(np.uint32))
+    return np.unique(code)
+
+
+def decontaminate_docs(sf_dir: str, threshold_pct: int = 80,
+                       eval_mod: int = 97) -> "ray.data.Dataset":
+    """Benchmark DECONTAMINATION — the training-data hygiene scan: find
+    train docs whose distinct-trigram set is >= ``threshold_pct``%
+    contained in some eval doc's set (eval split = ``doc_id % eval_mod
+    == 0``, standing in for a held-out benchmark suite).
+
+    Physical plan: a benchmark set is SMALL BY NATURE (fixed size
+    regardless of corpus scale), so its gram sets are collected once and
+    broadcast via ``ray.put``; the train corpus streams through a task
+    map scoring sorted-array intersections — ZERO shuffle, the scan is
+    embarrassingly parallel.  Integer containment arithmetic
+    (``100*n_shared >= pct*n_grams``) keeps the oracle hash-exact."""
+    import numpy as np
+
+    import ray as _ray
+
+    def _eval_filter(t: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % eval_mod == 0))
+
+    eval_tbl = pa.concat_tables(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            _eval_filter, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"))
+    eval_index = [(int(i), _tri_codes(t))
+                  for i, t in zip(eval_tbl["doc_id"].to_pylist(),
+                                  eval_tbl["text"].to_pylist())]
+    ref = _ray.put(eval_index)
+
+    def score(t: pa.Table) -> pa.Table:
+        evals = _ray.get(ref)
+        out = {"doc_id": [], "eval_id": [], "n_shared": [], "n_grams": []}
+        for did, text in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            if did % eval_mod == 0:
+                continue
+            codes = _tri_codes(text)
+            if codes.size == 0:
+                continue
+            for eid, ecodes in evals:
+                n_shared = np.intersect1d(codes, ecodes,
+                                          assume_unique=True).size
+                if 100 * n_shared >= threshold_pct * codes.size:
+                    out["doc_id"].append(did)
+                    out["eval_id"].append(eid)
+                    out["n_shared"].append(n_shared)
+                    out["n_grams"].append(int(codes.size))
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "eval_id": pa.array(out["eval_id"], pa.int64()),
+            "n_shared": pa.array(out["n_shared"], pa.int64()),
+            "n_grams": pa.array(out["n_grams"], pa.int64())})
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(score, batch_format="pyarrow")
+            .sort(["doc_id", "eval_id"]))

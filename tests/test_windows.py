@@ -46,3 +46,17 @@ def test_stratified_sample_deterministic_and_matches_oracle():
     assert (got["doc_id"].values == exp["doc_id"].values).all()
     # both strata actually sampled
     assert set(got["lang"]) >= {"en"} and len(set(got["lang"])) > 1
+
+
+def test_decontaminate_docs_matches_oracle():
+    import __ray_entry__ as e
+    got = e.queries()["decontaminate_docs"](SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    exp = con.execute(e.oracle_sql()["decontaminate_docs"]).fetchdf()
+    assert len(got) == len(exp) > 0
+    for c in got.columns:
+        assert (got[c].values == exp[c].astype(got[c].dtype).values).all(), c
+    # eval docs never flag themselves
+    assert not (got["doc_id"] % 97 == 0).any()
