@@ -18,8 +18,37 @@ def read_parquet_clean(paths, columns: list[str] | None = None,
                        **read_kwargs) -> "ray.data.Dataset":
     """read_parquet with schema metadata stripped (pandas-written parquet
     carries dict-valued metadata that defeats Ray's schema hashing and
-    spams 'Failed to hash the schemas' worker warnings; the strip is
-    zero-copy and fuses with the downstream transform)."""
+    spams 'Failed to hash the schemas' worker warnings).
+
+    Preferred path: pass an explicit metadata-free ``schema=`` so the
+    READ operator itself emits clean blocks (no extra strip stage, no
+    warning from inside the read tasks).  Falls back to a zero-copy
+    strip map when the schema can't be pre-read (remote URIs,
+    mixed-schema directories)."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    schema = read_kwargs.pop("schema", None)
+    if schema is None:
+        first = paths[0] if isinstance(paths, (list, tuple)) else paths
+        try:
+            p = Path(str(first))
+            if p.is_dir():
+                frags = sorted(p.rglob("*.parquet"))
+                p = frags[0] if frags else None
+            schema = pq.read_schema(str(p)) if p and p.exists() else None
+        except Exception:  # noqa: BLE001 - fall back to the strip map
+            schema = None
+    if schema is not None and columns:
+        if set(columns) <= set(schema.names):
+            schema = pa.schema([schema.field(c) for c in columns])
+        else:
+            schema = None
+    if schema is not None:
+        return ray.data.read_parquet(paths, columns=columns,
+                                     schema=schema.remove_metadata(),
+                                     **read_kwargs)
     ds = ray.data.read_parquet(paths, columns=columns, **read_kwargs)
     return ds.map_batches(lambda t: t.replace_schema_metadata(None),
                           batch_format="pyarrow")
