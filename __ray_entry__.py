@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_orders_semi": relational.priority_orders_semi,
         "purchase_after_signup": relational.purchase_after_signup,
         "user_event_pivot": relational.user_event_pivot,
+        "cap_events_per_user_type": relational.cap_events_per_user_type,
         "distinct_users_per_day": relational.distinct_users_per_day,
         "top3_orders_per_customer": relational.top3_orders_per_customer,
         "user_cumulative_value": relational.user_cumulative_value,
@@ -307,6 +308,14 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
               ON p.user_id = s.user_id AND p.ts >= s.ts
             ORDER BY event_id
+        """,
+        "cap_events_per_user_type": """
+            SELECT event_id, user_id, event_type FROM (
+                SELECT event_id, user_id, event_type, row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) AS rn
+                FROM events)
+            WHERE rn <= 5 ORDER BY event_id
         """,
         "user_event_pivot": """
             SELECT user_id,

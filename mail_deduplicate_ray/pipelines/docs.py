@@ -699,3 +699,4 @@ def decontaminate_docs(sf_dir: str, threshold_pct: int = 80,
     return (_docs(sf_dir, ["doc_id", "text"])
             .map_batches(score, batch_format="pyarrow")
             .sort(["doc_id", "eval_id"]))
+

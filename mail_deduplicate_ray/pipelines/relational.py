@@ -558,3 +558,23 @@ def distinct_users_per_day(sf_dir: str) -> "ray.data.Dataset":
         lambda t: pa.table({"day": t["day"],
                             "n_users": pc.cast(t["n_users"], pa.int64())}),
         batch_format="pyarrow").sort("day")
+
+
+def cap_events_per_user_type(sf_dir: str, cap: int = 5) -> "ray.data.Dataset":
+    """Frequency-capped downsampling: keep at most ``cap`` (earliest)
+    events per (user, event_type) — training pipelines cap duplicates
+    instead of dropping them (full dedup erases the frequency signal,
+    uncapped keeps spam).  Bucketed shuffle on user, vectorized
+    sort + head per partition."""
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id",
+                                     "event_type", "ts"])
+
+    def part(df):
+        df = df.sort_values(["user_id", "event_type", "ts", "event_id"])
+        return (df.groupby(["user_id", "event_type"], sort=False)
+                .head(cap)[["event_id", "user_id", "event_type"]])
+
+    return grouped(ds, "user_id", part).sort("event_id")

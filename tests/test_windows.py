@@ -15,7 +15,8 @@ SF = "/root/testdata/sf0.001"
                                   "sample_k_per_lang",
                                   "top_trigrams",
                                   "user_event_pivot",
-                                  "distinct_users_per_day"])
+                                  "distinct_users_per_day",
+                                  "cap_events_per_user_type"])
 def test_window_queries_match_duckdb(name):
     import __ray_entry__ as e
     got = e.queries()[name](SF).to_pandas()
