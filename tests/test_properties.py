@@ -149,3 +149,103 @@ def test_suffix_array_contains_matches_in(text, pattern):
     if len(text) >= 3:
         sub = text[len(text) // 3: 2 * len(text) // 3]
         assert sa_contains(text, sa, sub)
+
+
+# --- join-family properties (stages/joins.py) ------------------------------
+
+_key_lists = st.lists(
+    st.one_of(st.integers(min_value=0, max_value=6), st.none()),
+    min_size=0, max_size=12)
+
+
+def _frames(lkeys, rkeys):
+    import pyarrow as pa
+
+    import ray.data
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(lkeys, pa.int64()),
+        "lv": pa.array(range(len(lkeys)), pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array(rkeys, pa.int64()),
+        "rv": pa.array(range(len(rkeys)), pa.int64())}))
+    return left, right
+
+
+@settings(max_examples=12, deadline=None)
+@given(lkeys=_key_lists, rkeys=_key_lists)
+def test_shuffle_join_inner_matches_sql_reference(lkeys, rkeys):
+    from mail_deduplicate_ray.stages.joins import shuffle_join
+    left, right = _frames(lkeys, rkeys)
+    got = sorted(
+        shuffle_join(left, right, "k", "rk", nbuckets=2).to_pandas()
+        .itertuples(index=False, name=None))
+    # SQL reference: null keys never match
+    exp = sorted((lk, li, ri)
+                 for li, lk in enumerate(lkeys) if lk is not None
+                 for ri, rk in enumerate(rkeys) if rk == lk)
+    assert got == exp
+
+
+@settings(max_examples=12, deadline=None)
+@given(lkeys=_key_lists, rkeys=_key_lists)
+def test_semi_anti_partition_left(lkeys, rkeys):
+    from mail_deduplicate_ray.stages.joins import semi_anti_join
+    left, right = _frames(lkeys, rkeys)
+    semi = semi_anti_join(left, right, "k", "rk", nbuckets=2).to_pandas()
+    anti = semi_anti_join(left, right, "k", "rk", anti=True,
+                          nbuckets=2).to_pandas()
+
+    def lv(df):  # empty Ray results drop the schema entirely
+        return set(df["lv"]) if "lv" in df.columns else set()
+
+    # semi and anti partition the left side exactly
+    assert len(semi) + len(anti) == len(lkeys)
+    assert lv(semi) | lv(anti) == set(range(len(lkeys)))
+    rset = {k for k in rkeys if k is not None}
+    exp_semi = {i for i, k in enumerate(lkeys)
+                if k is not None and k in rset}
+    assert lv(semi) == exp_semi
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    lrows=st.lists(st.tuples(st.integers(0, 3),
+                             st.one_of(st.integers(0, 50), st.none())),
+                   min_size=0, max_size=10),
+    rrows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                   min_size=0, max_size=10))
+def test_asof_join_matches_naive_reference(lrows, rrows):
+    import pyarrow as pa
+
+    import ray.data
+
+    from mail_deduplicate_ray.stages.joins import asof_join
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([k for k, _ in lrows], pa.int64()),
+        "t": pa.array([t for _, t in lrows], pa.int64()),
+        "lv": pa.array(range(len(lrows)), pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([k for k, _ in rrows], pa.int64()),
+        "t": pa.array([t for _, t in rrows], pa.int64()),
+        "rv": pa.array(range(len(rrows)), pa.int64())}))
+    out = asof_join(left, right, key="k", on="t", nbuckets=2).to_pandas()
+    assert len(out) == len(lrows)
+    if not len(lrows):
+        return  # empty Ray results drop the schema entirely
+    out = out.sort_values("lv").reset_index(drop=True)
+    for _, row in out.iterrows():
+        li = int(row["lv"])
+        lk, lt = lrows[li]
+        if lt is None:
+            assert row.isna()["rv"]
+            continue
+        # naive reference: the right row with the greatest t <= lt for
+        # this key; ties broken like merge_asof (last in sort order)
+        cand = [(t, ri) for ri, (rk, t) in enumerate(rrows)
+                if rk == lk and t <= lt]
+        if not cand:
+            assert row.isna()["rv"]
+        else:
+            best_t = max(t for t, _ in cand)
+            best_rvs = {ri for t, ri in cand if t == best_t}
+            assert int(row["rv"]) in best_rvs
