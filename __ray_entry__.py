@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": relational.customers_without_orders,
         "priority_orders_semi": relational.priority_orders_semi,
         "purchase_after_signup": relational.purchase_after_signup,
+        "purchase_day_views": relational.purchase_day_views,
         "user_event_pivot": relational.user_event_pivot,
         "cap_events_per_user_type": relational.cap_events_per_user_type,
         "distinct_users_per_day": relational.distinct_users_per_day,
@@ -307,6 +308,19 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
               ON p.user_id = s.user_id AND p.ts >= s.ts
+            ORDER BY event_id
+        """,
+        "purchase_day_views": """
+            SELECT p.event_id AS event_id, p.user_id AS user_id,
+                   strftime(p.ts, '%Y-%m-%d') AS day,
+                   CAST(v.n_views AS BIGINT) AS n_views
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                         count(*) AS n_views
+                  FROM events WHERE event_type = 'view'
+                  GROUP BY 1, 2) v
+              ON p.user_id = v.user_id
+             AND strftime(p.ts, '%Y-%m-%d') = v.day
             ORDER BY event_id
         """,
         "cap_events_per_user_type": """

@@ -578,3 +578,45 @@ def cap_events_per_user_type(sf_dir: str, cap: int = 5) -> "ray.data.Dataset":
                 .head(cap)[["event_id", "user_id", "event_type"]])
 
     return grouped(ds, "user_id", part).sort("event_id")
+
+
+def purchase_day_views(sf_dir: str) -> "ray.data.Dataset":
+    """COMPOSITE-KEY join: each purchase matched to the same user's view
+    count on the same day — shuffle_join on (user_id, day) with the view
+    side pre-aggregated (partial counts per batch, bucketed sum), so the
+    join input is one row per (user, day), never raw view events."""
+    from ray.data.aggregate import Sum
+
+    from mail_deduplicate_ray.functions.normalize import normalize_date
+    from mail_deduplicate_ray.stages.joins import shuffle_join
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "day": normalize_date(t["ts"])})
+
+    def view_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "view"))
+        t = pa.table({"user_id": t["user_id"],
+                      "day": normalize_date(t["ts"])})
+        g = t.group_by(["user_id", "day"]).aggregate([("day", "count")])
+        return pa.table({"user_id": g["user_id"], "day": g["day"],
+                         "n": pc.cast(g["day_count"], pa.int64())})
+
+    p = ev.map_batches(purchases, batch_format="pyarrow")
+    vp = ev.map_batches(view_partial, batch_format="pyarrow")
+    views = vp.groupby(["user_id", "day"]).aggregate(
+        Sum("n", alias_name="n_views")).map_batches(
+            lambda t: pa.table({"user_id": t["user_id"], "day": t["day"],
+                                "n_views": pc.cast(t["n_views"],
+                                                   pa.int64())}),
+            batch_format="pyarrow")
+    out = shuffle_join(p, views, ["user_id", "day"], ["user_id", "day"],
+                       how="inner")
+    return out.select_columns(["event_id", "user_id", "day",
+                               "n_views"]).sort("event_id")

@@ -99,11 +99,34 @@ def _tagged(ds: "ray.data.Dataset", shared: list[tuple[str, str]],
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _as_keys(k) -> list[str]:
+    return [k] if isinstance(k, str) else list(k)
+
+
+def _combined_buckets(t: pa.Table, keys: list[str],
+                      nbuckets: int) -> "np.ndarray":
+    """Deterministic int32 bucket over one or more key columns (matching
+    rows agree on every key, so any combine of per-column hashes
+    co-locates them; combining ALL keys avoids the skew of bucketing on
+    just the first)."""
+    import numpy as np
+
+    from mail_deduplicate_ray.stages.bucketing import hash_to_buckets
+
+    h = np.zeros(t.num_rows, dtype=np.uint64)
+    for k in keys:
+        hk = (hash_to_buckets(t[k].to_pylist(), 1 << 31)
+              .astype(np.uint64))
+        h = h * np.uint64(0x9E3779B97F4A7C15) + hk
+    return (h % np.uint64(nbuckets)).astype(np.int32)
+
+
 def shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
-                 left_key: str, right_key: str, how: str = "inner",
-                 nbuckets: int | None = None,
+                 left_key: "str | list[str]", right_key: "str | list[str]",
+                 how: str = "inner", nbuckets: int | None = None,
                  salt: int = 1) -> "ray.data.Dataset":
-    """Partitioned hash join of two Datasets on one key.
+    """Partitioned hash join of two Datasets on one key or a composite
+    key (pass parallel lists; output keeps the LEFT names).
 
     Both sides are tagged and projected onto the union schema (the
     missing side's columns become typed null arrays — Arrow null columns
@@ -129,35 +152,42 @@ def shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     if salt < 1:
         raise ValueError("salt must be >= 1")
     nbuckets = nbuckets or default_nbuckets()
+    lkeys, rkeys = _as_keys(left_key), _as_keys(right_key)
+    if len(lkeys) != len(rkeys):
+        raise ValueError("left/right key lists must have equal length")
     lsch, rsch = _pa_schema(left), _pa_schema(right)
-    if lsch.field(left_key).type != rsch.field(right_key).type:
-        raise ValueError(
-            f"join key type mismatch: {left_key}={lsch.field(left_key).type}"
-            f" vs {right_key}={rsch.field(right_key).type}")
-    lcols = [(n, lsch.field(n).type) for n in lsch.names if n != left_key]
-    rcols = [(n, rsch.field(n).type) for n in rsch.names if n != right_key]
+    for lk, rk in zip(lkeys, rkeys):
+        if lsch.field(lk).type != rsch.field(rk).type:
+            raise ValueError(
+                f"join key type mismatch: {lk}={lsch.field(lk).type}"
+                f" vs {rk}={rsch.field(rk).type}")
+    lcols = [(n, lsch.field(n).type) for n in lsch.names if n not in lkeys]
+    rcols = [(n, rsch.field(n).type) for n in rsch.names if n not in rkeys]
     overlap = ({n for n, _ in lcols} & {n for n, _ in rcols}) \
-        | ({left_key} & {n for n, _ in rcols})
+        | (set(lkeys) & {n for n, _ in rcols})
     if overlap:
         raise ValueError(f"non-key column collision: {sorted(overlap)}")
-    order = ([left_key] + [n for n, _ in lcols] + [n for n, _ in rcols]
+    order = (lkeys + [n for n, _ in lcols] + [n for n, _ in rcols]
              + [_SIDE_COL])
-    fields = [(left_key, lsch.field(left_key).type)] + lcols + rcols
-    lt = _tagged(left, [(left_key, left_key)], lcols, rcols, order, 0)
-    rt = _tagged(right, [(left_key, right_key)], rcols, lcols, order, 1)
+    fields = ([(k, lsch.field(k).type) for k in lkeys] + lcols + rcols)
+    lt = _tagged(left, list(zip(lkeys, lkeys)), lcols, rcols, order, 0)
+    rt = _tagged(right, list(zip(lkeys, rkeys)), rcols, lcols, order, 1)
     if salt == 1:
-        both = add_bucket(lt.union(rt), left_key, nbuckets)
+        def bucket_plain(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                BUCKET_COL,
+                pa.array(_combined_buckets(t, lkeys, nbuckets), pa.int32()))
+        both = lt.union(rt).map_batches(bucket_plain,
+                                        batch_format="pyarrow")
     else:
         def bucket_salted_left(t: pa.Table) -> pa.Table:
-            base = hash_to_buckets(t[left_key].to_pylist(),
-                                   nbuckets).astype(np.int64)
+            base = _combined_buckets(t, lkeys, nbuckets).astype(np.int64)
             s = np.arange(t.num_rows, dtype=np.int64) % salt
             return t.append_column(
                 BUCKET_COL, pa.array(base * salt + s, pa.int32()))
 
         def bucket_replicated_right(t: pa.Table) -> pa.Table:
-            base = hash_to_buckets(t[left_key].to_pylist(),
-                                   nbuckets).astype(np.int64)
+            base = _combined_buckets(t, lkeys, nbuckets).astype(np.int64)
             return pa.concat_tables([
                 t.append_column(BUCKET_COL,
                                 pa.array(base * salt + sv, pa.int32()))
@@ -184,26 +214,32 @@ def shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         # SQL join semantics: a NULL key never matches anything (pandas
         # merge would match NaN/NA to NA); null-key left rows drop on
         # inner / pass through unmatched on left
-        l_ok = l_tbl.filter(pc.is_valid(l_tbl[left_key]))
-        l_null = (l_tbl.filter(pc.is_null(l_tbl[left_key]))
-                  if how == "left" else None)
-        r_tbl = r_tbl.filter(pc.is_valid(r_tbl[left_key]))
+        def all_valid(tbl: pa.Table):
+            m = pc.is_valid(tbl[lkeys[0]])
+            for k in lkeys[1:]:
+                m = pc.and_(m, pc.is_valid(tbl[k]))
+            return m
 
-        lf = l_ok.select([left_key]).to_pandas(types_mapper=pd.ArrowDtype)
+        lv = all_valid(l_tbl)
+        l_ok = l_tbl.filter(lv)
+        l_null = (l_tbl.filter(pc.invert(lv)) if how == "left" else None)
+        r_tbl = r_tbl.filter(all_valid(r_tbl))
+
+        lf = l_ok.select(lkeys).to_pandas(types_mapper=pd.ArrowDtype)
         lf["__il"] = np.arange(len(lf), dtype=np.int64)
-        rf = r_tbl.select([left_key]).to_pandas(types_mapper=pd.ArrowDtype)
+        rf = r_tbl.select(lkeys).to_pandas(types_mapper=pd.ArrowDtype)
         rf["__ir"] = np.arange(len(rf), dtype=np.int64)
-        m = lf.merge(rf, on=left_key, how=how)
+        m = lf.merge(rf, on=lkeys, how=how)
         li = pa.array(m["__il"].to_numpy(dtype=np.int64), pa.int64())
         ri = pa.Array.from_pandas(m["__ir"], type=pa.int64())
-        cols = {left_key: l_ok[left_key].take(li)}
+        cols = {k: l_ok[k].take(li) for k in lkeys}
         for n, _ in lcols:
             cols[n] = l_ok[n].take(li)
         for n, _ in rcols:
             cols[n] = r_tbl[n].take(ri)
         out = pa.table({n: cols[n] for n, _ in fields})
         if l_null is not None and l_null.num_rows:
-            nul = {left_key: l_null[left_key]}
+            nul = {k: l_null[k] for k in lkeys}
             for n, _ in lcols:
                 nul[n] = l_null[n]
             for n, typ in rcols:

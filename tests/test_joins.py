@@ -302,3 +302,17 @@ def test_stratified_sample_null_lang_takes_else_rate():
             "text": ["x"] * len(ids)}), os.path.join(d, "documents.parquet"))
         got = docs_mod.stratified_sample_docs(d).to_pandas()
     assert len(got) == expected > 0
+
+
+def test_shuffle_join_composite_keys():
+    left = ray.data.from_arrow(pa.table({
+        "a": [1, 1, 2, None], "b": ["x", "y", "x", "x"],
+        "lv": [10, 11, 12, 13]}))
+    right = ray.data.from_arrow(pa.table({
+        "a": [1, 1, 2], "b": ["x", "z", "x"], "rv": [100, 101, 102]}))
+    inner = shuffle_join(left, right, ["a", "b"], ["a", "b"],
+                         nbuckets=2).to_pandas()
+    assert sorted(zip(inner["lv"], inner["rv"])) == [(10, 100), (12, 102)]
+    lj = shuffle_join(left, right, ["a", "b"], ["a", "b"], how="left",
+                      nbuckets=2).to_pandas().sort_values("lv")
+    assert lj["rv"].isna().tolist() == [False, True, False, True]
