@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": relational.user_event_pivot,
         "cap_events_per_user_type": relational.cap_events_per_user_type,
         "distinct_users_per_day": relational.distinct_users_per_day,
+        "approx_distinct_users": relational.approx_distinct_users,  # rows-only (HLL sketch, error-bound-tested)
         "top3_orders_per_customer": relational.top3_orders_per_customer,
         "user_cumulative_value": relational.user_cumulative_value,
         "order_price_quantiles": relational.order_price_quantiles,

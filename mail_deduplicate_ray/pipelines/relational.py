@@ -620,3 +620,32 @@ def purchase_day_views(sf_dir: str) -> "ray.data.Dataset":
                        how="inner")
     return out.select_columns(["event_id", "user_id", "day",
                                "n_views"]).sort("event_id")
+
+
+def approx_distinct_users(sf_dir: str, p: int = 12) -> "pa.Table":
+    """Approximate COUNT DISTINCT via HyperLogLog (functions/sketch.py):
+    each batch folds into a 2^p-byte register row, the driver merges the
+    tiny partials by elementwise max — NO shuffle at all, vs the
+    distinct-pair shuffle of the exact path (distinct_users_per_day).
+    Standard error ~1.6% at p=12; the sketch is mergeable, so retries
+    and any combine order give identical registers."""
+    import numpy as np
+
+    from mail_deduplicate_ray.functions import sketch
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        regs = sketch.hll_partial(vals, p=p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    merged = np.zeros(1 << p, np.uint8)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for buf in b["regs"].to_pylist():
+            merged = sketch.hll_merge(merged,
+                                      np.frombuffer(buf, np.uint8))
+    return pa.table({"n_users_approx":
+                     pa.array([sketch.hll_estimate(merged)], pa.int64())})

@@ -61,3 +61,30 @@ def test_decontaminate_docs_matches_oracle():
         assert (got[c].values == exp[c].astype(got[c].dtype).values).all(), c
     # eval docs never flag themselves
     assert not (got["doc_id"] % 97 == 0).any()
+
+
+def test_hll_approx_distinct_within_error_bound():
+    import duckdb as dk
+
+    from mail_deduplicate_ray.pipelines.relational import \
+        approx_distinct_users
+    est = approx_distinct_users(SF)["n_users_approx"][0].as_py()
+    exact = dk.connect().execute(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"read_parquet('{SF}/events.parquet')").fetchone()[0]
+    # p=12 -> sigma ~1.6%; small cardinalities hit the linear-counting
+    # branch and are near-exact
+    assert abs(est - exact) / max(exact, 1) < 0.05
+
+
+def test_hll_registers_independent_of_batching():
+    import numpy as np
+
+    from mail_deduplicate_ray.functions import sketch
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 2**60, 20000, dtype=np.uint64)
+    whole = sketch.hll_partial(vals)
+    merged = np.zeros(4096, np.uint8)
+    for chunk in np.array_split(vals, 13):
+        merged = sketch.hll_merge(merged, sketch.hll_partial(chunk))
+    assert (whole == merged).all()
