@@ -67,6 +67,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_events_per_user_type": relational.cap_events_per_user_type,
         "distinct_users_per_day": relational.distinct_users_per_day,
         "approx_distinct_users": relational.approx_distinct_users,  # rows-only (HLL sketch, error-bound-tested)
+        "purchase_and_error_users": relational.purchase_and_error_users,
+        "view_days_no_purchase": relational.view_days_no_purchase,
+        "nation_spend_rank": relational.nation_spend_rank,
+        "status_priority_rollup": relational.status_priority_rollup,
+        "user_event_sequence": relational.user_event_sequence,
+        "orders_above_customer_avg": relational.orders_above_customer_avg,
+        "order_price_median": relational.order_price_median,
+        "props_k_stats": relational.props_k_stats,
+        "priority_brand_revenue": relational.priority_brand_revenue,
+        "order_price_histogram": relational.order_price_histogram,
         "top3_orders_per_customer": relational.top3_orders_per_customer,
         "user_cumulative_value": relational.user_cumulative_value,
         "order_price_quantiles": relational.order_price_quantiles,
@@ -363,6 +373,94 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
             FROM events ORDER BY event_id
+        """,
+        "purchase_and_error_users": """
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'error'
+        """,
+        "view_days_no_purchase": """
+            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+            FROM events WHERE event_type = 'view'
+            EXCEPT
+            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "nation_spend_rank": """
+            SELECT n_name, c_custkey, total_cents, drank FROM (
+                SELECT n_name, c_custkey, total_cents,
+                       dense_rank() OVER (
+                           PARTITION BY n_name
+                           ORDER BY total_cents DESC) AS drank
+                FROM (SELECT n_name, c_custkey,
+                             CAST(sum(CAST(round(o_totalprice * 100)
+                                           AS BIGINT)) AS BIGINT)
+                                 AS total_cents
+                      FROM orders
+                      JOIN customer ON o_custkey = c_custkey
+                      JOIN nation ON c_nationkey = n_nationkey
+                      GROUP BY n_name, c_custkey))
+            WHERE drank <= 10 ORDER BY n_name, drank, c_custkey
+        """,
+        "status_priority_rollup": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "user_event_sequence": """
+            SELECT user_id,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "orders_above_customer_avg": """
+            SELECT o_orderkey, o_custkey, cents FROM (
+                SELECT o_orderkey, o_custkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            OVER (PARTITION BY o_custkey) AS BIGINT) AS s,
+                       count(*) OVER (PARTITION BY o_custkey) AS n
+                FROM orders)
+            WHERE cents * n > s ORDER BY o_orderkey
+        """,
+        "order_price_median": """
+            SELECT o_orderstatus,
+                   CAST(2 * quantile_cont(
+                       CAST(round(o_totalprice * 100) AS BIGINT), 0.5)
+                        AS BIGINT) AS med2x_cents
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "props_k_stats": """
+            SELECT event_type, count(k) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   min(k) AS min_k, max(k) AS max_k
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k') AS BIGINT)
+                             AS k
+                  FROM events)
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "priority_brand_revenue": """
+            SELECT o_orderpriority, p_brand,
+                   count(*) AS n_items,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN part ON l_partkey = p_partkey
+            GROUP BY o_orderpriority, p_brand
+            ORDER BY o_orderpriority, p_brand
+        """,
+        "order_price_histogram": """
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 5000000
+                       AS bin,
+                   count(*) AS n_orders
+            FROM orders GROUP BY bin ORDER BY bin
         """,
         "order_price_quantiles": """
             SELECT o_orderstatus,

@@ -649,3 +649,373 @@ def approx_distinct_users(sf_dir: str, p: int = 12) -> "pa.Table":
                                       np.frombuffer(buf, np.uint8))
     return pa.table({"n_users_approx":
                      pa.array([sketch.hll_estimate(merged)], pa.int64())})
+
+
+# --- set operations (stages/setops.py) ------------------------------------
+
+def _typed_users(sf_dir: str, event_type: str) -> "ray.data.Dataset":
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    return ds.map_batches(
+        lambda t, et=event_type: pa.table(
+            {"user_id": t.filter(pc.equal(t["event_type"], et))["user_id"]}),
+        batch_format="pyarrow")
+
+
+def purchase_and_error_users(sf_dir: str) -> "ray.data.Dataset":
+    """INTERSECT DISTINCT: users who both purchased and hit an error —
+    the driver-set algebra of the reference's duplicate-set bookkeeping
+    as one bucketed presence-bit shuffle (stages/setops.py)."""
+    from mail_deduplicate_ray.stages.setops import set_op
+
+    return set_op(_typed_users(sf_dir, "purchase"),
+                  _typed_users(sf_dir, "error"),
+                  "user_id", "intersect").sort("user_id")
+
+
+def view_days_no_purchase(sf_dir: str) -> "ray.data.Dataset":
+    """EXCEPT DISTINCT on a COMPOSITE key: (user, day) pairs with a view
+    but no purchase that day — the multi-column set-op path (bucket hash
+    combines all key columns, joins.py:_combined_buckets)."""
+    from mail_deduplicate_ray.functions.normalize import normalize_date
+    from mail_deduplicate_ray.stages.setops import set_op
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+
+    def typed(et: str):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], et))
+            return pa.table({"user_id": t["user_id"],
+                             "day": normalize_date(t["ts"])})
+        return f
+
+    views = ds.map_batches(typed("view"), batch_format="pyarrow")
+    buys = ds.map_batches(typed("purchase"), batch_format="pyarrow")
+    return set_op(views, buys, ["user_id", "day"],
+                  "except").sort(["user_id", "day"])
+
+
+def nation_spend_rank(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """DENSE_RANK within nation: top-k customer spend ranks per nation
+    (ties share a rank and all boundary ties are kept, so output is
+    parallelism-independent).  Plan: per-batch partial spend by custkey
+    -> groupby sum -> shuffle_join with customer->nation (nation is a
+    broadcast dim, customer is not) -> per-nation vectorized rank."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from mail_deduplicate_ray.stages.bucketing import grouped
+    from mail_deduplicate_ray.stages.joins import broadcast_join, shuffle_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+    cust_n = broadcast_join(cust, nation, "c_nationkey", "n_nationkey",
+                            how="inner").select_columns(
+                                ["c_custkey", "n_name"])
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = pa.table({"c_custkey": t["o_custkey"],
+                      "cents": _cents(t["o_totalprice"])})
+        g = t.group_by("c_custkey").aggregate([("cents", "sum")])
+        return pa.table({"c_custkey": g["c_custkey"],
+                         "cents": g["cents_sum"]})
+
+    totals = orders.map_batches(partial, batch_format="pyarrow").groupby(
+        "c_custkey").aggregate(Sum("cents", alias_name="total_cents"))
+    totals = totals.map_batches(
+        lambda t: pa.table({"c_custkey": t["c_custkey"],
+                            "total_cents": pc.cast(t["total_cents"],
+                                                   pa.int64())}),
+        batch_format="pyarrow")
+    joined = shuffle_join(totals, cust_n, "c_custkey", "c_custkey",
+                          how="inner")
+
+    def part(df):
+        df = df.copy()
+        df["drank"] = (df.groupby("n_name")["total_cents"]
+                       .rank(method="dense", ascending=False).astype("int64"))
+        df = df[df["drank"] <= k]
+        return df[["n_name", "c_custkey", "total_cents", "drank"]]
+
+    return grouped(joined, "n_name", part).sort(["n_name", "drank",
+                                                 "c_custkey"])
+
+
+def status_priority_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(status, priority): subtotal rows derived from the
+    finest-level aggregate, which is bounded by |status| x |priority|
+    regardless of corpus size — the only driver materialization is that
+    tiny table (scale-safe by cardinality, not by luck)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderstatus", "o_orderpriority",
+                                     "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderstatus": t["o_orderstatus"],
+                      "o_orderpriority": t["o_orderpriority"],
+                      "cents": _cents(t["o_totalprice"])})
+        g = t.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({"o_orderstatus": g["o_orderstatus"],
+                         "o_orderpriority": g["o_orderpriority"],
+                         "cents": g["cents_sum"],
+                         "n": pc.cast(g["cents_count"], pa.int64())})
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["o_orderstatus", "o_orderpriority"])
+            .aggregate(Sum("cents", alias_name="total_cents"),
+                       Sum("n", alias_name="n_orders"))
+            .to_pandas())
+    fine = fine[["o_orderstatus", "o_orderpriority", "n_orders",
+                 "total_cents"]]
+    lv1 = (fine.groupby("o_orderstatus", as_index=False)
+           [["n_orders", "total_cents"]].sum())
+    lv1["o_orderpriority"] = "ALL"
+    lv0 = pd.DataFrame({"o_orderstatus": ["ALL"], "o_orderpriority": ["ALL"],
+                        "n_orders": [fine["n_orders"].sum()],
+                        "total_cents": [fine["total_cents"].sum()]})
+    out = pd.concat([fine, lv1, lv0], ignore_index=True)
+    for c in ("n_orders", "total_cents"):
+        out[c] = out[c].astype("int64")
+    out = out.sort_values(["o_orderstatus", "o_orderpriority"])
+    from mail_deduplicate_ray.stages.bucketing import arrow_clean
+    return arrow_clean(out[["o_orderstatus", "o_orderpriority",
+                            "n_orders", "total_cents"]])
+
+
+def user_event_sequence(sf_dir: str) -> "ray.data.Dataset":
+    """Ordered STRING_AGG: each user's event-type initials concatenated
+    in (ts, event_id) order — the per-key ordered-reduce shape (same
+    partitioning contract as events_sessions: one user fits one
+    partition; the concat itself is a vectorized pandas groupby-agg)."""
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_id", "ts",
+                                     "event_type"])
+
+    def part(df):
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        df["c"] = df["event_type"].str[0]
+        out = (df.groupby("user_id", sort=False)["c"]
+               .agg("".join).reset_index())
+        out.columns = ["user_id", "seq"]
+        return out
+
+    return grouped(ds, "user_id", part).sort("user_id")
+
+
+def orders_above_customer_avg(sf_dir: str) -> "ray.data.Dataset":
+    """Correlated-aggregate filter: orders strictly above their
+    customer's average order value, integer-exact (cents * n > sum_cents
+    avoids float averages entirely).  Per-batch partials -> per-custkey
+    totals -> shuffle_join back onto the fact rows (the customer-side
+    totals are NOT broadcastable at scale)."""
+    from ray.data.aggregate import Sum
+
+    from mail_deduplicate_ray.stages.joins import shuffle_join
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey",
+                                         "o_totalprice"])
+
+    def cents_tbl(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "cents": _cents(t["o_totalprice"])})
+
+    fact = orders.map_batches(cents_tbl, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({"cust": g["o_custkey"], "s": g["cents_sum"],
+                         "n": pc.cast(g["cents_count"], pa.int64())})
+
+    totals = fact.map_batches(partial, batch_format="pyarrow").groupby(
+        "cust").aggregate(Sum("s", alias_name="sum_cents"),
+                          Sum("n", alias_name="n_orders"))
+    totals = totals.map_batches(
+        lambda t: pa.table({"cust": t["cust"],
+                            "sum_cents": pc.cast(t["sum_cents"], pa.int64()),
+                            "n_orders": pc.cast(t["n_orders"], pa.int64())}),
+        batch_format="pyarrow")
+
+    joined = shuffle_join(fact, totals, "o_custkey", "cust", how="inner")
+
+    def flt(t: pa.Table) -> pa.Table:
+        keep = pc.greater(pc.multiply(t["cents"], t["n_orders"]),
+                          t["sum_cents"])
+        t = t.filter(keep)
+        return t.select(["o_orderkey", "o_custkey", "cents"])
+
+    return joined.map_batches(flt, batch_format="pyarrow").sort("o_orderkey")
+
+
+def order_price_median(sf_dir: str) -> "ray.data.Dataset":
+    """Interpolated median (percentile_cont) per status, exactly: the
+    value-count-compressed scan yields the two middle order statistics
+    and reports lo+hi (= 2x the interpolated median), keeping the result
+    integer so the hash compare is bit-exact (float interpolation order
+    differs across engines)."""
+    import numpy as np
+    import pandas as pd
+
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderstatus", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderstatus": t["o_orderstatus"],
+                      "cents": _cents(t["o_totalprice"])})
+        g = t.group_by(["o_orderstatus", "cents"]).aggregate(
+            [("cents", "count")])
+        return pa.table({"o_orderstatus": g["o_orderstatus"],
+                         "cents": g["cents"],
+                         "n": pc.cast(g["cents_count"], pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def part(df):
+        rows = []
+        for status, g in df.groupby("o_orderstatus", sort=True):
+            vc = g.groupby("cents")["n"].sum().sort_index()
+            vals = vc.index.to_numpy()
+            cum = vc.to_numpy().cumsum()
+            total = int(cum[-1])
+            lo = int(vals[np.searchsorted(cum, (total - 1) // 2 + 1)])
+            hi = int(vals[np.searchsorted(cum, total // 2 + 1)])
+            rows.append((status, lo + hi))
+        out = pd.DataFrame(rows, columns=["o_orderstatus", "med2x_cents"])
+        out["med2x_cents"] = out["med2x_cents"].astype("int64")
+        return out
+
+    return grouped(partials, "o_orderstatus", part).sort("o_orderstatus")
+
+
+def props_k_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Semi-structured extraction: pull the integer ``k`` out of the JSON
+    ``props`` column with one vectorized RE2 pass (pc.extract_regex — no
+    per-row json.loads), then per-type sum/min/max via batch partials."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        t = pa.table({"event_type": t["event_type"], "k": k}).filter(
+            pc.is_valid(k))
+        g = t.group_by("event_type").aggregate(
+            [("k", "sum"), ("k", "min"), ("k", "max"), ("k", "count")])
+        return pa.table({"event_type": g["event_type"],
+                         "s": g["k_sum"], "mn": g["k_min"],
+                         "mx": g["k_max"],
+                         "n": pc.cast(g["k_count"], pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("s", alias_name="sum_k"),
+                      Min("mn", alias_name="min_k"),
+                      Max("mx", alias_name="max_k"),
+                      Sum("n", alias_name="n")))
+    return out.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "n": pc.cast(t["n"], pa.int64()),
+                            "sum_k": pc.cast(t["sum_k"], pa.int64()),
+                            "min_k": pc.cast(t["min_k"], pa.int64()),
+                            "max_k": pc.cast(t["max_k"], pa.int64())}),
+        batch_format="pyarrow").sort("event_type")
+
+
+def priority_brand_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """Chained joins: lineitem |><| orders (fact x fact shuffle on
+    orderkey) |><| part (second shuffle on partkey), revenue per
+    (priority, brand).  Each join input is pre-aggregated per batch to
+    its join key granularity so the shuffles move near-distinct keys."""
+    from ray.data.aggregate import Sum
+
+    from mail_deduplicate_ray.stages.joins import shuffle_join
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey",
+                                     "l_extendedprice"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": t["l_orderkey"],
+                      "l_partkey": t["l_partkey"],
+                      "cents": _cents(t["l_extendedprice"])})
+        g = t.group_by(["l_orderkey", "l_partkey"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "l_partkey": g["l_partkey"],
+                         "cents": g["cents_sum"],
+                         "n": pc.cast(g["cents_count"], pa.int64())})
+
+    li_p = li.map_batches(li_partial, batch_format="pyarrow")
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderpriority"])
+    with_prio = shuffle_join(li_p, orders, "l_orderkey", "o_orderkey",
+                             how="inner")
+
+    def mid_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderpriority", "l_partkey"]).aggregate(
+            [("cents", "sum"), ("n", "sum")])
+        return pa.table({"o_orderpriority": g["o_orderpriority"],
+                         "l_partkey": g["l_partkey"],
+                         "cents": g["cents_sum"], "n": g["n_sum"]})
+
+    mid = with_prio.map_batches(mid_partial, batch_format="pyarrow")
+    parts = read_parquet_clean(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey", "p_brand"])
+    with_brand = shuffle_join(mid, parts, "l_partkey", "p_partkey",
+                              how="inner")
+    out = with_brand.groupby(["o_orderpriority", "p_brand"]).aggregate(
+        Sum("n", alias_name="n_items"),
+        Sum("cents", alias_name="revenue_cents"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "p_brand": t["p_brand"],
+            "n_items": pc.cast(t["n_items"], pa.int64()),
+            "revenue_cents": pc.cast(t["revenue_cents"], pa.int64())}),
+        batch_format="pyarrow").sort(["o_orderpriority", "p_brand"])
+
+
+def order_price_histogram(sf_dir: str, width_cents: int = 5_000_000,
+                          ) -> "ray.data.Dataset":
+    """Fixed-width histogram of order value ($50k bins): binning is a
+    pure map, counting is partial-agg -> tiny groupby; no sort, no wide
+    shuffle (bin cardinality is bounded by the value range)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = pc.divide(_cents(t["o_totalprice"]),
+                      pa.scalar(width_cents, pa.int64()))
+        t = pa.table({"bin": pc.cast(b, pa.int64())})
+        g = t.group_by("bin").aggregate([("bin", "count")])
+        return pa.table({"bin": g["bin"],
+                         "n": pc.cast(g["bin_count"], pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("bin").aggregate(Sum("n", alias_name="n_orders")))
+    return out.map_batches(
+        lambda t: pa.table({"bin": t["bin"],
+                            "n_orders": pc.cast(t["n_orders"], pa.int64())}),
+        batch_format="pyarrow").sort("bin")
