@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_trigrams": docs.top_trigrams,
         "decontaminate_docs": docs.decontaminate_docs,
         "substring_pairs": docs.substring_pairs,
+        "scrub_docs": docs.scrub_docs,
+        "token_repetition_docs": docs.token_repetition_docs,
         # --- events / relational ---
         "events_window_5m": relational.events_window_5m,
         "events_per_day": relational.events_per_day,
@@ -89,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- clips flagship (non-SQL: synthesized audio corpus) ---
         "clips_flagship": clips.flagship_clusters,          # rows-only
         "clips_exact_dedup": clips.clips_exact_dedup,       # rows-only
+        "clips_audio_stats": clips.clips_audio_stats,       # rows-only (dBFS kernels unit-tested)
         "clips_signatures": clips.clips_signature_table,    # rows-only
     }
 
@@ -171,6 +174,27 @@ def oracle_sql() -> dict[str, str]:
               AND length(b.text) >= 64
               AND length(b.text) < length(a.text)
               AND position(b.text IN a.text) > 0
+        """,
+        # deny-list redaction: RE2 on both sides (pyarrow + DuckDB), so
+        # \b and alternation semantics agree exactly
+        "scrub_docs": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(
+                       text, '\\b(key|hash|value)\\b')) AS BIGINT)
+                       AS n_redacted,
+                   sha256(regexp_replace(
+                       text, '\\b(key|hash|value)\\b', '<X>', 'g'))
+                       AS scrubbed_sha
+            FROM documents
+        """,
+        "token_repetition_docs": """
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                        AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(
+                       regexp_split_to_array(trim(text), '\\s+')))
+                        AS BIGINT) AS n_distinct_tokens
+            FROM documents
         """,
         # Knuth multiplicative hash sampling (deterministic, per-stratum
         # rate); HUGEINT avoids the BIGINT product overflow

@@ -1,0 +1,78 @@
+"""Vectorized audio DSP kernels for per-clip analysis stages.
+
+Pure numpy over float32 PCM (what codecs.decode yields); every function
+operates on one clip but is internally vectorized, so the per-batch loop
+in the actor stage does O(samples) numpy work per iteration, not Python
+arithmetic.  Everything here is deterministic (no RNG, no wall clock).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# dBFS reference: full-scale amplitude 1.0 (codecs decode int16 / 32768)
+_EPS = 1e-12
+
+
+def rms_dbfs(pcm: np.ndarray) -> float:
+    """Root-mean-square level in dB relative to full scale (amplitude
+    1.0).  A full-scale sine is ~-3.01 dBFS; silence floors at -240."""
+    if len(pcm) == 0:
+        return -240.0
+    rms = float(np.sqrt(np.mean(np.square(pcm, dtype=np.float64))))
+    return float(max(20.0 * np.log10(rms + _EPS), -240.0))
+
+
+def peak_dbfs(pcm: np.ndarray) -> float:
+    if len(pcm) == 0:
+        return -240.0
+    peak = float(np.max(np.abs(pcm)))
+    return float(max(20.0 * np.log10(peak + _EPS), -240.0))
+
+
+def zero_crossings(pcm: np.ndarray) -> int:
+    """Count of sign changes (zero samples attach to the previous sign —
+    one crossing per actual transition, the np.signbit convention)."""
+    if len(pcm) < 2:
+        return 0
+    s = np.signbit(pcm)
+    return int(np.count_nonzero(s[1:] != s[:-1]))
+
+
+def resample_linear(pcm: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
+    """Linear-interpolation resampler (the dependency-free scale path; a
+    polyphase FIR would need scipy, which is out of sandbox).  Adequate
+    for feature extraction on band-limited speech-like content: >=30 dB
+    SNR on signals below ~sr_to/4 (tested); NOT anti-aliased, callers
+    downsampling wide-band content should low-pass first."""
+    if sr_from <= 0 or sr_to <= 0:
+        raise ValueError("sample rates must be positive")
+    if sr_from == sr_to or len(pcm) == 0:
+        return pcm.astype(np.float32, copy=False)
+    n_out = max(int(round(len(pcm) * sr_to / sr_from)), 1)
+    # exact rate-ratio grid t[i] = i * sr_from/sr_to (an endpoint-aligned
+    # grid has step (len-1)/(n_out-1) != ratio -> cumulative phase drift)
+    ti = np.minimum(np.arange(n_out, dtype=np.float64) * (sr_from / sr_to),
+                    len(pcm) - 1)
+    return np.interp(ti, np.arange(len(pcm)), pcm).astype(np.float32)
+
+
+def trim_silence(pcm: np.ndarray, threshold_dbfs: float = -40.0,
+                 frame: int = 256) -> tuple[int, int]:
+    """Leading/trailing silence bounds: (start, stop) sample indices of
+    the region whose frames exceed ``threshold_dbfs`` RMS.  Frame-level
+    energy (vectorized reshape) — the energy-gate VAD baseline.  Returns
+    (0, 0) for an all-silent clip."""
+    if len(pcm) == 0:
+        return (0, 0)
+    n_frames = -(-len(pcm) // frame)
+    padded = np.zeros(n_frames * frame, dtype=np.float64)
+    padded[:len(pcm)] = pcm
+    energy = np.sqrt(np.mean(padded.reshape(n_frames, frame) ** 2, axis=1))
+    thresh = 10.0 ** (threshold_dbfs / 20.0)
+    live = np.flatnonzero(energy > thresh)
+    if len(live) == 0:
+        return (0, 0)
+    start = int(live[0]) * frame
+    stop = min((int(live[-1]) + 1) * frame, len(pcm))
+    return (start, stop)

@@ -102,3 +102,22 @@ def clips_signature_table(sf_dir: str) -> "ray.data.Dataset":
     sigs = neardup.clip_signatures(ds, DedupConfig())
     return sigs.select_columns(["clip_id", "exact_key", "rejected",
                                 "audio_fp", "set_size"])
+
+
+def clips_audio_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-clip loudness/activity analysis (rows-only query): full-PCM
+    decode in an actor pool -> integer milli-dB RMS/peak, zero-crossing
+    count, energy-gate active-region length.  Small batch_size: this
+    stage holds FULL decoded clips, unlike the signature path's FFT
+    prefix."""
+    from mail_deduplicate_ray.stages import bucketing
+    from mail_deduplicate_ray.stages.audio_stats import AudioStatsStage
+
+    ds = read_clips(sf_dir)
+    _, hi = bucketing.pool_size()
+    out = ds.map_batches(
+        AudioStatsStage, batch_format="pyarrow", batch_size=128,
+        concurrency=(max(1, hi // 2), max(1, hi - 1)), num_cpus=1)
+    return out.select_columns(["clip_id", "audio_ok", "n_samples",
+                               "rms_mdb", "peak_mdb", "zero_crossings",
+                               "active_samples"])

@@ -700,3 +700,56 @@ def decontaminate_docs(sf_dir: str, threshold_pct: int = 80,
             .map_batches(score, batch_format="pyarrow")
             .sort(["doc_id", "eval_id"]))
 
+
+
+SCRUB_PATTERN = r"\b(key|hash|value)\b"  # deny-list, shared with the oracle
+
+
+def scrub_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Deny-list redaction — the PII-scrub shape (emails/URLs/IDs in a
+    real corpus; a token deny-list here since the synthetic text has no
+    PII).  One vectorized RE2 replace + one count per batch; the scrubbed
+    text leaves the stage only as its sha256, so no payload re-shuffles."""
+
+    def f(t: pa.Table) -> pa.Table:
+        scrubbed = pc.replace_substring_regex(t["text"], SCRUB_PATTERN,
+                                              replacement="<X>")
+        nred = pc.cast(pc.count_substring_regex(t["text"], SCRUB_PATTERN),
+                       pa.int64())
+        t2 = pa.table({"doc_id": t["doc_id"], "n_redacted": nred,
+                       "scrubbed": scrubbed})
+        return _sha256_col(t2, "scrubbed", "scrubbed_sha").select(
+            ["doc_id", "n_redacted", "scrubbed_sha"])
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def token_repetition_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Repetition-quality signal (the Gopher-style duplicate-token
+    fraction): per-doc total vs distinct whitespace tokens.  The token
+    stream is exploded ONCE per batch (list offsets -> flat array +
+    repeated doc ids) and reduced with a vectorized pandas groupby —
+    per-doc Python never touches token strings."""
+    import numpy as np
+    import pandas as pd
+
+    from mail_deduplicate_ray.stages.bucketing import arrow_clean
+
+    def f(t: pa.Table) -> pa.Table:
+        la = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), r"\s+").combine_chunks()
+        lens = pc.list_value_length(la).to_numpy(zero_copy_only=False)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "doc_id": np.repeat(doc_ids, lens),
+            "tok": la.flatten().to_numpy(zero_copy_only=False)})
+        g = (df.groupby("doc_id", sort=False)["tok"]
+             .agg(n_tokens="size", n_distinct_tokens="nunique")
+             .reset_index())
+        for c in ("n_tokens", "n_distinct_tokens"):
+            g[c] = g[c].astype("int64")
+        return arrow_clean(g)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")

@@ -1,0 +1,97 @@
+"""Audio DSP kernels (functions/audio_dsp.py) + the AudioStatsStage."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mail_deduplicate_ray import codecs
+from mail_deduplicate_ray.functions import audio_dsp
+from mail_deduplicate_ray.stages.audio_stats import AudioStatsStage
+
+
+def _sine(freq=440.0, sr=16000, dur=0.5, amp=1.0):
+    t = np.arange(int(sr * dur)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+class TestKernels:
+    def test_rms_full_scale_sine(self):
+        # RMS of a full-scale sine is 1/sqrt(2) = -3.0103 dBFS
+        assert audio_dsp.rms_dbfs(_sine()) == pytest.approx(-3.0103, abs=0.02)
+
+    def test_rms_scales_with_amplitude(self):
+        # halving amplitude drops RMS by exactly 6.02 dB
+        d = (audio_dsp.rms_dbfs(_sine(amp=1.0))
+             - audio_dsp.rms_dbfs(_sine(amp=0.5)))
+        assert d == pytest.approx(6.0206, abs=0.01)
+
+    def test_peak_and_empty(self):
+        assert audio_dsp.peak_dbfs(_sine(amp=0.5)) == pytest.approx(
+            -6.0206, abs=0.01)
+        assert audio_dsp.rms_dbfs(np.array([], np.float32)) == -240.0
+        assert audio_dsp.peak_dbfs(np.zeros(10, np.float32)) == -240.0
+
+    def test_zero_crossings_counts_transitions(self):
+        # f Hz over d seconds crosses zero ~2*f*d times
+        zc = audio_dsp.zero_crossings(_sine(freq=100, sr=16000, dur=1.0))
+        assert abs(zc - 200) <= 1
+        assert audio_dsp.zero_crossings(np.ones(100, np.float32)) == 0
+
+    def test_resample_preserves_band_limited_signal(self):
+        # 300 Hz tone, 16 kHz -> 8 kHz: linear interp keeps >=30 dB SNR
+        x = _sine(freq=300, sr=16000, dur=0.25)
+        y = audio_dsp.resample_linear(x, 16000, 8000)
+        ref = _sine(freq=300, sr=8000, dur=0.25)
+        n = min(len(y), len(ref))
+        err = y[:n] - ref[:n]
+        snr = 10 * np.log10(np.mean(ref[:n] ** 2) / np.mean(err ** 2))
+        assert snr >= 30.0
+        assert len(y) == pytest.approx(len(x) / 2, abs=2)
+
+    def test_resample_identity_and_validation(self):
+        x = _sine()
+        assert audio_dsp.resample_linear(x, 16000, 16000) is x
+        with pytest.raises(ValueError):
+            audio_dsp.resample_linear(x, 0, 8000)
+
+    def test_trim_silence_bounds(self):
+        sr = 16000
+        pad = np.zeros(sr // 4, np.float32)
+        x = np.concatenate([pad, _sine(sr=sr, dur=0.25), pad])
+        lo, hi = audio_dsp.trim_silence(x, threshold_dbfs=-40.0)
+        assert abs(lo - len(pad)) <= 256
+        assert abs(hi - (len(pad) + sr // 4)) <= 256
+        assert audio_dsp.trim_silence(np.zeros(4096, np.float32)) == (0, 0)
+
+
+class TestAudioStatsStage:
+    def _batch(self, pcms, srs, codec="pcm_s16le"):
+        payloads = [codecs.encode(p, sr, codec) for p, sr in zip(pcms, srs)]
+        return pa.table({
+            "clip_id": [f"c{i}" for i in range(len(pcms))],
+            "bytes": pa.array(payloads, pa.binary()),
+            "codec": [codec] * len(pcms)})
+
+    def test_stage_stats_match_kernels(self):
+        x = _sine(amp=0.5)
+        out = AudioStatsStage()(self._batch([x], [16000]))
+        row = out.to_pylist()[0]
+        assert row["audio_ok"]
+        assert row["n_samples"] == len(x)
+        # encode/decode quantizes to int16: allow 10 milli-dB
+        assert abs(row["rms_mdb"] - round(
+            audio_dsp.rms_dbfs(x) * 1000)) <= 10
+        assert abs(row["zero_crossings"]
+                   - audio_dsp.zero_crossings(x)) <= 2
+        assert row["active_samples"] >= len(x) - 512
+        assert "bytes" not in out.column_names
+
+    def test_stage_malformed_payload_flagged_not_raised(self):
+        t = pa.table({"clip_id": ["a", "b"],
+                      "bytes": pa.array([b"notawav", None], pa.binary()),
+                      "codec": ["pcm_s16le", "pcm_s16le"]})
+        out = AudioStatsStage()(t).to_pylist()
+        assert [r["audio_ok"] for r in out] == [False, False]
+        assert [r["rms_mdb"] for r in out] == [-240_000, -240_000]
