@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_orders_semi": relational.priority_orders_semi,
         "purchase_after_signup": relational.purchase_after_signup,
         "purchase_day_views": relational.purchase_day_views,
+        "user_day_purchase_error_full": relational.user_day_purchase_error_full,
         "user_event_pivot": relational.user_event_pivot,
         "cap_events_per_user_type": relational.cap_events_per_user_type,
         "distinct_users_per_day": relational.distinct_users_per_day,
@@ -81,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_histogram": relational.order_price_histogram,
         "top3_orders_per_customer": relational.top3_orders_per_customer,
         "user_cumulative_value": relational.user_cumulative_value,
+        "user_max_event_gap": relational.user_max_event_gap,
         "order_price_quantiles": relational.order_price_quantiles,
         # --- similarity search ---
         "ann_bruteforce_top10": ann.ann_bruteforce_topk,
@@ -358,6 +360,23 @@ def oracle_sql() -> dict[str, str]:
              AND strftime(p.ts, '%Y-%m-%d') = v.day
             ORDER BY event_id
         """,
+        "user_day_purchase_error_full": """
+            SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+                   COALESCE(p.day, e.day) AS day,
+                   COALESCE(p.n, 0) AS n_purchases,
+                   COALESCE(e.n, 0) AS n_errors
+            FROM (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                         count(*) AS n
+                  FROM events WHERE event_type = 'purchase'
+                  GROUP BY 1, 2) p
+            FULL OUTER JOIN
+                 (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                         count(*) AS n
+                  FROM events WHERE event_type = 'error'
+                  GROUP BY 1, 2) e
+              ON p.user_id = e.user_id AND p.day = e.day
+            ORDER BY user_id, day
+        """,
         "cap_events_per_user_type": """
             SELECT event_id, user_id, event_type FROM (
                 SELECT event_id, user_id, event_type, row_number() OVER (
@@ -485,6 +504,16 @@ def oracle_sql() -> dict[str, str]:
                        AS bin,
                    count(*) AS n_orders
             FROM orders GROUP BY bin ORDER BY bin
+        """,
+        "user_max_event_gap": """
+            SELECT user_id, count(g) AS n_gaps,
+                   CAST(COALESCE(max(g), 0) AS BIGINT) AS max_gap_us
+            FROM (SELECT user_id,
+                         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                             PARTITION BY user_id
+                             ORDER BY ts, event_id) AS g
+                  FROM events)
+            GROUP BY user_id ORDER BY user_id
         """,
         "order_price_quantiles": """
             SELECT o_orderstatus,

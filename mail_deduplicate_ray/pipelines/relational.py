@@ -1019,3 +1019,86 @@ def order_price_histogram(sf_dir: str, width_cents: int = 5_000_000,
         lambda t: pa.table({"bin": t["bin"],
                             "n_orders": pc.cast(t["n_orders"], pa.int64())}),
         batch_format="pyarrow").sort("bin")
+
+
+def user_day_purchase_error_full(sf_dir: str) -> "ray.data.Dataset":
+    """FULL OUTER composite-key join: per (user, day), purchase count vs
+    error count, keeping days where only one side has activity (the
+    unmatched side 0-filled).  Both inputs are pre-aggregated per batch,
+    so the full-outer shuffle moves one row per (batch, user, day)."""
+    from ray.data.aggregate import Sum
+
+    from mail_deduplicate_ray.functions.normalize import normalize_date
+    from mail_deduplicate_ray.stages.joins import shuffle_join
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+
+    def daily(et: str, out_col: str):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], et))
+            t = pa.table({"user_id": t["user_id"],
+                          "day": normalize_date(t["ts"])})
+            g = t.group_by(["user_id", "day"]).aggregate([("day", "count")])
+            return pa.table({"user_id": g["user_id"], "day": g["day"],
+                             out_col: pc.cast(g["day_count"], pa.int64())})
+        return f
+
+    def final(ds, out_col):
+        return ds.groupby(["user_id", "day"]).aggregate(
+            Sum(out_col, alias_name=out_col)).map_batches(
+                lambda t: pa.table({
+                    "user_id": t["user_id"], "day": t["day"],
+                    out_col: pc.cast(t[out_col], pa.int64())}),
+                batch_format="pyarrow")
+
+    p = final(ev.map_batches(daily("purchase", "n_purchases"),
+                             batch_format="pyarrow"), "n_purchases")
+    e0 = final(ev.map_batches(daily("error", "n_err"),
+                              batch_format="pyarrow"), "n_err")
+    # right side must not reuse the left key names (shuffle_join contract)
+    e = e0.map_batches(
+        lambda t: pa.table({"r_user": t["user_id"], "r_day": t["day"],
+                            "n_errors": t["n_err"]}),
+        batch_format="pyarrow")
+    out = shuffle_join(p, e, ["user_id", "day"], ["r_user", "r_day"],
+                       how="full")
+
+    def fill(t: pa.Table) -> pa.Table:
+        z = pa.scalar(0, pa.int64())
+        return pa.table({
+            "user_id": t["user_id"], "day": t["day"],
+            "n_purchases": pc.coalesce(t["n_purchases"], z),
+            "n_errors": pc.coalesce(t["n_errors"], z)})
+
+    return out.map_batches(fill, batch_format="pyarrow").sort(
+        ["user_id", "day"])
+
+
+def user_max_event_gap(sf_dir: str) -> "ray.data.Dataset":
+    """LAG window: the largest gap (microseconds) between a user's
+    consecutive events in (ts, event_id) order.  The max-of-diffs
+    genuinely needs the lag ordering (unlike a sum of gaps, which
+    telescopes to max-min); one bucketed shuffle + vectorized
+    sort/diff/max per partition."""
+    import numpy as np
+    import pandas as pd
+
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_id", "ts"])
+
+    def part(df):
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        us = df["ts"].astype("int64")
+        gap = us.groupby(df["user_id"]).diff()
+        out = (pd.DataFrame({"user_id": df["user_id"], "gap": gap})
+               .groupby("user_id", sort=False)["gap"]
+               .agg(n_gaps="count", max_gap_us="max").reset_index())
+        out["n_gaps"] = out["n_gaps"].astype("int64")
+        # single-event users have no gap; report 0 (oracle COALESCEs)
+        out["max_gap_us"] = out["max_gap_us"].fillna(0).astype("int64")
+        return out
+
+    return grouped(ds, "user_id", part).sort("user_id")

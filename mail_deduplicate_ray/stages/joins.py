@@ -131,8 +131,11 @@ def shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     Both sides are tagged and projected onto the union schema (the
     missing side's columns become typed null arrays — Arrow null columns
     are O(1) in the shuffle), bucketed on the key, and merged per bucket
-    with pandas.  ``how`` ∈ {inner, left}.  Output key column keeps the
-    LEFT name; non-key column names must be disjoint across sides.
+    with pandas.  ``how`` ∈ {inner, left, full}.  Output key column keeps
+    the LEFT name; non-key column names must be disjoint across sides.
+    SQL null semantics throughout: a NULL key matches nothing, but
+    null-key rows pass through unmatched on left (and on both sides for
+    full outer).
 
     ``salt > 1`` is the HOT-KEY escape hatch: left rows spread across
     ``salt`` sub-buckets (round-robin within each batch — assignment is
@@ -147,10 +150,13 @@ def shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
     from mail_deduplicate_ray.stages.bucketing import hash_to_buckets
 
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "full"):
         raise ValueError(f"unsupported how={how!r}")
     if salt < 1:
         raise ValueError("salt must be >= 1")
+    if how == "full" and salt != 1:
+        # replicated right rows would emit one unmatched copy per salt
+        raise ValueError("full outer join cannot be salted")
     nbuckets = nbuckets or default_nbuckets()
     lkeys, rkeys = _as_keys(left_key), _as_keys(right_key)
     if len(lkeys) != len(rkeys):
@@ -222,30 +228,50 @@ def shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
         lv = all_valid(l_tbl)
         l_ok = l_tbl.filter(lv)
-        l_null = (l_tbl.filter(pc.invert(lv)) if how == "left" else None)
-        r_tbl = r_tbl.filter(all_valid(r_tbl))
+        l_null = (l_tbl.filter(pc.invert(lv))
+                  if how in ("left", "full") else None)
+        rv = all_valid(r_tbl)
+        r_null = r_tbl.filter(pc.invert(rv)) if how == "full" else None
+        r_tbl = r_tbl.filter(rv)
 
         lf = l_ok.select(lkeys).to_pandas(types_mapper=pd.ArrowDtype)
         lf["__il"] = np.arange(len(lf), dtype=np.int64)
         rf = r_tbl.select(lkeys).to_pandas(types_mapper=pd.ArrowDtype)
         rf["__ir"] = np.arange(len(rf), dtype=np.int64)
-        m = lf.merge(rf, on=lkeys, how=how)
-        li = pa.array(m["__il"].to_numpy(dtype=np.int64), pa.int64())
+        m = lf.merge(rf, on=lkeys,
+                     how="outer" if how == "full" else how)
+        li = pa.Array.from_pandas(m["__il"], type=pa.int64())
         ri = pa.Array.from_pandas(m["__ir"], type=pa.int64())
-        cols = {k: l_ok[k].take(li) for k in lkeys}
+        if how == "full":
+            # right-only rows have a null left index: take() would null
+            # the keys, so rebuild them from the merged (exact ArrowDtype)
+            # key frame instead
+            cols = {k: pa.Array.from_pandas(m[k], type=lsch.field(k).type)
+                    for k in lkeys}
+        else:
+            cols = {k: l_ok[k].take(li) for k in lkeys}
         for n, _ in lcols:
             cols[n] = l_ok[n].take(li)
         for n, _ in rcols:
             cols[n] = r_tbl[n].take(ri)
         out = pa.table({n: cols[n] for n, _ in fields})
+        passthrough = []
         if l_null is not None and l_null.num_rows:
             nul = {k: l_null[k] for k in lkeys}
             for n, _ in lcols:
                 nul[n] = l_null[n]
             for n, typ in rcols:
                 nul[n] = pa.nulls(l_null.num_rows, typ)
-            out = pa.concat_tables(
-                [out, pa.table({n: nul[n] for n, _ in fields})])
+            passthrough.append(pa.table({n: nul[n] for n, _ in fields}))
+        if r_null is not None and r_null.num_rows:
+            nul = {k: r_null[k] for k in lkeys}
+            for n, typ in lcols:
+                nul[n] = pa.nulls(r_null.num_rows, typ)
+            for n, _ in rcols:
+                nul[n] = r_null[n]
+            passthrough.append(pa.table({n: nul[n] for n, _ in fields}))
+        if passthrough:
+            out = pa.concat_tables([out, *passthrough])
         return out
 
     return both.groupby(BUCKET_COL).map_groups(part, batch_format="pyarrow")

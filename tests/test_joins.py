@@ -316,3 +316,52 @@ def test_shuffle_join_composite_keys():
     lj = shuffle_join(left, right, ["a", "b"], ["a", "b"], how="left",
                       nbuckets=2).to_pandas().sort_values("lv")
     assert lj["rv"].isna().tolist() == [False, True, False, True]
+
+
+def test_shuffle_join_full_outer():
+    out = shuffle_join(_left(), _right_ds(), "k", "rk", how="full",
+                       nbuckets=3).to_pandas()
+    # matched: k=1 (1 row), k=2 (2 lvals x 2 rvals = 4); left-only: 3, 5;
+    # right-only: 4
+    assert len(out) == 8
+    assert out.loc[out.k.isin([3, 5]), "rval"].isna().all()
+    r_only = out[out.k == 4]
+    assert len(r_only) == 1 and r_only["lval"].isna().all()
+    assert r_only["rval"].tolist() == [40]
+
+
+def test_shuffle_join_full_outer_null_keys_pass_through():
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, None], pa.int64()), "lval": ["a", "b"]}))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([None, 2], pa.int64()), "rval": [10, 20]}))
+    out = shuffle_join(left, right, "k", "rk", how="full",
+                       nbuckets=2).to_pandas()
+    # NULL keys match nothing but pass through unmatched on BOTH sides
+    assert len(out) == 4
+    assert out["lval"].notna().sum() == 2
+    assert out["rval"].notna().sum() == 2
+    assert (out["lval"].notna() & out["rval"].notna()).sum() == 0
+
+
+def test_shuffle_join_full_outer_matches_duckdb():
+    con = duckdb.connect()
+    ldf = _left().to_pandas()
+    rdf = _right_ds().to_pandas()
+    con.register("l", ldf)
+    con.register("r", rdf)
+    exp = con.execute("""
+        SELECT COALESCE(l.k, r.rk) AS k, lval, rval
+        FROM l FULL OUTER JOIN r ON l.k = r.rk
+        ORDER BY k, lval, rval
+    """).df()
+    got = (shuffle_join(_left(), _right_ds(), "k", "rk", how="full",
+                        nbuckets=3).to_pandas()
+           .sort_values(["k", "lval", "rval"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["k", "lval", "rval"]],
+                                  exp, check_dtype=False)
+
+
+def test_shuffle_join_full_salted_rejected():
+    with pytest.raises(ValueError, match="salted"):
+        shuffle_join(_left(), _right_ds(), "k", "rk", how="full", salt=2)
