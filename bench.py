@@ -34,6 +34,12 @@ BENCH_QUERIES = [
     "revenue_by_nation", "part_brand_revenue", "purchase_after_signup",
     "top3_orders_per_customer", "order_price_quantiles",
     "simhash_neardup_pairs",
+    # set ops / rollup / rank / full outer / scrubbing / audio stats
+    "purchase_and_error_users", "nation_spend_rank",
+    "orders_above_customer_avg", "priority_brand_revenue",
+    "user_day_purchase_error_full", "user_event_sequence",
+    "user_max_event_gap", "scrub_docs", "token_repetition_docs",
+    "clips_audio_stats",
 ]
 
 
@@ -69,6 +75,8 @@ def run_bench() -> dict:
     n_base = N_BASE or 4 * _n_docs(SF_DIR)
     path = clips.clips_path(SF_DIR, n_base)
     n_clips = _n_rows(path)
+    if not os.environ.get("MDR_BENCH_ONLY_FLAGSHIP"):
+        clips.clips_path(SF_DIR)  # 1x corpus for the clips_* side queries
 
     t0 = time.time()
     res = clips.flagship(SF_DIR, n_base=n_base)
