@@ -24,13 +24,38 @@ def _cents(col) -> pa.Array:
                             round_mode="half_towards_infinity"), pa.int64())
 
 
+def _read(sf_dir: str, table: str, columns: list[str]) -> "ray.data.Dataset":
+    """Size-aware scan for the relational tables: these stages do cheap
+    vectorized per-row work, so per-task scheduling — not compute — is
+    the cost floor, and Ray's default parallelism (2x CPUs) shreds a
+    10 MB file into hundreds of sub-1 MB blocks (measured 2-4x wall-time
+    overhead on the join chains at sf0.1).  Block count = max(bucket
+    count, size/128 MB): small inputs get one block per shuffle bucket
+    (native groupby parallelism follows INPUT block count — a 1-block
+    input makes Ray's aggregate ~5x slower than 8 blocks, measured),
+    while a 1 TB table still yields ~8k streaming blocks.  Text
+    pipelines (docs.py) keep Ray's default split — their compute per
+    byte is high enough to want full CPU fan-out."""
+    import os as _os
+
+    from mail_deduplicate_ray.stages.bucketing import default_nbuckets
+
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        size = _os.path.getsize(path)
+    except OSError:
+        return read_parquet_clean(path, columns=columns)
+    blocks = max(default_nbuckets(), -(-size // (128 << 20)))
+    return read_parquet_clean(path, columns=columns,
+                              override_num_blocks=blocks)
+
+
 def events_window_5m(sf_dir: str) -> "ray.data.Dataset":
     """Tumbling 5-minute window per user: partial-aggregate inside
     map_batches (one row per (user, window) per batch) then a tiny final
     groupby — the streaming-window pattern from SURVEY.md §2.9 re-expressed
     batch-first."""
-    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
-                               columns=["user_id", "ts"])
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
 
     def partial(t: pa.Table) -> pa.Table:
         win = pc.divide(pc.cast(t["ts"], pa.int64()), _US_PER_5MIN)
@@ -54,8 +79,7 @@ def events_window_5m(sf_dir: str) -> "ray.data.Dataset":
 def keep_oldest_per_user(sf_dir: str) -> "ray.data.Dataset":
     """select-oldest (X2) over each user's events: rows with ts == group
     min, ties kept (ref: strategy.py:72-83)."""
-    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
-                               columns=["user_id", "event_id", "ts"])
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
 
     def per_group(g: pa.Table) -> pa.Table:
         mn = pc.min(g["ts"])
@@ -112,8 +136,7 @@ def events_sessions(sf_dir: str, gap_s: int = 1800) -> "ray.data.Dataset":
     (the streaming-shaped pattern from SURVEY.md §2.9: ordered, partitioned
     log + per-group windowing; ordering assumption: ts within one user fits
     one group).  Output: one row per session with integer-exact bounds."""
-    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
-                               columns=["user_id", "event_id", "ts"])
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
 
     def per_user(g):
         import pandas as pd
@@ -144,7 +167,7 @@ def events_per_day(sf_dir: str) -> "ray.data.Dataset":
 
     from mail_deduplicate_ray.functions.normalize import normalize_date
 
-    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts"])
+    ds = _read(sf_dir, "events", ["ts"])
     days = ds.map_batches(
         lambda t: pa.table({"day": normalize_date(t["ts"])}),
         batch_format="pyarrow")
@@ -159,8 +182,7 @@ def orders_by_status(sf_dir: str) -> "ray.data.Dataset":
     """Native Ray aggregates (Sum/Min/Max) over integer cents."""
     from ray.data.aggregate import Count, Max, Min, Sum
 
-    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
-                               columns=["o_orderstatus", "o_totalprice"])
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
     cents = ds.map_batches(
         lambda t: pa.table({
             "o_orderstatus": t["o_orderstatus"],
@@ -185,8 +207,7 @@ def orders_by_status(sf_dir: str) -> "ray.data.Dataset":
 
 def top_spenders(sf_dir: str, k: int = 25) -> "ray.data.Dataset":
     """Global top-k (sort + limit): customers by total order cents."""
-    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
-                               columns=["o_custkey", "o_totalprice"])
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0),
@@ -236,14 +257,12 @@ def revenue_by_nation(sf_dir: str) -> "ray.data.Dataset":
     # driver-side read of a fixed-cardinality dimension table (25 rows)
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"])
-    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
-                              columns=["c_custkey", "c_nationkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     cust_n = broadcast_join(cust, nation, "c_nationkey", "n_nationkey",
                             how="inner").select_columns(
                                 ["c_custkey", "n_name"])
 
-    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
-                                columns=["o_custkey", "o_totalprice"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
         t = pa.table({"c_custkey": t["o_custkey"],
@@ -276,8 +295,7 @@ def part_brand_revenue(sf_dir: str) -> "ray.data.Dataset":
 
     from mail_deduplicate_ray.stages.joins import shuffle_join
 
-    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
-                            columns=["l_partkey", "l_extendedprice"])
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
 
     def partial(t: pa.Table) -> pa.Table:
         t = pa.table({"p_partkey": t["l_partkey"],
@@ -289,8 +307,7 @@ def part_brand_revenue(sf_dir: str) -> "ray.data.Dataset":
                          "n": pc.cast(g["cents_count"], pa.int64())})
 
     partials = li.map_batches(partial, batch_format="pyarrow")
-    parts = read_parquet_clean(f"{sf_dir}/part.parquet",
-                               columns=["p_partkey", "p_brand"])
+    parts = _read(sf_dir, "part", ["p_partkey", "p_brand"])
     joined = shuffle_join(partials, parts, "p_partkey", "p_partkey",
                           how="inner")
     out = joined.groupby("p_brand").aggregate(
@@ -310,8 +327,7 @@ def customers_without_orders(sf_dir: str, min_price: float = 300_000.0,
     Only DISTINCT qualifying order custkeys enter the shuffle."""
     from mail_deduplicate_ray.stages.joins import semi_anti_join
 
-    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
-                              columns=["c_custkey", "c_name"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     big_orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_totalprice"]).map_batches(
@@ -333,8 +349,7 @@ def priority_orders_semi(sf_dir: str, min_qty: float = 48.0,
 
     from mail_deduplicate_ray.stages.joins import semi_anti_join
 
-    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
-                                columns=["o_orderkey", "o_orderpriority"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     big = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_quantity"]).map_batches(
@@ -359,8 +374,7 @@ def purchase_after_signup(sf_dir: str) -> "ray.data.Dataset":
     microseconds.  DuckDB's native ASOF JOIN is the oracle."""
     from mail_deduplicate_ray.stages.joins import asof_join
 
-    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
-                            columns=["event_id", "ts", "user_id",
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
                                      "event_type"])
 
     def split(kind: str, rename: dict[str, str], extra_us: bool):
@@ -398,8 +412,7 @@ def top3_orders_per_customer(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     vectorized sort + head(k) per partition (no per-key Python)."""
     from mail_deduplicate_ray.stages.bucketing import grouped
 
-    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
-                            columns=["o_custkey", "o_orderkey",
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey",
                                      "o_totalprice"])
     cents = ds.map_batches(
         lambda t: pa.table({"o_custkey": t["o_custkey"],
@@ -424,8 +437,7 @@ def user_cumulative_value(sf_dir: str) -> "ray.data.Dataset":
     sort + groupby().cumsum() per partition, integer cents."""
     from mail_deduplicate_ray.stages.bucketing import grouped
 
-    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
-                            columns=["event_id", "user_id", "ts", "value"])
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     cents = ds.map_batches(
         lambda t: pa.table({"event_id": t["event_id"],
                             "user_id": t["user_id"],
@@ -459,8 +471,7 @@ def order_price_quantiles(sf_dir: str) -> "ray.data.Dataset":
     from mail_deduplicate_ray.stages.bucketing import grouped
 
     qs = ((25, 0.25), (50, 0.5), (75, 0.75), (95, 0.95))
-    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
-                            columns=["o_orderstatus", "o_totalprice"])
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
         t = pa.table({"o_orderstatus": t["o_orderstatus"],
@@ -506,8 +517,7 @@ def user_event_pivot(sf_dir: str) -> "ray.data.Dataset":
 
     from mail_deduplicate_ray.stages.bucketing import grouped
 
-    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
-                            columns=["user_id", "event_type"])
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by(["user_id", "event_type"]).aggregate(
@@ -540,8 +550,7 @@ def distinct_users_per_day(sf_dir: str) -> "ray.data.Dataset":
     from mail_deduplicate_ray.functions.normalize import normalize_date
     from mail_deduplicate_ray.stages.bucketing import grouped
 
-    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
-                            columns=["user_id", "ts"])
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
 
     def partial(t: pa.Table) -> pa.Table:
         t = pa.table({"day": normalize_date(t["ts"]),
@@ -568,8 +577,7 @@ def cap_events_per_user_type(sf_dir: str, cap: int = 5) -> "ray.data.Dataset":
     sort + head per partition."""
     from mail_deduplicate_ray.stages.bucketing import grouped
 
-    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
-                            columns=["event_id", "user_id",
+    ds = _read(sf_dir, "events", ["event_id", "user_id",
                                      "event_type", "ts"])
 
     def part(df):
@@ -590,8 +598,7 @@ def purchase_day_views(sf_dir: str) -> "ray.data.Dataset":
     from mail_deduplicate_ray.functions.normalize import normalize_date
     from mail_deduplicate_ray.stages.joins import shuffle_join
 
-    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
-                            columns=["event_id", "user_id", "ts",
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
                                      "event_type"])
 
     def purchases(t: pa.Table) -> pa.Table:
@@ -633,8 +640,7 @@ def approx_distinct_users(sf_dir: str, p: int = 12) -> "pa.Table":
 
     from mail_deduplicate_ray.functions import sketch
 
-    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
-                            columns=["user_id"])
+    ds = _read(sf_dir, "events", ["user_id"])
 
     def partial(t: pa.Table) -> pa.Table:
         vals = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -654,8 +660,7 @@ def approx_distinct_users(sf_dir: str, p: int = 12) -> "pa.Table":
 # --- set operations (stages/setops.py) ------------------------------------
 
 def _typed_users(sf_dir: str, event_type: str) -> "ray.data.Dataset":
-    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
-                            columns=["user_id", "event_type"])
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
     return ds.map_batches(
         lambda t, et=event_type: pa.table(
             {"user_id": t.filter(pc.equal(t["event_type"], et))["user_id"]}),
@@ -680,8 +685,7 @@ def view_days_no_purchase(sf_dir: str) -> "ray.data.Dataset":
     from mail_deduplicate_ray.functions.normalize import normalize_date
     from mail_deduplicate_ray.stages.setops import set_op
 
-    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
-                            columns=["user_id", "ts", "event_type"])
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
 
     def typed(et: str):
         def f(t: pa.Table) -> pa.Table:
@@ -711,14 +715,12 @@ def nation_spend_rank(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"])
-    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
-                              columns=["c_custkey", "c_nationkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     cust_n = broadcast_join(cust, nation, "c_nationkey", "n_nationkey",
                             how="inner").select_columns(
                                 ["c_custkey", "n_name"])
 
-    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
-                                columns=["o_custkey", "o_totalprice"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
         t = pa.table({"c_custkey": t["o_custkey"],
@@ -757,8 +759,7 @@ def status_priority_rollup(sf_dir: str) -> pa.Table:
 
     from ray.data.aggregate import Sum
 
-    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
-                            columns=["o_orderstatus", "o_orderpriority",
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority",
                                      "o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -801,8 +802,7 @@ def user_event_sequence(sf_dir: str) -> "ray.data.Dataset":
     partition; the concat itself is a vectorized pandas groupby-agg)."""
     from mail_deduplicate_ray.stages.bucketing import grouped
 
-    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
-                            columns=["user_id", "event_id", "ts",
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts",
                                      "event_type"])
 
     def part(df):
@@ -826,8 +826,7 @@ def orders_above_customer_avg(sf_dir: str) -> "ray.data.Dataset":
 
     from mail_deduplicate_ray.stages.joins import shuffle_join
 
-    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
-                                columns=["o_orderkey", "o_custkey",
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
                                          "o_totalprice"])
 
     def cents_tbl(t: pa.Table) -> pa.Table:
@@ -874,8 +873,7 @@ def order_price_median(sf_dir: str) -> "ray.data.Dataset":
 
     from mail_deduplicate_ray.stages.bucketing import grouped
 
-    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
-                            columns=["o_orderstatus", "o_totalprice"])
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
         t = pa.table({"o_orderstatus": t["o_orderstatus"],
@@ -911,8 +909,7 @@ def props_k_stats(sf_dir: str) -> "ray.data.Dataset":
     per-row json.loads), then per-type sum/min/max via batch partials."""
     from ray.data.aggregate import Max, Min, Sum
 
-    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
-                            columns=["event_type", "props"])
+    ds = _read(sf_dir, "events", ["event_type", "props"])
 
     def partial(t: pa.Table) -> pa.Table:
         m = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
@@ -950,8 +947,7 @@ def priority_brand_revenue(sf_dir: str) -> "ray.data.Dataset":
 
     from mail_deduplicate_ray.stages.joins import shuffle_join
 
-    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
-                            columns=["l_orderkey", "l_partkey",
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey",
                                      "l_extendedprice"])
 
     def li_partial(t: pa.Table) -> pa.Table:
@@ -966,8 +962,7 @@ def priority_brand_revenue(sf_dir: str) -> "ray.data.Dataset":
                          "n": pc.cast(g["cents_count"], pa.int64())})
 
     li_p = li.map_batches(li_partial, batch_format="pyarrow")
-    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
-                                columns=["o_orderkey", "o_orderpriority"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     with_prio = shuffle_join(li_p, orders, "l_orderkey", "o_orderkey",
                              how="inner")
 
@@ -979,8 +974,7 @@ def priority_brand_revenue(sf_dir: str) -> "ray.data.Dataset":
                          "cents": g["cents_sum"], "n": g["n_sum"]})
 
     mid = with_prio.map_batches(mid_partial, batch_format="pyarrow")
-    parts = read_parquet_clean(f"{sf_dir}/part.parquet",
-                               columns=["p_partkey", "p_brand"])
+    parts = _read(sf_dir, "part", ["p_partkey", "p_brand"])
     with_brand = shuffle_join(mid, parts, "l_partkey", "p_partkey",
                               how="inner")
     out = with_brand.groupby(["o_orderpriority", "p_brand"]).aggregate(
@@ -1002,8 +996,7 @@ def order_price_histogram(sf_dir: str, width_cents: int = 5_000_000,
     shuffle (bin cardinality is bounded by the value range)."""
     from ray.data.aggregate import Sum
 
-    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
-                            columns=["o_totalprice"])
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
         b = pc.divide(_cents(t["o_totalprice"]),
@@ -1031,8 +1024,7 @@ def user_day_purchase_error_full(sf_dir: str) -> "ray.data.Dataset":
     from mail_deduplicate_ray.functions.normalize import normalize_date
     from mail_deduplicate_ray.stages.joins import shuffle_join
 
-    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
-                            columns=["user_id", "ts", "event_type"])
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
 
     def daily(et: str, out_col: str):
         def f(t: pa.Table) -> pa.Table:
@@ -1086,8 +1078,7 @@ def user_max_event_gap(sf_dir: str) -> "ray.data.Dataset":
 
     from mail_deduplicate_ray.stages.bucketing import grouped
 
-    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
-                            columns=["user_id", "event_id", "ts"])
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
 
     def part(df):
         df = df.sort_values(["user_id", "ts", "event_id"])
