@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_after_signup": relational.purchase_after_signup,
         "purchase_day_views": relational.purchase_day_views,
         "user_day_purchase_error_full": relational.user_day_purchase_error_full,
+        "views_before_purchase_1h": relational.views_before_purchase_1h,
         "user_event_pivot": relational.user_event_pivot,
         "cap_events_per_user_type": relational.cap_events_per_user_type,
         "distinct_users_per_day": relational.distinct_users_per_day,
@@ -359,6 +360,14 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = v.user_id
              AND strftime(p.ts, '%Y-%m-%d') = v.day
             ORDER BY event_id
+        """,
+        "views_before_purchase_1h": """
+            SELECT p.event_id AS event_id, count(*) AS n_views_1h
+            FROM events p JOIN events v
+              ON p.user_id = v.user_id
+             AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+            WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+            GROUP BY p.event_id ORDER BY event_id
         """,
         "user_day_purchase_error_full": """
             SELECT COALESCE(p.user_id, e.user_id) AS user_id,

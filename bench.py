@@ -37,7 +37,8 @@ BENCH_QUERIES = [
     # set ops / rollup / rank / full outer / scrubbing / audio stats
     "purchase_and_error_users", "nation_spend_rank",
     "orders_above_customer_avg", "priority_brand_revenue",
-    "user_day_purchase_error_full", "user_event_sequence",
+    "user_day_purchase_error_full", "views_before_purchase_1h",
+    "user_event_sequence",
     "user_max_event_gap", "scrub_docs", "token_repetition_docs",
     "clips_audio_stats",
 ]

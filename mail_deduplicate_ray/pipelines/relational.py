@@ -1093,3 +1093,64 @@ def user_max_event_gap(sf_dir: str) -> "ray.data.Dataset":
         return out
 
     return grouped(ds, "user_id", part).sort("user_id")
+
+
+def views_before_purchase_1h(sf_dir: str) -> "ray.data.Dataset":
+    """RANGE (interval) join: per purchase, how many of the same user's
+    views fall in the trailing hour.  Scale shape: both sides bucket
+    into fixed 1-hour time cells; each view lives in exactly ONE
+    (user, cell), each purchase PROBES its own cell and the previous one
+    (any [t-1h, t] interval overlaps exactly two cells), so the shuffle
+    is an equi-join on (user, cell) with 2x probe fan-out and no
+    pairwise blow-up beyond views-per-user-hour; the exact interval
+    test then filters inside the partition."""
+    from ray.data.aggregate import Sum
+
+    from mail_deduplicate_ray.stages.joins import shuffle_join
+
+    _H_US = 3600 * 1_000_000
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        us = pc.cast(t["ts"], pa.int64())
+        cell = pc.divide(us, pa.scalar(_H_US, pa.int64()))
+        base = pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "p_us": us, "cell": pc.cast(cell, pa.int64())})
+        prev = base.set_column(
+            3, "cell", pc.subtract(base["cell"], pa.scalar(1, pa.int64())))
+        return pa.concat_tables([base, prev])
+
+    def views(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "view"))
+        us = pc.cast(t["ts"], pa.int64())
+        cell = pc.divide(us, pa.scalar(_H_US, pa.int64()))
+        return pa.table({"v_user": t["user_id"], "v_us": us,
+                         "v_cell": pc.cast(cell, pa.int64())})
+
+    p = ev.map_batches(purchases, batch_format="pyarrow")
+    v = ev.map_batches(views, batch_format="pyarrow")
+    joined = shuffle_join(p, v, ["user_id", "cell"], ["v_user", "v_cell"],
+                          how="inner")
+
+    def in_range(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.less_equal(t["v_us"], t["p_us"]),
+            pc.greater_equal(t["v_us"],
+                             pc.subtract(t["p_us"],
+                                         pa.scalar(_H_US, pa.int64()))))
+        t = t.filter(keep)
+        g = t.group_by("event_id").aggregate([("event_id", "count")])
+        return pa.table({"event_id": g["event_id"],
+                         "n": pc.cast(g["event_id_count"], pa.int64())})
+
+    out = (joined.map_batches(in_range, batch_format="pyarrow")
+           .groupby("event_id")
+           .aggregate(Sum("n", alias_name="n_views_1h")))
+    return out.map_batches(
+        lambda t: pa.table({"event_id": t["event_id"],
+                            "n_views_1h": pc.cast(t["n_views_1h"],
+                                                  pa.int64())}),
+        batch_format="pyarrow").sort("event_id")

@@ -88,3 +88,50 @@ def test_hll_registers_independent_of_batching():
     for chunk in np.array_split(vals, 13):
         merged = sketch.hll_merge(merged, sketch.hll_partial(chunk))
     assert (whole == merged).all()
+
+
+def test_range_join_views_before_purchase_boundaries(tmp_path):
+    """Planted boundary cases for the 1h range join: a view exactly at
+    t-1h (inclusive), one just outside, one at t, and cross-cell
+    placement — compared against DuckDB on the same fragment."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mail_deduplicate_ray.pipelines.relational import (
+        views_before_purchase_1h)
+
+    H = 3600 * 1_000_000
+    base = 1_700_000_000 * 1_000_000
+    # purchase at base+H+1s (cell 1 of its hour grid)
+    p_ts = base + H + 1_000_000
+    rows = [
+        (1, p_ts, 7, "purchase"),
+        (2, p_ts - H, 7, "view"),          # exactly t-1h -> included
+        (3, p_ts - H - 1, 7, "view"),      # 1us outside -> excluded
+        (4, p_ts, 7, "view"),              # exactly t -> included
+        (5, p_ts - H // 2, 7, "view"),     # previous cell -> included
+        (6, p_ts - H // 2, 8, "view"),     # other user -> excluded
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = views_before_purchase_1h(str(tmp_path)).to_pandas()
+    assert got.to_dict("records") == [{"event_id": 1, "n_views_1h": 3}]
+
+    con = duckdb.connect()
+    con.register("events", t)
+    exp = con.execute("""
+        SELECT p.event_id AS event_id, count(*) AS n_views_1h
+        FROM events p JOIN events v
+          ON p.user_id = v.user_id
+         AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        GROUP BY p.event_id ORDER BY event_id
+    """).df()
+    assert got.to_dict("records") == exp.to_dict("records")
