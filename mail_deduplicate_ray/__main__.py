@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--hash-only", action="store_true",
                    help="print signatures and stop (ref: cli.py:656-674)")
     d.add_argument("--num-cpus", type=int, default=None)
+    d.add_argument("--ray-address", default=None,
+                   help="Ray cluster address; default $RAY_ADDRESS or "
+                        "'local'. Under `ray job submit` pass 'auto' (or "
+                        "let the job runtime set RAY_ADDRESS) so the run "
+                        "attaches to the multi-node cluster instead of "
+                        "starting a one-node session")
     d.add_argument("--config", default=None,
                    help="TOML config file ([dedup] table, strict keys; "
                         "CLI flags override — ref: cli.py:299-318)")
@@ -60,6 +66,7 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("clip_a")
     f.add_argument("clip_b")
     f.add_argument("--num-cpus", type=int, default=None)
+    f.add_argument("--ray-address", default=None)
     return p
 
 
@@ -95,11 +102,17 @@ def run_diff(args) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    import os
+
     import ray
     owns_session = not ray.is_initialized()
     if owns_session:
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+        addr = args.ray_address or os.environ.get("RAY_ADDRESS", "local")
+        # num_cpus only bounds a locally-started session; attaching to an
+        # existing cluster takes the cluster's size as-is
+        kw = {"num_cpus": args.num_cpus} if addr == "local" else {}
+        ray.init(address=addr, include_dashboard=False,
+                 logging_level="ERROR", **kw)
     import ray.data
     ray.data.DataContext.get_current().enable_progress_bars = False
 
