@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": relational.user_event_pivot,
         "cap_events_per_user_type": relational.cap_events_per_user_type,
         "distinct_users_per_day": relational.distinct_users_per_day,
+        "cumulative_new_users": relational.cumulative_new_users,
         "approx_distinct_users": relational.approx_distinct_users,  # rows-only (HLL sketch, error-bound-tested)
         "purchase_and_error_users": relational.purchase_and_error_users,
         "view_days_no_purchase": relational.view_days_no_purchase,
@@ -85,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_cumulative_value": relational.user_cumulative_value,
         "user_max_event_gap": relational.user_max_event_gap,
         "order_price_quantiles": relational.order_price_quantiles,
+        "order_quartiles_ntile": relational.order_quartiles_ntile,
         # --- similarity search ---
         "ann_bruteforce_top10": ann.ann_bruteforce_topk,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
@@ -369,6 +371,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.event_type = 'purchase' AND v.event_type = 'view'
             GROUP BY p.event_id ORDER BY event_id
         """,
+        "cumulative_new_users": """
+            WITH f AS (SELECT user_id,
+                              min(strftime(ts, '%Y-%m-%d')) AS day
+                       FROM events GROUP BY user_id),
+                 d AS (SELECT day, count(*) AS n FROM f GROUP BY day)
+            SELECT day, n AS n_new_users,
+                   CAST(sum(n) OVER (ORDER BY day) AS BIGINT)
+                       AS n_cum_users
+            FROM d ORDER BY day
+        """,
         "user_day_purchase_error_full": """
             SELECT COALESCE(p.user_id, e.user_id) AS user_id,
                    COALESCE(p.day, e.day) AS day,
@@ -533,6 +545,14 @@ def oracle_sql() -> dict[str, str]:
                          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
                   FROM orders)
             GROUP BY o_orderstatus ORDER BY o_orderstatus, q_pct
+        """,
+        "order_quartiles_ntile": """
+            SELECT o_orderkey, o_orderstatus,
+                   ntile(4) OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                                o_orderkey) AS quartile
+            FROM orders ORDER BY o_orderkey
         """,
         "ann_bruteforce_top10": """
             SELECT query_id, vec_id, rank FROM (

@@ -39,7 +39,8 @@ BENCH_QUERIES = [
     "orders_above_customer_avg", "priority_brand_revenue",
     "user_day_purchase_error_full", "views_before_purchase_1h",
     "user_event_sequence",
-    "user_max_event_gap", "scrub_docs", "token_repetition_docs",
+    "user_max_event_gap", "order_quartiles_ntile", "cumulative_new_users",
+    "scrub_docs", "token_repetition_docs",
     "clips_audio_stats",
 ]
 

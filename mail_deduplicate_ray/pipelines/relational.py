@@ -1154,3 +1154,111 @@ def views_before_purchase_1h(sf_dir: str) -> "ray.data.Dataset":
                             "n_views_1h": pc.cast(t["n_views_1h"],
                                                   pa.int64())}),
         batch_format="pyarrow").sort("event_id")
+
+
+def cumulative_new_users(sf_dir: str) -> "ray.data.Dataset":
+    """Running COUNT DISTINCT over time, distributed: a naive cumulative
+    distinct needs the full id set per day; instead each user collapses
+    to their FIRST-SEEN day (per-user min, one bucketed shuffle), the
+    per-day first-seen counts are tiny, and the running sum over days is
+    a bounded-cardinality scan."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from mail_deduplicate_ray.functions.normalize import normalize_date
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": t["user_id"],
+                      "day": normalize_date(t["ts"])})
+        g = t.group_by("user_id").aggregate([("day", "min")])
+        return pa.table({"user_id": g["user_id"], "day": g["day_min"]})
+
+    first_seen = grouped(
+        ds.map_batches(partial, batch_format="pyarrow"), "user_id",
+        lambda df: df.groupby("user_id", as_index=False)["day"].min())
+    # count users per first-seen day, then one tiny ordered cumsum
+    def day_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("day").aggregate([("day", "count")])
+        return pa.table({"day": g["day"],
+                         "n": pc.cast(g["day_count"], pa.int64())})
+
+    days = (first_seen.map_batches(day_partial, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("n", alias_name="n_new_users")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("day").reset_index(drop=True)
+        df["n_new_users"] = df["n_new_users"].astype("int64")
+        df["n_cum_users"] = df["n_new_users"].cumsum().astype("int64")
+        return df[["day", "n_new_users", "n_cum_users"]]
+
+    # the day table is bounded by the calendar — one-partition finish
+    out = days.to_pandas()
+    from mail_deduplicate_ray.stages.bucketing import arrow_clean
+    import ray.data as rd
+    return rd.from_arrow(arrow_clean(finish(out)))
+
+
+def order_quartiles_ntile(sf_dir: str, k: int = 4) -> "ray.data.Dataset":
+    """Distributed ROW_NUMBER + NTILE without a global sort: the rank of
+    each order within its status (ordered by cents, orderkey) splits
+    into (a) a BASE — how many rows have strictly smaller cents — read
+    off the value-count-compressed price histogram (bounded by the price
+    grid, broadcast once via ray.put), and (b) a TIE index among equal
+    cents, resolved by one bucketed shuffle on cents (a tie group never
+    spans buckets).  ntile labels then follow from the closed-form
+    bucket sizes.  No stage ever sorts more than one tie group."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    fact = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_orderstatus", "o_totalprice"]).map_batches(
+        lambda t: pa.table({"o_orderkey": t["o_orderkey"],
+                            "o_orderstatus": t["o_orderstatus"],
+                            "cents": _cents(t["o_totalprice"])}),
+        batch_format="pyarrow")
+
+    def vc_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderstatus", "cents"]).aggregate(
+            [("cents", "count")])
+        return pa.table({"o_orderstatus": g["o_orderstatus"],
+                         "cents": g["cents"],
+                         "n": pc.cast(g["cents_count"], pa.int64())})
+
+    vc = (fact.map_batches(vc_partial, batch_format="pyarrow")
+          .groupby(["o_orderstatus", "cents"])
+          .aggregate(Sum("n", alias_name="n")).to_pandas())
+    vc = vc.sort_values(["o_orderstatus", "cents"]).reset_index(drop=True)
+    vc["n"] = vc["n"].astype("int64")
+    grp = vc.groupby("o_orderstatus")["n"]
+    vc["base"] = (grp.cumsum() - vc["n"]).astype("int64")
+    totals = vc.groupby("o_orderstatus")["n"].sum().to_dict()
+    ref = ray.put((vc[["o_orderstatus", "cents", "base"]], totals))
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        base_df, tot = ray.get(ref)
+        df = df.sort_values(["o_orderstatus", "cents", "o_orderkey"])
+        df["tie"] = df.groupby(["o_orderstatus", "cents"]).cumcount()
+        df = df.merge(base_df, on=["o_orderstatus", "cents"], how="left")
+        r0 = (df["base"] + df["tie"]).to_numpy(dtype=np.int64)
+        n = df["o_orderstatus"].map(tot).to_numpy(dtype=np.int64)
+        big, rem = n // k, n % k
+        cut = rem * (big + 1)
+        in_big = r0 < cut
+        tile = np.where(in_big, r0 // np.maximum(big + 1, 1),
+                        rem + (r0 - cut) // np.maximum(big, 1))
+        out = pd.DataFrame({"o_orderkey": df["o_orderkey"].astype("int64"),
+                            "o_orderstatus": df["o_orderstatus"],
+                            "quartile": (tile + 1).astype("int64")})
+        return out
+
+    return grouped(fact, "cents", part).sort("o_orderkey")

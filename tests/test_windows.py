@@ -135,3 +135,36 @@ def test_range_join_views_before_purchase_boundaries(tmp_path):
         GROUP BY p.event_id ORDER BY event_id
     """).df()
     assert got.to_dict("records") == exp.to_dict("records")
+
+
+def test_ntile_fewer_rows_than_tiles(tmp_path):
+    """n < k: ntile assigns one row per tile 1..n — formula edge where
+    the small-bucket size floors to zero."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mail_deduplicate_ray.pipelines.relational import (
+        order_quartiles_ntile)
+
+    t = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 10, 11, 12, 13, 14], pa.int64()),
+        "o_orderstatus": pa.array(["A"] * 3 + ["B"] * 5, pa.string()),
+        # duplicate price inside A exercises the tie path
+        "o_totalprice": pa.array([5.0, 5.0, 9.0,
+                                  1.0, 2.0, 3.0, 4.0, 5.0], pa.float64()),
+    })
+    pq.write_table(t, tmp_path / "orders.parquet")
+
+    got = order_quartiles_ntile(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.register("orders", t)
+    exp = con.execute("""
+        SELECT o_orderkey, o_orderstatus,
+               ntile(4) OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                            o_orderkey) AS quartile
+        FROM orders ORDER BY o_orderkey
+    """).df()
+    assert got.to_dict("records") == exp.to_dict("records")
