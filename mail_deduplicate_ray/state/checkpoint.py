@@ -95,11 +95,21 @@ class CheckpointStore:
             part = final / f"part-{n_parts:03d}-{int(time.time() * 1e6)}"
             tmp.rename(part)
             info = self.manifest().get(stage, {})
+            part_rows = _dir_rows(part)
+            # per-partition lineage: each append is one resumable unit —
+            # the log records what each part added and when, so a resumed
+            # run (and the operator reading the manifest) can account for
+            # every row without rescanning the parquet
             self._update_manifest(stage, {
                 **info,
-                "rows": int(info.get("rows", 0)) + _dir_rows(part),
+                "rows": int(info.get("rows", 0)) + part_rows,
                 "parts": n_parts + 1,
                 "wall_s": round(time.time() - t0, 3),
+                "parts_log": list(info.get("parts_log", [])) + [{
+                    "part": part.name,
+                    "rows": part_rows,
+                    "wall_s": round(time.time() - t0, 3),
+                }],
             })
             return True
         except Exception:  # noqa: BLE001

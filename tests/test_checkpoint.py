@@ -116,6 +116,11 @@ def test_resume_appends_only_new_parts(root):
         assert os.stat(p).st_mtime_ns == mtime, f"rewrote {p}"
     new_files = set(sig_dir.rglob("*.parquet"))
     assert new_files > set(old_files)  # a fresh part appeared
+    # per-partition lineage: one parts_log entry per append, rows add up
+    mf = store.manifest()["signatures"]
+    assert len(mf["parts_log"]) == mf["parts"] == 2
+    assert sum(e["rows"] for e in mf["parts_log"]) == mf["rows"]
+    assert mf["parts_log"][0]["rows"] > 0
 
 
 def test_changed_bytes_rehashed_on_resume(root):
