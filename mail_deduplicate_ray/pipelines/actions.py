@@ -145,3 +145,95 @@ def dedup_storage_action(result: DedupResult, out_dir: str | Path,
         return ActionReport("dedup_storage", "discard", links.count(), True)
     n = _atomic_write(links, out_dir)
     return ActionReport("dedup_storage", "discard", n, False, str(out_dir))
+
+
+class _TranscodeStage:
+    """Actor-pool stage: decode full PCM -> optional resample -> re-encode
+    into the target codec.  Malformed payloads pass through untouched and
+    are counted in the `transcoded` column (False) rather than raised —
+    the decode stage's resilience contract applied to the write path."""
+
+    def __init__(self, codec: str, target_sr: int | None) -> None:
+        from mail_deduplicate_ray import codecs as _codecs
+        if codec not in _codecs.ENCODERS:
+            raise ValueError(f"unknown target codec {codec!r}")
+        self.codec = codec
+        self.target_sr = target_sr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from struct import error as struct_error
+
+        from mail_deduplicate_ray import codecs as _codecs
+        from mail_deduplicate_ray.functions import audio_dsp
+
+        payloads = batch["bytes"].to_pylist()
+        declared = batch["codec"].to_pylist()
+        out_bytes, out_sr, out_dur, ok = [], [], [], []
+        for data, dec in zip(payloads, declared):
+            try:
+                if data is None:
+                    raise ValueError("null payload")
+                pcm, sr = _codecs.decode(data, dec or None)
+                if self.target_sr and sr != self.target_sr:
+                    pcm = audio_dsp.resample_linear(pcm, sr, self.target_sr)
+                    sr = self.target_sr
+                out_bytes.append(_codecs.encode(pcm, sr, self.codec))
+                out_sr.append(sr)
+                out_dur.append(round(len(pcm) * 1000 / sr))
+                ok.append(True)
+            except (NotImplementedError, ValueError, struct_error):
+                out_bytes.append(data)
+                out_sr.append(None)
+                out_dur.append(None)
+                ok.append(False)
+        keep = [n for n in batch.column_names
+                if n not in ("bytes", "sr_hz", "dur_ms", "codec")]
+        t = batch.select(keep)
+        sr_fallback = batch["sr_hz"] if "sr_hz" in batch.column_names else None
+        dur_fallback = batch["dur_ms"] if "dur_ms" in batch.column_names \
+            else None
+        sr_arr = pa.array(out_sr, pa.int32())
+        dur_arr = pa.array(out_dur, pa.int32())
+        if sr_fallback is not None:
+            sr_arr = pc.coalesce(sr_arr, pc.cast(sr_fallback, pa.int32()))
+        if dur_fallback is not None:
+            dur_arr = pc.coalesce(dur_arr, pc.cast(dur_fallback, pa.int32()))
+        return (t.append_column("bytes", pa.array(out_bytes, pa.binary()))
+                .append_column("sr_hz", sr_arr)
+                .append_column("dur_ms", dur_arr)
+                .append_column("codec", pa.array(
+                    [self.codec if o else (d or "") for o, d in
+                     zip(ok, declared)], pa.string()))
+                .append_column("transcoded", pa.array(ok)))
+
+
+def transcode_action(result: DedupResult, source: "ray.data.Dataset",
+                     out_dir: str | Path, codec: str = "pcm_s16le",
+                     target_sr: int | None = None,
+                     dry_run: bool = False) -> ActionReport:
+    """Export the kept selection re-encoded to one codec (and optionally
+    one sample rate) — the normalize-on-export writer (S7 extended; ref
+    export semantics deduplicate.py copy path + the codec registry).
+    The payload-bearing ``source`` is semi-joined to the kept clip_ids
+    (settled rows are dehydrated — payloads never travel through the
+    dedup shuffles), then transcoded in an actor pool and written as
+    partitioned parquet."""
+    from mail_deduplicate_ray.stages import bucketing
+    from mail_deduplicate_ray.stages.joins import semi_anti_join
+
+    kept = result.settled.map_batches(
+        lambda t: pa.table({"keep_id": t.filter(t["keep"])["clip_id"]}),
+        batch_format="pyarrow")
+    sub = semi_anti_join(source, kept, "clip_id", "keep_id")
+    _, hi = bucketing.pool_size()
+    out = sub.map_batches(
+        _TranscodeStage, fn_constructor_args=(codec, target_sr),
+        batch_format="pyarrow", batch_size=128,
+        concurrency=(max(1, hi // 2), max(1, hi - 1)), num_cpus=1)
+    if dry_run:
+        n = out.count()
+        return ActionReport("transcode", "selection", n, True,
+                            extra={"codec": codec, "target_sr": target_sr})
+    n = _atomic_write(out, out_dir)
+    return ActionReport("transcode", "selection", n, False, str(out_dir),
+                        {"codec": codec, "target_sr": target_sr})

@@ -62,3 +62,61 @@ def test_dedup_storage_gate(result, tmp_path):
     t = pq.read_table(str(tmp_path / "links"))
     assert set(t.column_names) == {"clip_id", "blob_ref"}
     assert t.num_rows == gated.rows
+
+
+def test_transcode_normalizes_codec_and_rate(result, small_corpus, tmp_path):
+    import numpy as np
+
+    from mail_deduplicate_ray import codecs
+
+    tbl, _ = small_corpus
+    src = ray.data.from_arrow(tbl)
+    rep = actions.transcode_action(result, src, tmp_path / "norm",
+                                   codec="pcm_s16le", target_sr=8000)
+    assert rep.rows > 0 and rep.extra["codec"] == "pcm_s16le"
+    out = pq.read_table(tmp_path / "norm")
+    ok = out.filter(out["transcoded"])
+    assert ok.num_rows > 0
+    assert set(ok["codec"].to_pylist()) == {"pcm_s16le"}
+    assert set(ok["sr_hz"].to_pylist()) == {8000}
+    # kept selection only
+    kept = result.settled.to_pandas()
+    kept_ids = set(kept.loc[kept["keep"], "clip_id"])
+    assert set(out["clip_id"].to_pylist()) <= kept_ids
+    assert rep.rows == len(kept_ids)
+    # round-trip: decoded output is real audio at the new rate (duration
+    # preserved within a frame)
+    src_rows = {cid: (b, sr) for cid, b, sr in zip(
+        tbl["clip_id"].to_pylist(), tbl["bytes"].to_pylist(),
+        tbl["sr_hz"].to_pylist())}
+    row = ok.slice(0, 1).to_pylist()[0]
+    pcm, sr = codecs.decode(row["bytes"])
+    assert sr == 8000
+    ob, osr = src_rows[row["clip_id"]]
+    opcm, _ = codecs.decode(ob)
+    assert abs(len(pcm) / sr - len(opcm) / osr) < 0.01
+    assert np.max(np.abs(pcm)) > 0
+
+
+def test_transcode_malformed_passthrough(result, tmp_path):
+    import pyarrow as pa
+
+    src = ray.data.from_arrow(pa.table({
+        "clip_id": pa.array([r["clip_id"] for r in
+                             result.settled.take_all() if r["keep"]][:1],
+                            pa.string()),
+        "bytes": pa.array([b"garbage"], pa.binary()),
+        "codec": pa.array(["pcm_s16le"], pa.string()),
+    }))
+    rep = actions.transcode_action(result, src, tmp_path / "bad")
+    out = pq.read_table(tmp_path / "bad")
+    assert rep.rows == 1
+    assert out["transcoded"].to_pylist() == [False]
+    assert out["bytes"].to_pylist() == [b"garbage"]
+
+
+def test_transcode_unknown_codec_rejected(result, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="codec"):
+        actions._TranscodeStage("mp3", None)
