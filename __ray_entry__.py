@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_pairs": docs.substring_pairs,
         "scrub_docs": docs.scrub_docs,
         "token_repetition_docs": docs.token_repetition_docs,
+        "curate_docs": docs.curate_docs,
         # --- events / relational ---
         "events_window_5m": relational.events_window_5m,
         "events_per_day": relational.events_per_day,
@@ -200,6 +201,27 @@ def oracle_sql() -> dict[str, str]:
                        regexp_split_to_array(trim(text), '\\s+')))
                         AS BIGINT) AS n_distinct_tokens
             FROM documents
+        """,
+        # composed curation: exact-dedup winners -> token-count gate ->
+        # deterministic per-lang k-sample (same Knuth hash as the
+        # sampling oracles)
+        "curate_docs": """
+            WITH keepers AS (SELECT min(doc_id) AS doc_id
+                             FROM documents GROUP BY text),
+                 q AS (SELECT d.doc_id, d.lang,
+                              len(regexp_split_to_array(trim(d.text),
+                                                        '\s+')) AS n_tokens
+                       FROM documents d
+                       JOIN keepers k ON d.doc_id = k.doc_id),
+                 f AS (SELECT * FROM q
+                       WHERE n_tokens BETWEEN 10 AND 1000),
+                 s AS (SELECT doc_id, lang, n_tokens, row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761)
+                                    % 4294967296, doc_id) AS rn
+                       FROM f)
+            SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM s WHERE rn <= 100 ORDER BY lang, doc_id
         """,
         # Knuth multiplicative hash sampling (deterministic, per-stratum
         # rate); HUGEINT avoids the BIGINT product overflow

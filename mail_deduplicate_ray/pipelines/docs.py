@@ -753,3 +753,60 @@ def token_repetition_docs(sf_dir: str) -> "ray.data.Dataset":
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow")
+
+
+def curate_docs(sf_dir: str, min_tokens: int = 10, max_tokens: int = 1000,
+                k_per_lang: int = 100) -> "ray.data.Dataset":
+    """Composed training-data curation — the pipeline a corpus team
+    actually runs, as ONE streaming plan: exact dedup (keep min doc_id
+    per byte-identical text) -> token-count quality gate -> deterministic
+    per-lang k-sample.  Stage wiring: the dedup winner set is a
+    (text_key -> min id) groupby whose output is ids only; winners
+    semi-join back onto the token-counted rows (payload text never
+    re-shuffles); the final sample reuses the Knuth-hash order so the
+    subset is parallelism-independent."""
+    import numpy as np
+
+    from mail_deduplicate_ray.stages.bucketing import grouped
+    from mail_deduplicate_ray.stages.joins import semi_anti_join
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        t2 = _sha256_col(t, "text", "text_key")
+        return t2.select(["doc_id", "text_key"])
+
+    winners = (_docs(sf_dir, ["doc_id", "text"])
+               .map_batches(keyed, batch_format="pyarrow")
+               .groupby("text_key").map_groups(
+                   lambda g: pa.table({
+                       "keep_id": pa.array([pc.min(g["doc_id"]).as_py()],
+                                           pa.int64())}),
+                   batch_format="pyarrow"))
+
+    def with_tokens(t: pa.Table) -> pa.Table:
+        n = pc.cast(token_counts(t["text"]), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "n_tokens": n})
+
+    tokened = ds.map_batches(with_tokens, batch_format="pyarrow")
+    kept = semi_anti_join(tokened, winners, "doc_id", "keep_id")
+
+    def quality(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["n_tokens"],
+                                     pa.scalar(min_tokens, pa.int64())),
+                    pc.less_equal(t["n_tokens"],
+                                  pa.scalar(max_tokens, pa.int64())))
+        t = t.filter(m)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        return t.append_column("__h", pa.array(h, pa.uint64()))
+
+    hashed = kept.map_batches(quality, batch_format="pyarrow")
+
+    def part(df):
+        df = df.sort_values(["lang", "__h", "doc_id"])
+        return (df.groupby("lang", sort=False).head(k_per_lang)
+                [["doc_id", "lang", "n_tokens"]])
+
+    return grouped(hashed, "lang", part).sort(["lang", "doc_id"])
