@@ -279,17 +279,31 @@ def shuffle_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
 def semi_anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                    left_key: str, right_key: str, anti: bool = False,
-                   nbuckets: int | None = None) -> "ray.data.Dataset":
+                   nbuckets: int | None = None,
+                   bloom_bits: int | None = None) -> "ray.data.Dataset":
     """Distributed semi (``anti=False``) / anti (``anti=True``) join:
     keep left rows whose key does (not) appear in ``right``.  Only the
     DISTINCT keys of the right side enter the shuffle (per-batch
     ``pc.unique``), so the filter side's payload never moves.
+
+    ``bloom_bits`` (semi only) turns on a broadcast Bloom prefilter:
+    per-batch partial filters over the right keys OR-merge on the driver
+    (bloom_bits/8 bytes each), the merged filter ships once via ray.put,
+    and left rows whose key is DEFINITELY absent drop before the shuffle
+    — exact by construction (no false negatives), so the result is
+    identical at any filter size; a too-small filter only loses the
+    pruning.  The win at scale: when most probe keys miss, the shuffle
+    moves survivors instead of the whole left side.  Anti joins cannot
+    prefilter this way (a definitely-absent row must be EMITTED, which
+    would fork the stream) — ``bloom_bits`` with ``anti=True`` raises.
 
     Null-key semantics are relational EXISTS / NOT EXISTS (matching
     ``broadcast_join`` and SQL joins): a null left key matches nothing,
     so semi drops it and anti keeps it; null right keys are ignored.
     (This is NOT the SQL ``NOT IN`` null trap.)
     """
+    if bloom_bits and anti:
+        raise ValueError("bloom prefilter is semi-only")
     nbuckets = nbuckets or default_nbuckets()
     lsch = _pa_schema(left)
     lcols = [(n, lsch.field(n).type) for n in lsch.names if n != left_key]
@@ -303,8 +317,39 @@ def semi_anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         cols[_SIDE_COL] = pa.array([1] * len(u), pa.int8())
         return pa.table({n: cols[n] for n in order})
 
-    lt = _tagged(left, [(left_key, left_key)], lcols, [], order, 0)
     rt = right.map_batches(rkeys, batch_format="pyarrow")
+    if bloom_bits:
+        import numpy as np
+
+        import ray as _ray
+
+        from mail_deduplicate_ray.functions import bloom
+
+        # the keys-only table is consumed twice (filter build + shuffle);
+        # materialize so the right pipeline doesn't re-execute
+        rt = rt.materialize()
+        words = bloom.empty(bloom_bits)
+        for b in rt.map_batches(
+                lambda t, mb=bloom_bits: pa.table({"w": pa.array(
+                    [bloom.add(bloom.empty(mb),
+                               t[left_key].to_numpy(zero_copy_only=False)
+                               ).tobytes()], pa.binary())}),
+                batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+            for buf in b["w"].to_pylist():
+                words |= np.frombuffer(buf, np.uint64)
+        ref = _ray.put(words)
+
+        def prefilter(t: pa.Table) -> pa.Table:
+            w = _ray.get(ref)
+            vals = t[left_key].to_numpy(zero_copy_only=False)
+            keep = bloom.contains(w, vals)
+            # null keys hash arbitrarily; they are dropped by the exact
+            # semi anyway, so over-keeping them here is harmless
+            return t.filter(pa.array(keep))
+
+        left = left.map_batches(prefilter, batch_format="pyarrow")
+
+    lt = _tagged(left, [(left_key, left_key)], lcols, [], order, 0)
     both = add_bucket(lt.union(rt), left_key, nbuckets)
     lnames = [left_key] + [n for n, _ in lcols]
 

@@ -365,3 +365,46 @@ def test_shuffle_join_full_outer_matches_duckdb():
 def test_shuffle_join_full_salted_rejected():
     with pytest.raises(ValueError, match="salted"):
         shuffle_join(_left(), _right_ds(), "k", "rk", how="full", salt=2)
+
+
+class TestBloomPrefilter:
+    def test_bloom_no_false_negatives(self):
+        import numpy as np
+
+        from mail_deduplicate_ray.functions import bloom
+
+        rng = np.random.default_rng(3)
+        present = rng.integers(0, 1 << 40, 5000)
+        w = bloom.add(bloom.empty(1 << 16), present)
+        assert bloom.contains(w, present).all()
+        # absent keys: mostly filtered, some false positives allowed
+        absent = rng.integers(1 << 41, 1 << 42, 5000)
+        fp = bloom.contains(w, absent).mean()
+        assert fp < 0.05
+
+    def test_bloom_semi_equals_exact_semi(self):
+        right = ray.data.from_arrow(pa.table({"rk": [2, 2, 5, 9]}))
+        exact = sorted(semi_anti_join(_left(), right, "k", "rk",
+                                      nbuckets=3).to_pandas()["k"])
+        with_bloom = sorted(semi_anti_join(
+            _left(), right, "k", "rk", nbuckets=3,
+            bloom_bits=1 << 10).to_pandas()["k"])
+        assert with_bloom == exact == [2, 2, 5]
+        # tiny (collision-heavy) filter still yields the exact result
+        tiny = sorted(semi_anti_join(_left(), right, "k", "rk", nbuckets=3,
+                                     bloom_bits=64).to_pandas()["k"])
+        assert tiny == exact
+
+    def test_bloom_string_keys(self):
+        left = ray.data.from_arrow(pa.table({
+            "k": ["a", "b", "c", "d"], "v": [1, 2, 3, 4]}))
+        right = ray.data.from_arrow(pa.table({"rk": ["b", "d", "zz"]}))
+        out = semi_anti_join(left, right, "k", "rk",
+                             bloom_bits=1 << 12).to_pandas()
+        assert sorted(out["k"]) == ["b", "d"]
+
+    def test_bloom_anti_rejected(self):
+        right = ray.data.from_arrow(pa.table({"rk": [1]}))
+        with pytest.raises(ValueError, match="semi-only"):
+            semi_anti_join(_left(), right, "k", "rk", anti=True,
+                           bloom_bits=1 << 10)
