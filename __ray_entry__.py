@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_docs": docs.scrub_docs,
         "token_repetition_docs": docs.token_repetition_docs,
         "curate_docs": docs.curate_docs,
+        "vocab_coverage_docs": docs.vocab_coverage_docs,
         # --- events / relational ---
         "events_window_5m": relational.events_window_5m,
         "events_per_day": relational.events_per_day,
@@ -201,6 +202,21 @@ def oracle_sql() -> dict[str, str]:
                        regexp_split_to_array(trim(text), '\\s+')))
                         AS BIGINT) AS n_distinct_tokens
             FROM documents
+        """,
+        "vocab_coverage_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS tok
+                FROM documents),
+            vocab AS (
+                SELECT tok FROM toks GROUP BY tok
+                ORDER BY count(*) DESC, tok ASC LIMIT 200)
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   CAST(count(*) FILTER (tok IN (SELECT tok FROM vocab))
+                        AS BIGINT) AS n_in_vocab
+            FROM toks GROUP BY doc_id
         """,
         # composed curation: exact-dedup winners -> token-count gate ->
         # deterministic per-lang k-sample (same Knuth hash as the

@@ -810,3 +810,58 @@ def curate_docs(sf_dir: str, min_tokens: int = 10, max_tokens: int = 1000,
                 [["doc_id", "lang", "n_tokens"]])
 
     return grouped(hashed, "lang", part).sort(["lang", "doc_id"])
+
+
+def vocab_coverage_docs(sf_dir: str, vocab_k: int = 200) -> "ray.data.Dataset":
+    """Out-of-vocabulary rate per doc: build the corpus top-k word vocab
+    (per-batch partial counts -> tiny groupby -> top-k), broadcast it
+    once, then count each doc's in-vocab tokens vectorized — the
+    broadcast-small-side pattern over a derived artifact (the vocab is
+    bounded by k however large the corpus)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from mail_deduplicate_ray.stages.bucketing import arrow_clean
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _tokens(t: pa.Table):
+        la = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), r"\s+").combine_chunks()
+        lens = pc.list_value_length(la).to_numpy(zero_copy_only=False)
+        return la, lens
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        la, _ = _tokens(t)
+        flat = pa.table({"tok": la.flatten()})
+        g = flat.group_by("tok").aggregate([("tok", "count")])
+        return pa.table({"tok": g["tok"],
+                         "n": pc.cast(g["tok_count"], pa.int64())})
+
+    # the driver only ever sees vocab_k rows: top-k selection runs in
+    # Ray (sort+limit over the distinct-token counts), same shape as
+    # top_trigrams
+    vocab_tbl = (ds.map_batches(tok_partial, batch_format="pyarrow")
+                 .groupby("tok").aggregate(Sum("n", alias_name="n"))
+                 .sort(["n", "tok"], descending=[True, False])
+                 .limit(vocab_k).to_pandas())
+    ref = ray.put(set(vocab_tbl["tok"]))
+
+    def coverage(t: pa.Table) -> pa.Table:
+        v = ray.get(ref)
+        la, lens = _tokens(t)
+        toks = pd.Series(la.flatten().to_numpy(zero_copy_only=False))
+        in_vocab = toks.isin(v).to_numpy()
+        seg = np.repeat(np.arange(len(lens)), lens)
+        n_in = np.bincount(seg, weights=in_vocab,
+                           minlength=len(lens)).astype(np.int64)
+        return arrow_clean(pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "n_tokens": lens.astype(np.int64),
+            "n_in_vocab": n_in}))
+
+    return ds.map_batches(coverage, batch_format="pyarrow")
