@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_spenders": relational.top_spenders,
         # --- joins (stages/joins.py: broadcast / shuffle / semi / anti) ---
         "revenue_by_nation": relational.revenue_by_nation,
+        "region_revenue": relational.region_revenue,
+        "supplier_nation_balance": relational.supplier_nation_balance,
         "part_brand_revenue": relational.part_brand_revenue,
         "customers_without_orders": relational.customers_without_orders,
         "priority_orders_semi": relational.priority_orders_semi,
@@ -356,6 +358,25 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "region_revenue": """
+            SELECT r_name,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "supplier_nation_balance": """
+            SELECT n_name,
+                   count(*) AS n_suppliers,
+                   CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS total_bal_cents
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name ORDER BY n_name
         """,
         "part_brand_revenue": """

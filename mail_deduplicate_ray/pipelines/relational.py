@@ -1262,3 +1262,86 @@ def order_quartiles_ntile(sf_dir: str, k: int = 4) -> "ray.data.Dataset":
         return out
 
     return grouped(fact, "cents", part).sort("o_orderkey")
+
+
+def supplier_nation_balance(sf_dir: str) -> "ray.data.Dataset":
+    """Dimension rollup over the supplier table: account balance cents
+    per nation (broadcast nation, partial-agg per batch)."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from mail_deduplicate_ray.stages.joins import broadcast_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    sup = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    from ray.data.aggregate import Count
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"s_nationkey": t["s_nationkey"],
+                         "bal_cents": _cents(t["s_acctbal"])})
+
+    joined = broadcast_join(sup.map_batches(cents, batch_format="pyarrow"),
+                            nation, "s_nationkey", "n_nationkey",
+                            how="inner")
+    out = joined.groupby("n_name").aggregate(
+        Count(alias_name="n_suppliers"),
+        Sum("bal_cents", alias_name="total_bal_cents"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "n_name": t["n_name"],
+            "n_suppliers": pc.cast(t["n_suppliers"], pa.int64()),
+            "total_bal_cents": pc.cast(t["total_bal_cents"], pa.int64())}),
+        batch_format="pyarrow").sort("n_name")
+
+
+def region_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """Four-table dimension chain: orders -> customer -> nation -> region
+    revenue (the snowflake rollup; nation x region collapse into ONE
+    broadcast lookup before the fact shuffle)."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from mail_deduplicate_ray.stages.joins import broadcast_join, shuffle_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    # pre-join the two tiny dims on the driver: one broadcast, not two
+    n2r = nation.join(region, keys=["n_regionkey"],
+                      right_keys=["r_regionkey"]).select(
+                          ["n_nationkey", "r_name"])
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust_r = broadcast_join(cust, n2r, "c_nationkey", "n_nationkey",
+                            how="inner").select_columns(
+                                ["c_custkey", "r_name"])
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = pa.table({"c_custkey": t["o_custkey"],
+                      "cents": _cents(t["o_totalprice"])})
+        g = t.group_by("c_custkey").aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({"c_custkey": g["c_custkey"],
+                         "cents": g["cents_sum"],
+                         "n": pc.cast(g["cents_count"], pa.int64())})
+
+    totals = orders.map_batches(partial, batch_format="pyarrow")
+    joined = shuffle_join(totals, cust_r, "c_custkey", "c_custkey",
+                          how="inner")
+    out = joined.groupby("r_name").aggregate(
+        Sum("n", alias_name="n_orders"),
+        Sum("cents", alias_name="total_cents"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "r_name": t["r_name"],
+            "n_orders": pc.cast(t["n_orders"], pa.int64()),
+            "total_cents": pc.cast(t["total_cents"], pa.int64())}),
+        batch_format="pyarrow").sort("r_name")
