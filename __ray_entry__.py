@@ -501,6 +501,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events WHERE event_type = 'purchase'
             INTERSECT
             SELECT user_id FROM events WHERE event_type = 'error'
+            ORDER BY user_id
         """,
         "view_days_no_purchase": """
             SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
@@ -508,6 +509,7 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
             FROM events WHERE event_type = 'purchase'
+            ORDER BY user_id, day
         """,
         "nation_spend_rank": """
             SELECT n_name, c_custkey, total_cents, drank FROM (
@@ -558,6 +560,9 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS med2x_cents
             FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
+        # rows without an extractable k are excluded BEFORE grouping on
+        # both sides, so a type whose props never carry k is absent from
+        # both (engine filters pre-aggregation)
         "props_k_stats": """
             SELECT event_type, count(k) AS n,
                    CAST(sum(k) AS BIGINT) AS sum_k,
@@ -566,6 +571,7 @@ def oracle_sql() -> dict[str, str]:
                          CAST(json_extract_string(props, '$.k') AS BIGINT)
                              AS k
                   FROM events)
+            WHERE k IS NOT NULL
             GROUP BY event_type ORDER BY event_type
         """,
         "priority_brand_revenue": """

@@ -375,7 +375,7 @@ def purchase_after_signup(sf_dir: str) -> "ray.data.Dataset":
     from mail_deduplicate_ray.stages.joins import asof_join
 
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
-                                     "event_type"])
+                                     "event_type"]).materialize()
 
     def split(kind: str, rename: dict[str, str], extra_us: bool):
         def f(t: pa.Table) -> pa.Table:
@@ -599,7 +599,7 @@ def purchase_day_views(sf_dir: str) -> "ray.data.Dataset":
     from mail_deduplicate_ray.stages.joins import shuffle_join
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
-                                     "event_type"])
+                                     "event_type"]).materialize()
 
     def purchases(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["event_type"], "purchase"))
@@ -659,22 +659,23 @@ def approx_distinct_users(sf_dir: str, p: int = 12) -> "pa.Table":
 
 # --- set operations (stages/setops.py) ------------------------------------
 
-def _typed_users(sf_dir: str, event_type: str) -> "ray.data.Dataset":
-    ds = _read(sf_dir, "events", ["user_id", "event_type"])
-    return ds.map_batches(
-        lambda t, et=event_type: pa.table(
-            {"user_id": t.filter(pc.equal(t["event_type"], et))["user_id"]}),
-        batch_format="pyarrow")
-
-
 def purchase_and_error_users(sf_dir: str) -> "ray.data.Dataset":
     """INTERSECT DISTINCT: users who both purchased and hit an error —
     the driver-set algebra of the reference's duplicate-set bookkeeping
-    as one bucketed presence-bit shuffle (stages/setops.py)."""
+    as one bucketed presence-bit shuffle (stages/setops.py).  The pruned
+    events projection is materialized once and feeds both sides."""
     from mail_deduplicate_ray.stages.setops import set_op
 
-    return set_op(_typed_users(sf_dir, "purchase"),
-                  _typed_users(sf_dir, "error"),
+    ds = _read(sf_dir, "events", ["user_id", "event_type"]).materialize()
+
+    def typed(et: str):
+        return ds.map_batches(
+            lambda t, e=et: pa.table(
+                {"user_id": t.filter(pc.equal(t["event_type"],
+                                              e))["user_id"]}),
+            batch_format="pyarrow")
+
+    return set_op(typed("purchase"), typed("error"),
                   "user_id", "intersect").sort("user_id")
 
 
@@ -685,7 +686,11 @@ def view_days_no_purchase(sf_dir: str) -> "ray.data.Dataset":
     from mail_deduplicate_ray.functions.normalize import normalize_date
     from mail_deduplicate_ray.stages.setops import set_op
 
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    # branch point: two consumers below — materialize the pruned
+    # projection once (object-store blocks, spillable) instead of
+    # scanning events.parquet once per branch
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type"]).materialize()
 
     def typed(et: str):
         def f(t: pa.Table) -> pa.Table:
@@ -1024,7 +1029,7 @@ def user_day_purchase_error_full(sf_dir: str) -> "ray.data.Dataset":
     from mail_deduplicate_ray.functions.normalize import normalize_date
     from mail_deduplicate_ray.stages.joins import shuffle_join
 
-    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"]).materialize()
 
     def daily(et: str, out_col: str):
         def f(t: pa.Table) -> pa.Table:
@@ -1110,7 +1115,7 @@ def views_before_purchase_1h(sf_dir: str) -> "ray.data.Dataset":
 
     _H_US = 3600 * 1_000_000
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
-                                  "event_type"])
+                                  "event_type"]).materialize()
 
     def purchases(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["event_type"], "purchase"))
@@ -1314,8 +1319,8 @@ def region_revenue(sf_dir: str) -> "ray.data.Dataset":
                            columns=["r_regionkey", "r_name"])
     # pre-join the two tiny dims on the driver: one broadcast, not two
     n2r = nation.join(region, keys=["n_regionkey"],
-                      right_keys=["r_regionkey"]).select(
-                          ["n_nationkey", "r_name"])
+                      right_keys=["r_regionkey"],
+                      join_type="inner").select(["n_nationkey", "r_name"])
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     cust_r = broadcast_join(cust, n2r, "c_nationkey", "n_nationkey",

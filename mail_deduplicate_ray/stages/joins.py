@@ -341,10 +341,16 @@ def semi_anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
         def prefilter(t: pa.Table) -> pa.Table:
             w = _ray.get(ref)
+            # drop null keys BEFORE to_numpy: a single null turns the
+            # int64 column into float64, and the hash of 2.0 != hash of
+            # 2 would false-negative EVERY key in the batch (semi drops
+            # null keys anyway, so removing them here is semantics-
+            # preserving)
+            t = t.filter(pc.is_valid(t[left_key]))
+            if t.num_rows == 0:
+                return t
             vals = t[left_key].to_numpy(zero_copy_only=False)
             keep = bloom.contains(w, vals)
-            # null keys hash arbitrarily; they are dropped by the exact
-            # semi anyway, so over-keeping them here is harmless
             return t.filter(pa.array(keep))
 
         left = left.map_batches(prefilter, batch_format="pyarrow")

@@ -408,3 +408,17 @@ class TestBloomPrefilter:
         with pytest.raises(ValueError, match="semi-only"):
             semi_anti_join(_left(), right, "k", "rk", anti=True,
                            bloom_bits=1 << 10)
+
+
+def test_bloom_semi_with_null_left_keys_matches_exact():
+    # regression: a null key in a probe batch must not poison the
+    # batch's hashing (int64 -> float64 conversion made every key miss)
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 3, 5, None], pa.int64()),
+        "lval": ["a", "b", "c", "d", "e", "f"]}))
+    right = ray.data.from_arrow(pa.table({"rk": [2, 2, 5, 9]}))
+    exact = sorted(semi_anti_join(left, right, "k", "rk",
+                                  nbuckets=3).to_pandas()["k"])
+    got = sorted(semi_anti_join(left, right, "k", "rk", nbuckets=3,
+                                bloom_bits=1 << 12).to_pandas()["k"])
+    assert got == exact == [2, 2, 5]
