@@ -198,6 +198,35 @@ def write_clips_lance(ds: "ray.data.Dataset", uri: str) -> None:
     ds.write_lance(uri)
 
 
+def _b64_interchange(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Inverse of _normalize_interchange: binary payload -> base64 string
+    so text formats can carry it."""
+    import base64
+
+    def f(t: pa.Table) -> pa.Table:
+        if "bytes" not in t.column_names:
+            return t
+        enc = pa.array(
+            [base64.b64encode(v).decode() if v is not None else None
+             for v in t["bytes"].to_pylist()], pa.string())
+        return t.set_column(t.schema.get_field_index("bytes"), "bytes", enc)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def write_clips_jsonl(ds: "ray.data.Dataset", out_dir: str) -> None:
+    """JSONL sink (one part file per block, payload base64) — the
+    write-side of the S5 interchange surface; read_clips_jsonl
+    round-trips it."""
+    _b64_interchange(ds).write_json(out_dir)
+
+
+def write_clips_csv(ds: "ray.data.Dataset", out_dir: str) -> None:
+    """CSV sink (header row, payload base64); read_clips_csv
+    round-trips it."""
+    _b64_interchange(ds).write_csv(out_dir)
+
+
 # --- interchange source formats (the S5 source-plugin surface) -------------
 # CSV / JSONL clips corpora: `bytes` travels base64-encoded (neither
 # format carries raw binary); rows are normalized into the canonical

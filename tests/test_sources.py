@@ -164,3 +164,40 @@ class TestInterchangeFormats:
             read_clips(str(corpus_files / "clips.jsonl")), cfg,
             channels=("exact",))
         assert r1.stats.to_dict() == r2.stats.to_dict()
+
+
+class TestInterchangeWriters:
+    """JSONL/CSV sinks round-trip through their matching readers."""
+
+    def _corpus(self):
+        from mail_deduplicate_ray import synth
+        tbl, _ = synth.generate_clips(20, seed=5)
+        return tbl
+
+    def _assert_roundtrip(self, orig, got):
+        import pandas as pd
+        a = (orig.select(["clip_id", "bytes", "sr_hz", "codec",
+                          "transcript"]).to_pandas()
+             .sort_values("clip_id").reset_index(drop=True))
+        b = (got.to_pandas()[["clip_id", "bytes", "sr_hz", "codec",
+                              "transcript"]]
+             .sort_values("clip_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_jsonl_roundtrip(self, tmp_path):
+        from mail_deduplicate_ray.sources.clips_io import (
+            read_clips_jsonl, write_clips_jsonl)
+        tbl = self._corpus()
+        write_clips_jsonl(ray.data.from_arrow(tbl), str(tmp_path / "j"))
+        got = read_clips_jsonl(
+            sorted(str(p) for p in (tmp_path / "j").glob("*")))
+        self._assert_roundtrip(tbl, got)
+
+    def test_csv_roundtrip(self, tmp_path):
+        from mail_deduplicate_ray.sources.clips_io import (
+            read_clips_csv, write_clips_csv)
+        tbl = self._corpus()
+        write_clips_csv(ray.data.from_arrow(tbl), str(tmp_path / "c"))
+        got = read_clips_csv(
+            sorted(str(p) for p in (tmp_path / "c").glob("*")))
+        self._assert_roundtrip(tbl, got)
