@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "view_days_no_purchase": relational.view_days_no_purchase,
         "nation_spend_rank": relational.nation_spend_rank,
         "status_priority_rollup": relational.status_priority_rollup,
+        "status_priority_cube": relational.status_priority_cube,
         "user_event_sequence": relational.user_event_sequence,
         "orders_above_customer_avg": relational.orders_above_customer_avg,
         "order_price_median": relational.order_price_median,
@@ -535,6 +536,16 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS total_cents
             FROM orders
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "status_priority_cube": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
             ORDER BY o_orderstatus, o_orderpriority
         """,
         "user_event_sequence": """

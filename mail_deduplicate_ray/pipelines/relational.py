@@ -1350,3 +1350,57 @@ def region_revenue(sf_dir: str) -> "ray.data.Dataset":
             "n_orders": pc.cast(t["n_orders"], pa.int64()),
             "total_cents": pc.cast(t["total_cents"], pa.int64())}),
         batch_format="pyarrow").sort("r_name")
+
+
+def status_priority_cube(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE(status, priority): all four grouping levels derived
+    from the one finest-level aggregate (same scale argument as the
+    ROLLUP variant — the only driver-side table is |status| x |priority|
+    rows however large the corpus)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderstatus": t["o_orderstatus"],
+                      "o_orderpriority": t["o_orderpriority"],
+                      "cents": _cents(t["o_totalprice"])})
+        g = t.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({"o_orderstatus": g["o_orderstatus"],
+                         "o_orderpriority": g["o_orderpriority"],
+                         "cents": g["cents_sum"],
+                         "n": pc.cast(g["cents_count"], pa.int64())})
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["o_orderstatus", "o_orderpriority"])
+            .aggregate(Sum("cents", alias_name="total_cents"),
+                       Sum("n", alias_name="n_orders"))
+            .to_pandas())
+    fine = fine[["o_orderstatus", "o_orderpriority", "n_orders",
+                 "total_cents"]]
+
+    def level(keys: list[str]) -> pd.DataFrame:
+        if keys:
+            out = (fine.groupby(keys, as_index=False)
+                   [["n_orders", "total_cents"]].sum())
+        else:
+            out = pd.DataFrame({"n_orders": [fine["n_orders"].sum()],
+                                "total_cents": [fine["total_cents"].sum()]})
+        for c in ("o_orderstatus", "o_orderpriority"):
+            if c not in out.columns:
+                out[c] = "ALL"
+        return out
+
+    out = pd.concat([fine, level(["o_orderstatus"]),
+                     level(["o_orderpriority"]), level([])],
+                    ignore_index=True)
+    for c in ("n_orders", "total_cents"):
+        out[c] = out[c].astype("int64")
+    out = out.sort_values(["o_orderstatus", "o_orderpriority"])
+    from mail_deduplicate_ray.stages.bucketing import arrow_clean
+    return arrow_clean(out[["o_orderstatus", "o_orderpriority",
+                            "n_orders", "total_cents"]])
