@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage_docs": docs.vocab_coverage_docs,
         # --- events / relational ---
         "events_window_5m": relational.events_window_5m,
+        "events_hopping_window": relational.events_hopping_window,
         "events_per_day": relational.events_per_day,
         "events_sessions": relational.events_sessions,
         "keep_oldest_per_user": relational.keep_oldest_per_user,
@@ -68,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": relational.customers_without_orders,
         "priority_orders_semi": relational.priority_orders_semi,
         "purchase_after_signup": relational.purchase_after_signup,
+        "error_after_purchase": relational.error_after_purchase,
         "purchase_day_views": relational.purchase_day_views,
         "user_day_purchase_error_full": relational.user_day_purchase_error_full,
         "views_before_purchase_1h": relational.views_before_purchase_1h,
@@ -294,6 +296,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events GROUP BY 1, 2
         """,
+        # each event belongs to the 5 one-minute-hop windows ending at
+        # or after its minute cell: window w covers [w*60s, w*60s+300s)
+        "events_hopping_window": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 60) - g AS BIGINT) AS window_id,
+                   count(*) AS n_events
+            FROM events, unnest(generate_series(0, 4)) AS t(g)
+            GROUP BY 1, 2 ORDER BY user_id, window_id
+        """,
         "events_sessions": """
             WITH ordered AS (
                 SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -408,6 +419,19 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
               ON p.user_id = s.user_id AND p.ts >= s.ts
+            ORDER BY event_id
+        """,
+        "error_after_purchase": """
+            SELECT * FROM (
+                SELECT p.event_id AS event_id, p.user_id AS user_id,
+                       e.event_id AS error_event_id,
+                       epoch_us(e.ts) - epoch_us(p.ts) AS wait_us
+                FROM (SELECT * FROM events
+                      WHERE event_type = 'purchase') p
+                ASOF JOIN (SELECT * FROM events
+                           WHERE event_type = 'error') e
+                  ON p.user_id = e.user_id AND e.ts >= p.ts)
+            WHERE wait_us <= 86400000000
             ORDER BY event_id
         """,
         "purchase_day_views": """

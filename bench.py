@@ -35,7 +35,8 @@ BENCH_QUERIES = [
     "top3_orders_per_customer", "order_price_quantiles",
     "simhash_neardup_pairs",
     # set ops / rollup / rank / full outer / scrubbing / audio stats
-    "purchase_and_error_users", "nation_spend_rank",
+    "purchase_and_error_users", "nation_spend_rank", "events_hopping_window",
+    "error_after_purchase",
     "orders_above_customer_avg", "priority_brand_revenue",
     "user_day_purchase_error_full", "views_before_purchase_1h",
     "user_event_sequence",

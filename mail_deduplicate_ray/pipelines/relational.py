@@ -1404,3 +1404,89 @@ def status_priority_cube(sf_dir: str) -> pa.Table:
     from mail_deduplicate_ray.stages.bucketing import arrow_clean
     return arrow_clean(out[["o_orderstatus", "o_orderpriority",
                             "n_orders", "total_cents"]])
+
+
+def events_hopping_window(sf_dir: str, size_min: int = 5,
+                          hop_min: int = 1) -> "ray.data.Dataset":
+    """HOPPING (sliding) window count per user: 5-minute windows every
+    minute, so each event belongs to size/hop = 5 overlapping windows.
+    The replicate-into-k-windows explode happens inside the batch
+    (vectorized np.repeat), partials aggregate per (user, window) per
+    batch, and the final groupby moves one row per (batch, user,
+    window) — the hopping analogue of events_window_5m."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    k = size_min // hop_min
+    hop_us = hop_min * 60 * 1_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        users = t["user_id"].to_numpy(zero_copy_only=False)
+        # hop cell of the event, then the k windows ENDING at or after it:
+        # window w covers [w*hop, w*hop + size) -> cells c-k+1 .. c
+        cell = us // hop_us
+        win = (np.repeat(cell, k)
+               - np.tile(np.arange(k, dtype=np.int64), len(cell)))
+        t2 = pa.table({"user_id": pa.array(np.repeat(users, k)),
+                       "window_id": pa.array(win, pa.int64())})
+        g = t2.group_by(["user_id", "window_id"]).aggregate(
+            [("window_id", "count")])
+        return pa.table({"user_id": g["user_id"],
+                         "window_id": g["window_id"],
+                         "n": pc.cast(g["window_id_count"], pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["user_id", "window_id"])
+           .aggregate(Sum("n", alias_name="n_events")))
+    return out.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            "window_id": t["window_id"],
+                            "n_events": pc.cast(t["n_events"],
+                                                pa.int64())}),
+        batch_format="pyarrow").sort(["user_id", "window_id"])
+
+
+def error_after_purchase(sf_dir: str,
+                         tolerance_s: int = 86400) -> "ray.data.Dataset":
+    """FORWARD as-of join with tolerance: each purchase matched to the
+    same user's NEXT error at-or-after it, but only within a day —
+    beyond the tolerance the purchase reports no error (asof_join
+    direction="forward", the complement of purchase_after_signup)."""
+    from mail_deduplicate_ray.stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"]).materialize()
+
+    def split(kind: str, rename: dict[str, str], extra_us: bool):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], kind))
+            cols = {rename.get(c, c): t[c]
+                    for c in ("user_id", "ts", "event_id")}
+            if extra_us:
+                cols["error_us"] = pc.cast(t["ts"], pa.int64())
+            return pa.table(cols)
+        return f
+
+    purchases = ev.map_batches(split("purchase", {}, False),
+                               batch_format="pyarrow")
+    errors = ev.map_batches(
+        split("error", {"event_id": "error_event_id"}, True),
+        batch_format="pyarrow")
+    import datetime
+    joined = asof_join(purchases, errors, key="user_id", on="ts",
+                       direction="forward",
+                       tolerance=datetime.timedelta(seconds=tolerance_s))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["error_event_id"]))
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "error_event_id": t["error_event_id"],
+            "wait_us": pc.subtract(t["error_us"],
+                                   pc.cast(t["ts"], pa.int64()))})
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("event_id")

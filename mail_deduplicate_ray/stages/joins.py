@@ -376,12 +376,17 @@ def semi_anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
 def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               key: str, on: str,
-              nbuckets: int | None = None) -> "ray.data.Dataset":
-    """Backward as-of join — each left row is matched to the right row
-    with the greatest ``on`` <= the left row's ``on`` within the same
-    ``key`` (the windowed-lookup operator Ray Data lacks; DuckDB's
-    ``ASOF JOIN`` is the oracle).  Composition: side-tagged union ->
-    ONE bucket-by-key shuffle -> per-partition ``pandas.merge_asof``
+              nbuckets: int | None = None,
+              direction: str = "backward",
+              tolerance=None) -> "ray.data.Dataset":
+    """As-of join — each left row is matched to the right row with the
+    greatest ``on`` <= its own (``direction="backward"``) or the
+    smallest ``on`` >= it (``"forward"``) within the same ``key`` (the
+    windowed-lookup operator Ray Data lacks; DuckDB's ``ASOF JOIN`` is
+    the oracle).  ``tolerance`` (same units as ``on``; int for
+    epoch-integer columns) bounds the match distance — beyond it the
+    row is unmatched, like merge_asof.  Composition: side-tagged union
+    -> ONE bucket-by-key shuffle -> per-partition ``pandas.merge_asof``
     (vectorized C merge over sorted frames).
 
     LEFT-join semantics: unmatched rows keep null right columns.
@@ -393,6 +398,8 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     """
     import pandas as pd
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unsupported direction={direction!r}")
     nbuckets = nbuckets or default_nbuckets()
     lsch, rsch = _pa_schema(left), _pa_schema(right)
     for col in (key, on):
@@ -451,8 +458,8 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         rf = r_ok.select([key, on]).to_pandas(types_mapper=pd.ArrowDtype)
         rf["__ir"] = np.arange(len(rf), dtype=np.int64)
         rf = rf.sort_values(on, kind="mergesort")
-        m = pd.merge_asof(lf, rf, on=on, by=key, direction="backward",
-                          allow_exact_matches=True)
+        m = pd.merge_asof(lf, rf, on=on, by=key, direction=direction,
+                          allow_exact_matches=True, tolerance=tolerance)
         li = pa.array(m["__il"].to_numpy(dtype=np.int64), pa.int64())
         ri = pa.Array.from_pandas(m["__ir"], type=pa.int64())
         cols = {key: l_ok[key].take(li), on: l_ok[on].take(li)}

@@ -422,3 +422,24 @@ def test_bloom_semi_with_null_left_keys_matches_exact():
     got = sorted(semi_anti_join(left, right, "k", "rk", nbuckets=3,
                                 bloom_bits=1 << 12).to_pandas()["k"])
     assert got == exact == [2, 2, 5]
+
+
+def test_asof_forward_with_tolerance():
+    left = ray.data.from_arrow(pa.table({
+        "k": [1, 1, 1], "ts": pa.array([10, 50, 90], pa.int64()),
+        "lid": ["a", "b", "c"]}))
+    right = ray.data.from_arrow(pa.table({
+        "k": [1, 1], "ts": pa.array([12, 100], pa.int64()),
+        "rid": ["x", "y"]}))
+    out = (asof_join(left, right, key="k", on="ts", nbuckets=2,
+                     direction="forward", tolerance=15)
+           .to_pandas().sort_values("lid"))
+    # a(10)->x(12, diff 2); b(50)->nearest forward is y(100) but diff 50
+    # exceeds tolerance 15 -> unmatched; c(90)->y(100, diff 10)
+    assert out["rid"].tolist() == ["x", None, "y"]
+
+
+def test_asof_bad_direction_rejected():
+    ds = ray.data.from_arrow(pa.table({"k": [1], "ts": [1]}))
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(ds, ds, key="k", on="ts", direction="sideways")
