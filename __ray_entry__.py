@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_day_purchase_error_full": relational.user_day_purchase_error_full,
         "views_before_purchase_1h": relational.views_before_purchase_1h,
         "user_event_pivot": relational.user_event_pivot,
+        "user_event_long": relational.user_event_long,
         "cap_events_per_user_type": relational.cap_events_per_user_type,
         "distinct_users_per_day": relational.distinct_users_per_day,
         "cumulative_new_users": relational.cumulative_new_users,
@@ -498,6 +499,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (event_type = 'signup') AS n_signup,
                    count(*) FILTER (event_type = 'view') AS n_view
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "user_event_long": """
+            WITH w AS (
+                SELECT user_id,
+                       count(*) FILTER (event_type = 'click') AS n_click,
+                       count(*) FILTER (event_type = 'error') AS n_error,
+                       count(*) FILTER (event_type = 'purchase')
+                           AS n_purchase,
+                       count(*) FILTER (event_type = 'signup') AS n_signup,
+                       count(*) FILTER (event_type = 'view') AS n_view
+                FROM events GROUP BY user_id)
+            UNPIVOT w ON n_click, n_error, n_purchase, n_signup, n_view
+            INTO NAME event_col VALUE n
+            ORDER BY user_id, event_col
         """,
         "distinct_users_per_day": """
             SELECT strftime(ts, '%Y-%m-%d') AS day,

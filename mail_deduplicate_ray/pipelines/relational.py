@@ -1490,3 +1490,26 @@ def error_after_purchase(sf_dir: str,
                                    pc.cast(t["ts"], pa.int64()))})
 
     return joined.map_batches(finish, batch_format="pyarrow").sort("event_id")
+
+
+def user_event_long(sf_dir: str) -> "ray.data.Dataset":
+    """UNPIVOT (melt): the per-user wide count columns back to long
+    (user_id, event_col, n) — columns-to-rows is a pure in-batch
+    reshape (k output rows per input row, no shuffle beyond the pivot's
+    own), zeros kept so the row count is users x types."""
+    wide = user_event_pivot(sf_dir)
+    cols = [f"n_{et}" for et in _EVENT_TYPES]
+
+    def melt(t: pa.Table) -> pa.Table:
+        import numpy as np
+        n = t.num_rows
+        users = t["user_id"].to_numpy(zero_copy_only=False)
+        vals = np.stack([t[c].to_numpy(zero_copy_only=False)
+                         for c in cols], axis=1).reshape(-1)
+        return pa.table({
+            "user_id": pa.array(np.repeat(users, len(cols))),
+            "event_col": pa.array(np.tile(np.array(cols, object), n)),
+            "n": pa.array(vals, pa.int64())})
+
+    return wide.map_batches(melt, batch_format="pyarrow").sort(
+        ["user_id", "event_col"])
