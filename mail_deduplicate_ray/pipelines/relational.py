@@ -755,17 +755,20 @@ def nation_spend_rank(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
                                                  "c_custkey"])
 
 
-def status_priority_rollup(sf_dir: str) -> pa.Table:
-    """GROUP BY ROLLUP(status, priority): subtotal rows derived from the
-    finest-level aggregate, which is bounded by |status| x |priority|
-    regardless of corpus size — the only driver materialization is that
-    tiny table (scale-safe by cardinality, not by luck)."""
+def _status_priority_levels(sf_dir: str, groupings: list[list[str]]):
+    """Shared engine for ROLLUP/CUBE over (status, priority): ONE
+    finest-level distributed aggregate (bounded by |status| x |priority|
+    rows — the only driver materialization), then each requested
+    grouping level is a re-aggregation of that tiny frame with the
+    collapsed columns set to 'ALL'."""
     import pandas as pd
 
     from ray.data.aggregate import Sum
 
-    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority",
-                                     "o_totalprice"])
+    from mail_deduplicate_ray.stages.bucketing import arrow_clean
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
         t = pa.table({"o_orderstatus": t["o_orderstatus"],
@@ -785,19 +788,35 @@ def status_priority_rollup(sf_dir: str) -> pa.Table:
             .to_pandas())
     fine = fine[["o_orderstatus", "o_orderpriority", "n_orders",
                  "total_cents"]]
-    lv1 = (fine.groupby("o_orderstatus", as_index=False)
-           [["n_orders", "total_cents"]].sum())
-    lv1["o_orderpriority"] = "ALL"
-    lv0 = pd.DataFrame({"o_orderstatus": ["ALL"], "o_orderpriority": ["ALL"],
-                        "n_orders": [fine["n_orders"].sum()],
-                        "total_cents": [fine["total_cents"].sum()]})
-    out = pd.concat([fine, lv1, lv0], ignore_index=True)
+
+    def level(keys: list[str]) -> pd.DataFrame:
+        if keys == ["o_orderstatus", "o_orderpriority"]:
+            return fine
+        if keys:
+            out = (fine.groupby(keys, as_index=False)
+                   [["n_orders", "total_cents"]].sum())
+        else:
+            out = pd.DataFrame({"n_orders": [fine["n_orders"].sum()],
+                                "total_cents": [fine["total_cents"].sum()]})
+        for c in ("o_orderstatus", "o_orderpriority"):
+            if c not in out.columns:
+                out[c] = "ALL"
+        return out
+
+    out = pd.concat([level(g) for g in groupings], ignore_index=True)
     for c in ("n_orders", "total_cents"):
         out[c] = out[c].astype("int64")
     out = out.sort_values(["o_orderstatus", "o_orderpriority"])
-    from mail_deduplicate_ray.stages.bucketing import arrow_clean
     return arrow_clean(out[["o_orderstatus", "o_orderpriority",
                             "n_orders", "total_cents"]])
+
+
+def status_priority_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(status, priority): the hierarchy's three levels
+    (see _status_priority_levels for the scale argument)."""
+    return _status_priority_levels(
+        sf_dir, [["o_orderstatus", "o_orderpriority"],
+                 ["o_orderstatus"], []])
 
 
 def user_event_sequence(sf_dir: str) -> "ray.data.Dataset":
@@ -1353,57 +1372,11 @@ def region_revenue(sf_dir: str) -> "ray.data.Dataset":
 
 
 def status_priority_cube(sf_dir: str) -> pa.Table:
-    """GROUP BY CUBE(status, priority): all four grouping levels derived
-    from the one finest-level aggregate (same scale argument as the
-    ROLLUP variant — the only driver-side table is |status| x |priority|
-    rows however large the corpus)."""
-    import pandas as pd
-
-    from ray.data.aggregate import Sum
-
-    ds = _read(sf_dir, "orders",
-               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        t = pa.table({"o_orderstatus": t["o_orderstatus"],
-                      "o_orderpriority": t["o_orderpriority"],
-                      "cents": _cents(t["o_totalprice"])})
-        g = t.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
-            [("cents", "sum"), ("cents", "count")])
-        return pa.table({"o_orderstatus": g["o_orderstatus"],
-                         "o_orderpriority": g["o_orderpriority"],
-                         "cents": g["cents_sum"],
-                         "n": pc.cast(g["cents_count"], pa.int64())})
-
-    fine = (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(["o_orderstatus", "o_orderpriority"])
-            .aggregate(Sum("cents", alias_name="total_cents"),
-                       Sum("n", alias_name="n_orders"))
-            .to_pandas())
-    fine = fine[["o_orderstatus", "o_orderpriority", "n_orders",
-                 "total_cents"]]
-
-    def level(keys: list[str]) -> pd.DataFrame:
-        if keys:
-            out = (fine.groupby(keys, as_index=False)
-                   [["n_orders", "total_cents"]].sum())
-        else:
-            out = pd.DataFrame({"n_orders": [fine["n_orders"].sum()],
-                                "total_cents": [fine["total_cents"].sum()]})
-        for c in ("o_orderstatus", "o_orderpriority"):
-            if c not in out.columns:
-                out[c] = "ALL"
-        return out
-
-    out = pd.concat([fine, level(["o_orderstatus"]),
-                     level(["o_orderpriority"]), level([])],
-                    ignore_index=True)
-    for c in ("n_orders", "total_cents"):
-        out[c] = out[c].astype("int64")
-    out = out.sort_values(["o_orderstatus", "o_orderpriority"])
-    from mail_deduplicate_ray.stages.bucketing import arrow_clean
-    return arrow_clean(out[["o_orderstatus", "o_orderpriority",
-                            "n_orders", "total_cents"]])
+    """GROUP BY CUBE(status, priority): all four grouping levels from
+    the same bounded finest-level aggregate."""
+    return _status_priority_levels(
+        sf_dir, [["o_orderstatus", "o_orderpriority"],
+                 ["o_orderstatus"], ["o_orderpriority"], []])
 
 
 def events_hopping_window(sf_dir: str, size_min: int = 5,
@@ -1418,6 +1391,9 @@ def events_hopping_window(sf_dir: str, size_min: int = 5,
 
     from ray.data.aggregate import Sum
 
+    if size_min % hop_min:
+        raise ValueError("hop must divide the window size (the fixed-k "
+                         "replicate is only exact then)")
     k = size_min // hop_min
     hop_us = hop_min * 60 * 1_000_000
     ds = _read(sf_dir, "events", ["user_id", "ts"])
@@ -1506,9 +1482,12 @@ def user_event_long(sf_dir: str) -> "ray.data.Dataset":
         users = t["user_id"].to_numpy(zero_copy_only=False)
         vals = np.stack([t[c].to_numpy(zero_copy_only=False)
                          for c in cols], axis=1).reshape(-1)
+        # explicit types: an EMPTY block would otherwise infer
+        # event_col as null and emit a schema-mismatched block
         return pa.table({
-            "user_id": pa.array(np.repeat(users, len(cols))),
-            "event_col": pa.array(np.tile(np.array(cols, object), n)),
+            "user_id": pa.array(np.repeat(users, len(cols)), pa.int64()),
+            "event_col": pa.array(np.tile(np.array(cols, object), n),
+                                  pa.string()),
             "n": pa.array(vals, pa.int64())})
 
     return wide.map_batches(melt, batch_format="pyarrow").sort(

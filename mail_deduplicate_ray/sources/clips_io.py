@@ -223,8 +223,16 @@ def write_clips_jsonl(ds: "ray.data.Dataset", out_dir: str) -> None:
 
 def write_clips_csv(ds: "ray.data.Dataset", out_dir: str) -> None:
     """CSV sink (header row, payload base64); read_clips_csv
-    round-trips it."""
-    _b64_interchange(ds).write_csv(out_dir)
+    round-trips it EXACTLY including the null/empty-string distinction:
+    non-null strings are always quoted on write, and the reader treats
+    only UNQUOTED empties as null."""
+    def _opts() -> dict:
+        # built lazily on the worker: WriteOptions is not picklable
+        from pyarrow import csv as pacsv
+        return {"write_options":
+                pacsv.WriteOptions(quoting_style="all_valid")}
+
+    _b64_interchange(ds).write_csv(out_dir, arrow_csv_args_fn=_opts)
 
 
 # --- interchange source formats (the S5 source-plugin surface) -------------
@@ -272,10 +280,18 @@ def read_clips_jsonl(paths: str | list[str]) -> "ray.data.Dataset":
 
 
 def read_clips_csv(paths: str | list[str]) -> "ray.data.Dataset":
-    """CSV clips source: header row, ``bytes`` column base64."""
+    """CSV clips source: header row, ``bytes`` column base64.  Unquoted
+    empty fields are nulls (quoted "" stays an empty string), matching
+    the writer's quoting contract — without this, a null payload or
+    transcript silently reads back as b''/'' (round-trip corruption)."""
+    from pyarrow import csv as pacsv
+
     if isinstance(paths, list):
         paths = check_sources(paths)
-    return _validate(_normalize_interchange(ray.data.read_csv(paths)))
+    conv = pacsv.ConvertOptions(strings_can_be_null=True,
+                                quoted_strings_can_be_null=False)
+    return _validate(_normalize_interchange(
+        ray.data.read_csv(paths, convert_options=conv)))
 
 
 _FORMAT_READERS = {

@@ -414,6 +414,22 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     if overlap:
         raise ValueError(f"non-key column collision: {sorted(overlap)}")
     on_type = lsch.field(on).type
+    if tolerance is not None:
+        # fail at the driver, not as an opaque MergeError inside every
+        # partition task after the shuffle has already been paid
+        import datetime
+        is_time = (pa.types.is_timestamp(on_type)
+                   or pa.types.is_date(on_type))
+        if is_time and not isinstance(tolerance, datetime.timedelta):
+            raise ValueError(
+                f"tolerance for a {on_type} 'on' column must be a "
+                f"datetime.timedelta, got {type(tolerance).__name__}")
+        if not is_time and isinstance(tolerance, datetime.timedelta):
+            raise ValueError(
+                f"tolerance for a {on_type} 'on' column must be numeric, "
+                f"got timedelta")
+        if (tolerance <= (datetime.timedelta(0) if is_time else 0)):
+            raise ValueError("tolerance must be positive")
     fields = ([(key, lsch.field(key).type), (on, on_type)]
               + lcols + rcols)
     order = [n for n, _ in fields] + [_SIDE_COL]

@@ -443,3 +443,18 @@ def test_asof_bad_direction_rejected():
     ds = ray.data.from_arrow(pa.table({"k": [1], "ts": [1]}))
     with pytest.raises(ValueError, match="direction"):
         asof_join(ds, ds, key="k", on="ts", direction="sideways")
+
+
+def test_asof_tolerance_validated_eagerly():
+    import datetime
+    left = ray.data.from_arrow(pa.table({
+        "k": [1], "ts": pa.array([10], pa.int64())}))
+    with pytest.raises(ValueError, match="numeric"):
+        asof_join(left, left, key="k", on="ts",
+                  tolerance=datetime.timedelta(seconds=1))
+    with pytest.raises(ValueError, match="positive"):
+        asof_join(left, left, key="k", on="ts", tolerance=0)
+    ts_left = ray.data.from_arrow(pa.table({
+        "k": [1], "ts": pa.array([10], pa.timestamp("us"))}))
+    with pytest.raises(ValueError, match="timedelta"):
+        asof_join(ts_left, ts_left, key="k", on="ts", tolerance=5)

@@ -201,3 +201,27 @@ class TestInterchangeWriters:
         got = read_clips_csv(
             sorted(str(p) for p in (tmp_path / "c").glob("*")))
         self._assert_roundtrip(tbl, got)
+
+
+def test_csv_roundtrip_preserves_nulls(tmp_path, ray_session):
+    """Null payload/transcript must NOT come back as b''/'' after a CSV
+    hop (unquoted empty = null, quoted "" = empty string)."""
+    import pyarrow as pa
+
+    from mail_deduplicate_ray.sources.clips_io import (read_clips_csv,
+                                                       write_clips_csv)
+    t = pa.table({
+        "clip_id": pa.array(["a", "b"], pa.string()),
+        "bytes": pa.array([None, b"xy"], pa.binary()),
+        "sr_hz": pa.array([8000, 8000], pa.int32()),
+        "dur_ms": pa.array([1, 1], pa.int32()),
+        "codec": pa.array(["pcm_s16le", "pcm_s16le"], pa.string()),
+        "transcript": pa.array([None, ""], pa.string()),
+    })
+    write_clips_csv(ray.data.from_arrow(t), str(tmp_path / "c"))
+    got = (read_clips_csv(sorted(str(p) for p in (tmp_path / "c").glob("*")))
+           .to_pandas().sort_values("clip_id").reset_index(drop=True))
+    assert got.loc[0, "bytes"] is None
+    assert got.loc[0, "transcript"] is None
+    assert got.loc[1, "bytes"] == b"xy"
+    assert got.loc[1, "transcript"] == ""

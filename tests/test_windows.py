@@ -168,3 +168,13 @@ def test_ntile_fewer_rows_than_tiles(tmp_path):
         FROM orders ORDER BY o_orderkey
     """).df()
     assert got.to_dict("records") == exp.to_dict("records")
+
+
+def test_hopping_window_requires_divisible_hop():
+    import pytest as _pytest
+
+    from mail_deduplicate_ray.pipelines.relational import (
+        events_hopping_window)
+    with _pytest.raises(ValueError, match="divide"):
+        events_hopping_window("/root/testdata/sf0.001", size_min=5,
+                              hop_min=2)
