@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_revenue": relational.part_brand_revenue,
         "customers_without_orders": relational.customers_without_orders,
         "priority_orders_semi": relational.priority_orders_semi,
+        "priority_orders_semi_bloom": relational.priority_orders_semi_bloom,
         "purchase_after_signup": relational.purchase_after_signup,
         "error_after_purchase": relational.error_after_purchase,
         "purchase_day_views": relational.purchase_day_views,
@@ -407,6 +408,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c_custkey
         """,
         "priority_orders_semi": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 WHERE l_quantity >= 48)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "priority_orders_semi_bloom": """
             SELECT o_orderpriority, count(*) AS n_orders
             FROM orders
             WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem

@@ -37,7 +37,7 @@ BENCH_QUERIES = [
     # set ops / rollup / rank / full outer / scrubbing / audio stats
     "purchase_and_error_users", "nation_spend_rank", "events_hopping_window",
     "error_after_purchase",
-    "orders_above_customer_avg", "priority_brand_revenue",
+    "orders_above_customer_avg", "priority_brand_revenue", "priority_orders_semi_bloom",
     "user_day_purchase_error_full", "views_before_purchase_1h",
     "user_event_sequence",
     "user_max_event_gap", "order_quartiles_ntile", "cumulative_new_users",

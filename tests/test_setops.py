@@ -65,3 +65,15 @@ def test_composite_key_intersect():
 def test_unknown_op_rejected():
     with pytest.raises(ValueError):
         set_op(_ds([1]), _ds([1]), "k", "minus")
+
+
+@pytest.mark.parametrize("nbuckets", [1, 3, 16])
+def test_set_op_parallelism_independent(nbuckets):
+    """Same result at any bucket count (cluster-size independence —
+    the determinism contract every wide stage carries)."""
+    left = _ds([1, 1, 2, 3, 4, 7, 9])
+    right = _ds([2, 4, 5, 9])
+    assert _col(set_op(left, right, "k", "intersect",
+                       nbuckets=nbuckets)) == [2, 4, 9]
+    assert _col(set_op(left, right, "k", "except",
+                       nbuckets=nbuckets)) == [1, 3, 7]

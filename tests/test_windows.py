@@ -178,3 +178,20 @@ def test_hopping_window_requires_divisible_hop():
     with _pytest.raises(ValueError, match="divide"):
         events_hopping_window("/root/testdata/sf0.001", size_min=5,
                               hop_min=2)
+
+
+def test_ntile_parallelism_independent():
+    """order_quartiles_ntile must give identical labels at any bucket
+    count: base ranks come from the global value-count histogram and
+    ties resolve inside one bucket, so partitioning cannot shift
+    tiles."""
+    from unittest import mock
+
+    from mail_deduplicate_ray.pipelines import relational
+    from mail_deduplicate_ray.stages import bucketing
+
+    sf = "/root/testdata/sf0.001"
+    base = relational.order_quartiles_ntile(sf).to_pandas()
+    with mock.patch.object(bucketing, "default_nbuckets", lambda: 3):
+        alt = relational.order_quartiles_ntile(sf).to_pandas()
+    assert base.equals(alt)
