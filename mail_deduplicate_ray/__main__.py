@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--channels",
                    default="exact,minhash,audio,containment,substring")
     d.add_argument("--checkpoint-root", default=None)
+    d.add_argument("--export-codec", default=None,
+                   help="re-encode kept clips to this codec on export "
+                        "(transcode action; requires --out)")
+    d.add_argument("--export-sr", type=int, default=None,
+                   help="resample kept clips to this rate on export "
+                        "(with --export-codec)")
     d.add_argument("--dry-run", action="store_true")
     d.add_argument("--hash-only", action="store_true",
                    help="print signatures and stop (ref: cli.py:656-674)")
@@ -168,8 +174,16 @@ def main(argv: list[str] | None = None) -> int:
                               channels=tuple(args.channels.split(",")),
                               checkpoint_root=args.checkpoint_root)
     if args.out and not args.dry_run:
-        rep = actions.copy_action(res, "selection", args.out)
-        print(f"wrote {rep.rows} kept rows -> {rep.out_path}", file=sys.stderr)
+        if args.export_codec:
+            rep = actions.transcode_action(
+                res, read_clips(list(args.input)), args.out,
+                codec=args.export_codec, target_sr=args.export_sr)
+            print(f"wrote {rep.rows} transcoded rows -> {rep.out_path}",
+                  file=sys.stderr)
+        else:
+            rep = actions.copy_action(res, "selection", args.out)
+            print(f"wrote {rep.rows} kept rows -> {rep.out_path}",
+                  file=sys.stderr)
     from mail_deduplicate_ray.stats import render_report
     print(render_report(res.stats, res.overflow_dropped, args.dry_run),
           file=sys.stderr)

@@ -142,3 +142,22 @@ def test_diff_subcommand_pretty_labels(clips_file, capsys):
     # unknown id -> clean ValueError
     with pytest.raises(ValueError, match="not found"):
         main(["diff", "--input", clips_file, ids[0], "no-such-clip"])
+
+
+def test_export_transcode(tmp_path, small_corpus):
+    import pyarrow.parquet as pq
+
+    from mail_deduplicate_ray.__main__ import main
+
+    tbl, _ = small_corpus
+    src = tmp_path / "in.parquet"
+    pq.write_table(tbl, src)
+    out = tmp_path / "norm"
+    rc = main(["dedup", "--input", str(src), "--out", str(out),
+               "--export-codec", "pcm_s16le", "--export-sr", "8000"])
+    assert rc == 0
+    got = pq.read_table(out)
+    ok = got.filter(got["transcoded"])
+    assert ok.num_rows > 0
+    assert set(ok["codec"].to_pylist()) == {"pcm_s16le"}
+    assert set(ok["sr_hz"].to_pylist()) == {8000}
