@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_orders_per_customer": relational.top3_orders_per_customer,
         "user_cumulative_value": relational.user_cumulative_value,
         "user_max_event_gap": relational.user_max_event_gap,
+        "event_transitions": relational.event_transitions,
         "order_price_quantiles": relational.order_price_quantiles,
         "order_quartiles_ntile": relational.order_quartiles_ntile,
         # --- similarity search ---
@@ -648,6 +649,17 @@ def oracle_sql() -> dict[str, str]:
                        AS bin,
                    count(*) AS n_orders
             FROM orders GROUP BY bin ORDER BY bin
+        """,
+        "event_transitions": """
+            SELECT prev || '>' || event_type AS transition,
+                   count(*) AS n
+            FROM (SELECT event_type,
+                         lag(event_type) OVER (
+                             PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev
+                  FROM events)
+            WHERE prev IS NOT NULL
+            GROUP BY 1 ORDER BY 1
         """,
         "user_max_event_gap": """
             SELECT user_id, count(g) AS n_gaps,

@@ -1504,3 +1504,34 @@ def user_event_long(sf_dir: str) -> "ray.data.Dataset":
 
     return wide.map_batches(melt, batch_format="pyarrow").sort(
         ["user_id", "event_col"])
+
+
+def event_transitions(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user event-type TRANSITION counts (the Markov bigram matrix a
+    sequence model trains on): lag within each user's (ts, event_id)
+    order, pair the consecutive types, then partial-count per partition
+    and a tiny final groupby over the |types|^2 transition keys."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"])
+
+    def part(df):
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        prev = df.groupby("user_id")["event_type"].shift()
+        pairs = (prev + ">" + df["event_type"]).dropna()
+        out = pairs.value_counts().rename_axis("transition").reset_index(
+            name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    out = (grouped(ds, "user_id", part)
+           .groupby("transition").aggregate(Sum("n", alias_name="n")))
+    return out.map_batches(
+        lambda t: pa.table({"transition": t["transition"],
+                            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow").sort("transition")
