@@ -115,7 +115,7 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "exact_dedup_docs": """
             SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
             FROM documents GROUP BY text
@@ -415,14 +415,7 @@ def oracle_sql() -> dict[str, str]:
                                  WHERE l_quantity >= 48)
             GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
-        "priority_orders_semi_bloom": """
-            SELECT o_orderpriority, count(*) AS n_orders
-            FROM orders
-            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
-                                 WHERE l_quantity >= 48)
-            GROUP BY o_orderpriority ORDER BY o_orderpriority
-        """,
-        "purchase_after_signup": """
+                "purchase_after_signup": """
             SELECT p.event_id AS event_id, p.user_id AS user_id,
                    s.event_id AS signup_event_id,
                    epoch_us(p.ts) - epoch_us(s.ts) AS wait_us
@@ -714,3 +707,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
         """,
     }
+    # structurally identical oracle: the bloom path must be checked
+    # against EXACTLY the exact path's SQL (never allowed to drift)
+    d["priority_orders_semi_bloom"] = d["priority_orders_semi"]
+    return d

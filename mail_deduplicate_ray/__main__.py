@@ -148,6 +148,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     cfg = (DedupConfig.from_toml(args.config, **over) if args.config
            else DedupConfig(**over))
+    # validate the export request up front: a typo'd codec must fail in
+    # milliseconds, not as a RayTaskError after the whole dedup ran
+    if args.export_sr and not args.export_codec:
+        raise ValueError("--export-sr requires --export-codec")
+    if args.export_codec:
+        from mail_deduplicate_ray import codecs as _codecs
+        if args.export_codec not in _codecs.ENCODERS:
+            raise ValueError(
+                f"unknown --export-codec {args.export_codec!r}; "
+                f"available: {sorted(_codecs.ENCODERS)}")
+        if not args.out or args.dry_run:
+            raise ValueError("--export-codec requires --out "
+                             "(and is incompatible with --dry-run)")
     ds = read_clips(list(args.input))
 
     if args.hash_only:

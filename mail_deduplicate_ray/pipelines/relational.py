@@ -1511,8 +1511,6 @@ def event_transitions(sf_dir: str) -> "ray.data.Dataset":
     sequence model trains on): lag within each user's (ts, event_id)
     order, pair the consecutive types, then partial-count per partition
     and a tiny final groupby over the |types|^2 transition keys."""
-    import pandas as pd
-
     from ray.data.aggregate import Sum
 
     from mail_deduplicate_ray.stages.bucketing import grouped

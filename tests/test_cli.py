@@ -161,3 +161,23 @@ def test_export_transcode(tmp_path, small_corpus):
     assert ok.num_rows > 0
     assert set(ok["codec"].to_pylist()) == {"pcm_s16le"}
     assert set(ok["sr_hz"].to_pylist()) == {8000}
+
+
+def test_export_flags_validated_eagerly(tmp_path, small_corpus):
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from mail_deduplicate_ray.__main__ import main
+
+    tbl, _ = small_corpus
+    src = tmp_path / "in.parquet"
+    pq.write_table(tbl, src)
+    with _pytest.raises(ValueError, match="unknown --export-codec"):
+        main(["dedup", "--input", str(src), "--out", str(tmp_path / "o"),
+              "--export-codec", "pcm16"])
+    with _pytest.raises(ValueError, match="requires --export-codec"):
+        main(["dedup", "--input", str(src), "--out", str(tmp_path / "o"),
+              "--export-sr", "8000"])
+    with _pytest.raises(ValueError, match="requires --out"):
+        main(["dedup", "--input", str(src),
+              "--export-codec", "pcm_s16le"])
