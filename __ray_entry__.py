@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_cumulative_value": relational.user_cumulative_value,
         "user_max_event_gap": relational.user_max_event_gap,
         "event_transitions": relational.event_transitions,
+        "value_k_stats": relational.value_k_stats,
+        "day_retention_matrix": relational.day_retention_matrix,
         "order_price_quantiles": relational.order_price_quantiles,
         "order_quartiles_ntile": relational.order_quartiles_ntile,
         # --- similarity search ---
@@ -642,6 +644,31 @@ def oracle_sql() -> dict[str, str]:
                        AS bin,
                    count(*) AS n_orders
             FROM orders GROUP BY bin ORDER BY bin
+        """,
+        "value_k_stats": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sum_x,
+                   CAST(sum(y) AS BIGINT) AS sum_y,
+                   CAST(sum(x * y) AS BIGINT) AS sum_xy,
+                   CAST(sum(x * x) AS BIGINT) AS sum_x2,
+                   CAST(sum(y * y) AS BIGINT) AS sum_y2
+            FROM (SELECT event_type,
+                         CAST(round(value * 100) AS BIGINT) AS x,
+                         CAST(json_extract_string(props, '$.k') AS BIGINT)
+                             AS y
+                  FROM events)
+            WHERE x IS NOT NULL AND y IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "day_retention_matrix": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              strftime(ts, '%Y-%m-%d') AS day
+                       FROM events)
+            SELECT a.day AS day_a, b.day AS day_b,
+                   count(*) AS n_users
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND a.day < b.day
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "event_transitions": """
             SELECT prev || '>' || event_type AS transition,

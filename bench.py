@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "user_day_purchase_error_full", "views_before_purchase_1h",
     "user_event_sequence",
     "user_max_event_gap", "order_quartiles_ntile", "cumulative_new_users",
+    "event_transitions", "day_retention_matrix",
     "scrub_docs", "token_repetition_docs", "curate_docs",
     "vocab_coverage_docs",
     "clips_audio_stats",

@@ -1533,3 +1533,90 @@ def event_transitions(sf_dir: str) -> "ray.data.Dataset":
         lambda t: pa.table({"transition": t["transition"],
                             "n": pc.cast(t["n"], pa.int64())}),
         batch_format="pyarrow").sort("transition")
+
+
+def value_k_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Sufficient statistics for (value, props.k) per event type — the
+    integer-exact moments (n, sum_x, sum_y, sum_xy, sum_x2, sum_y2) a
+    regression / correlation needs, so the float math happens once at
+    the consumer, not per row: cents x k products stay in int64 and the
+    partial-aggregate shuffle moves six numbers per (batch, type)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        x = _cents(t["value"])
+        keep = pc.and_(pc.is_valid(k), pc.is_valid(x))
+        t2 = pa.table({"event_type": t["event_type"], "x": x, "y": k,
+                       "xy": pc.multiply(x, k),
+                       "x2": pc.multiply(x, x),
+                       "y2": pc.multiply(k, k)}).filter(keep)
+        g = t2.group_by("event_type").aggregate(
+            [("x", "sum"), ("y", "sum"), ("xy", "sum"),
+             ("x2", "sum"), ("y2", "sum"), ("x", "count")])
+        return pa.table({"event_type": g["event_type"],
+                         "sx": g["x_sum"], "sy": g["y_sum"],
+                         "sxy": g["xy_sum"], "sx2": g["x2_sum"],
+                         "sy2": g["y2_sum"],
+                         "n": pc.cast(g["x_count"], pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sx", alias_name="sum_x"),
+                      Sum("sy", alias_name="sum_y"),
+                      Sum("sxy", alias_name="sum_xy"),
+                      Sum("sx2", alias_name="sum_x2"),
+                      Sum("sy2", alias_name="sum_y2")))
+    cols = ["n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"]
+    return out.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            **{c: pc.cast(t[c], pa.int64())
+                               for c in cols}}),
+        batch_format="pyarrow").sort("event_type")
+
+
+def day_retention_matrix(sf_dir: str) -> "ray.data.Dataset":
+    """Cohort retention: for each ordered day pair, how many users were
+    active on BOTH days.  Per-user distinct-day lists fit one partition
+    (days are calendar-bounded), each user emits their day pairs
+    vectorized, and the final groupby is |days|^2 rows."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from mail_deduplicate_ray.functions.normalize import normalize_date
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": t["user_id"],
+                      "day": normalize_date(t["ts"])})
+        g = t.group_by(["user_id", "day"]).aggregate([("day", "count")])
+        return g.select(["user_id", "day"])
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow")
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized pair generation: self-merge on user (each user's
+        # day list is calendar-bounded, so the per-user cross product
+        # stays small), keep the ordered half
+        df = df.drop_duplicates(["user_id", "day"])
+        d2 = df.rename(columns={"day": "day_b"})
+        m = df.rename(columns={"day": "day_a"}).merge(d2, on="user_id")
+        m = m[m["day_a"] < m["day_b"]]
+        out = m.groupby(["day_a", "day_b"]).size().reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    out = (grouped(pairs, "user_id", part)
+           .groupby(["day_a", "day_b"])
+           .aggregate(Sum("n", alias_name="n_users")))
+    return out.map_batches(
+        lambda t: pa.table({"day_a": t["day_a"], "day_b": t["day_b"],
+                            "n_users": pc.cast(t["n_users"], pa.int64())}),
+        batch_format="pyarrow").sort(["day_a", "day_b"])
