@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters_docs": docs.minhash_clusters_docs,  # rows-only
         "ngram_jaccard_pairs": docs.ngram_jaccard_pairs,
         "stratified_sample_docs": docs.stratified_sample_docs,
+        "length_weighted_sample_docs": docs.length_weighted_sample_docs,
         "sample_k_per_lang": docs.sample_k_per_lang,
         "top_trigrams": docs.top_trigrams,
         "decontaminate_docs": docs.decontaminate_docs,
@@ -276,6 +277,13 @@ def oracle_sql() -> dict[str, str]:
               AND 100 * len(list_intersect(t.grams, e.grams))
                   >= 80 * len(t.grams)
             ORDER BY doc_id, eval_id
+        """,
+        "length_weighted_sample_docs": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+                  < LEAST(CAST(n_chars AS HUGEINT) * (4294967296 // 2000),
+                          4294967296)
+            ORDER BY doc_id
         """,
         "sample_k_per_lang": """
             SELECT doc_id, lang FROM (

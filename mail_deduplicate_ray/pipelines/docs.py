@@ -865,3 +865,27 @@ def vocab_coverage_docs(sf_dir: str, vocab_k: int = 200) -> "ray.data.Dataset":
             "n_in_vocab": n_in}))
 
     return ds.map_batches(coverage, batch_format="pyarrow")
+
+
+def length_weighted_sample_docs(sf_dir: str,
+                                full_weight_chars: int = 2000,
+                                ) -> "ray.data.Dataset":
+    """Deterministic WEIGHTED Bernoulli sample: P(keep) proportional to
+    doc length, capped at 1 beyond ``full_weight_chars`` — the
+    upweight-long-documents primitive of a data-mixing recipe, with the
+    same Knuth-hash determinism as the uniform samplers (no RNG; any
+    parallelism, same subset)."""
+    import numpy as np
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    scale = (1 << 32) // full_weight_chars
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        chars = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        thresh = np.minimum(chars * np.uint64(scale), np.uint64(1 << 32))
+        return t.filter(pa.array(h < thresh)).select(
+            ["doc_id", "lang", "n_chars"])
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
