@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family over documents (SQL-checkable) ---
         "exact_dedup_docs": docs.exact_dedup_docs,
         "normalized_dedup_docs": docs.normalized_dedup_docs,
+        "dup_group_size_histogram": docs.dup_group_size_histogram,
         "doc_hashes": docs.doc_hashes,
         "keep_biggest_per_lang": docs.keep_biggest_per_lang,
         "regexp_filter_docs": docs.regexp_filter_docs,
@@ -57,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_5m": relational.events_window_5m,
         "events_hopping_window": relational.events_hopping_window,
         "events_per_day": relational.events_per_day,
+        "events_day_over_day": relational.events_day_over_day,
+        "events_hour_heatmap": relational.events_hour_heatmap,
         "events_sessions": relational.events_sessions,
         "keep_oldest_per_user": relational.keep_oldest_per_user,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
@@ -127,6 +130,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
             FROM documents
             GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+        """,
+        "dup_group_size_histogram": """
+            SELECT n_copies, count(*) AS n_groups
+            FROM (SELECT count(*) AS n_copies
+                  FROM documents GROUP BY text)
+            GROUP BY n_copies ORDER BY n_copies
         """,
         "doc_hashes": """
             SELECT doc_id, sha256(text) AS text_sha FROM documents
@@ -337,6 +346,21 @@ def oracle_sql() -> dict[str, str]:
                    max(us) AS session_end_us,
                    count(*) AS n_events
             FROM tagged GROUP BY user_id, sid
+        """,
+        "events_day_over_day": """
+            SELECT day, n_events,
+                   CAST(COALESCE(n_events - lag(n_events)
+                                 OVER (ORDER BY day), 0) AS BIGINT)
+                       AS delta
+            FROM (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                         count(*) AS n_events
+                  FROM events GROUP BY 1)
+            ORDER BY day
+        """,
+        "events_hour_heatmap": """
+            SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "events_per_day": """
             SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events

@@ -889,3 +889,19 @@ def length_weighted_sample_docs(sf_dir: str,
             ["doc_id", "lang", "n_chars"])
 
     return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+def dup_group_size_histogram(sf_dir: str) -> "ray.data.Dataset":
+    """Duplicate-multiplicity distribution: how many exact-dup groups
+    have 1, 2, ... copies — the dedup run-report statistic (ref stats
+    analogue: set_single / set_deduplicated counts) as a two-level
+    groupby whose final table is bounded by the max multiplicity."""
+    from ray.data.aggregate import Count
+
+    groups = exact_dedup_docs(sf_dir)  # (keeper_id, n_copies)
+    out = groups.groupby("n_copies").aggregate(
+        Count(alias_name="n_groups"))
+    return out.map_batches(
+        lambda t: pa.table({"n_copies": pc.cast(t["n_copies"], pa.int64()),
+                            "n_groups": pc.cast(t["n_groups"], pa.int64())}),
+        batch_format="pyarrow").sort("n_copies")

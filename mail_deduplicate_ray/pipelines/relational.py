@@ -1620,3 +1620,59 @@ def day_retention_matrix(sf_dir: str) -> "ray.data.Dataset":
         lambda t: pa.table({"day_a": t["day_a"], "day_b": t["day_b"],
                             "n_users": pc.cast(t["n_users"], pa.int64())}),
         batch_format="pyarrow").sort(["day_a", "day_b"])
+
+
+def events_day_over_day(sf_dir: str) -> "ray.data.Dataset":
+    """Day-over-day delta of the daily event count (LEAD/LAG over an
+    aggregate): the per-day table is calendar-bounded, so the ordered
+    diff is a one-partition scan over a tiny frame."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from mail_deduplicate_ray.functions.normalize import normalize_date
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = pa.table({"day": normalize_date(t["ts"])})
+        g = t.group_by("day").aggregate([("day", "count")])
+        return pa.table({"day": g["day"],
+                         "n": pc.cast(g["day_count"], pa.int64())})
+
+    days = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("n", alias_name="n_events"))
+            .to_pandas())
+    days = days.sort_values("day").reset_index(drop=True)
+    days["n_events"] = days["n_events"].astype("int64")
+    days["delta"] = days["n_events"].diff().fillna(0).astype("int64")
+    from mail_deduplicate_ray.stages.bucketing import arrow_clean
+    import ray.data as rd
+    return rd.from_arrow(arrow_clean(days[["day", "n_events", "delta"]]))
+
+
+def events_hour_heatmap(sf_dir: str) -> "ray.data.Dataset":
+    """Diurnal profile: event counts per (type, UTC hour-of-day) — a
+    bounded |types| x 24 heatmap via the usual partial-agg shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hr = pc.hour(t["ts"])
+        t2 = pa.table({"event_type": t["event_type"],
+                       "hour": pc.cast(hr, pa.int64())})
+        g = t2.group_by(["event_type", "hour"]).aggregate(
+            [("hour", "count")])
+        return pa.table({"event_type": g["event_type"], "hour": g["hour"],
+                         "n": pc.cast(g["hour_count"], pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "hour"])
+           .aggregate(Sum("n", alias_name="n_events")))
+    return out.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "hour": t["hour"],
+                            "n_events": pc.cast(t["n_events"],
+                                                pa.int64())}),
+        batch_format="pyarrow").sort(["event_type", "hour"])
