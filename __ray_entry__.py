@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_per_day": relational.events_per_day,
         "events_day_over_day": relational.events_day_over_day,
         "events_hour_heatmap": relational.events_hour_heatmap,
+        "daily_conversion": relational.daily_conversion,
+        "busiest_user_per_day": relational.busiest_user_per_day,
         "events_sessions": relational.events_sessions,
         "keep_oldest_per_user": relational.keep_oldest_per_user,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
@@ -361,6 +363,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "daily_conversion": """
+            SELECT day,
+                   CAST(count(*) FILTER (s) AS BIGINT) AS n_signup_users,
+                   CAST(count(*) FILTER (p) AS BIGINT)
+                       AS n_purchase_users,
+                   CAST(count(*) FILTER (s AND p) AS BIGINT) AS n_both
+            FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+                         bool_or(event_type = 'signup') AS s,
+                         bool_or(event_type = 'purchase') AS p
+                  FROM events GROUP BY 1, 2)
+            GROUP BY day ORDER BY day
+        """,
+        "busiest_user_per_day": """
+            SELECT day, user_id, n_events FROM (
+                SELECT day, user_id, n_events, row_number() OVER (
+                    PARTITION BY day
+                    ORDER BY n_events DESC, user_id ASC) AS rn
+                FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+                             count(*) AS n_events
+                      FROM events GROUP BY 1, 2))
+            WHERE rn = 1 ORDER BY day
         """,
         "events_per_day": """
             SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events

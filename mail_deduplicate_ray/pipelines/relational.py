@@ -1676,3 +1676,88 @@ def events_hour_heatmap(sf_dir: str) -> "ray.data.Dataset":
                             "n_events": pc.cast(t["n_events"],
                                                 pa.int64())}),
         batch_format="pyarrow").sort(["event_type", "hour"])
+
+
+def daily_conversion(sf_dir: str) -> "ray.data.Dataset":
+    """Daily funnel via per-(day, user) BOOLEAN aggregation: did the
+    user sign up / purchase that day (bool_or as int max), then bounded
+    per-day counts of each flag combination."""
+    from ray.data.aggregate import Max, Sum
+
+    from mail_deduplicate_ray.functions.normalize import normalize_date
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({
+            "day": normalize_date(t["ts"]),
+            "user_id": t["user_id"],
+            "s": pc.cast(pc.equal(t["event_type"], "signup"), pa.int8()),
+            "p": pc.cast(pc.equal(t["event_type"], "purchase"), pa.int8())})
+        g = t2.group_by(["day", "user_id"]).aggregate(
+            [("s", "max"), ("p", "max")])
+        return pa.table({"day": g["day"], "user_id": g["user_id"],
+                         "s": g["s_max"], "p": g["p_max"]})
+
+    flags = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["day", "user_id"])
+             .aggregate(Max("s", alias_name="s"),
+                        Max("p", alias_name="p")))
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["s"], pa.int64())
+        p = pc.cast(t["p"], pa.int64())
+        both = pc.multiply(s, p)
+        t2 = pa.table({"day": t["day"], "s": s, "p": p, "b": both})
+        g = t2.group_by("day").aggregate(
+            [("s", "sum"), ("p", "sum"), ("b", "sum")])
+        return pa.table({"day": g["day"], "s": g["s_sum"],
+                         "p": g["p_sum"], "b": g["b_sum"]})
+
+    out = (flags.map_batches(day_partial, batch_format="pyarrow")
+           .groupby("day")
+           .aggregate(Sum("s", alias_name="n_signup_users"),
+                      Sum("p", alias_name="n_purchase_users"),
+                      Sum("b", alias_name="n_both")))
+    cols = ["n_signup_users", "n_purchase_users", "n_both"]
+    return out.map_batches(
+        lambda t: pa.table({"day": t["day"],
+                            **{c: pc.cast(t[c], pa.int64())
+                               for c in cols}}),
+        batch_format="pyarrow").sort("day")
+
+
+def busiest_user_per_day(sf_dir: str) -> "ray.data.Dataset":
+    """ARGMAX (max_by): the most active user each day, ties broken by
+    smaller user id — per-(day, user) counts then a per-day vectorized
+    argmax inside the day-bucketed partition."""
+    from ray.data.aggregate import Sum
+
+    from mail_deduplicate_ray.functions.normalize import normalize_date
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"day": normalize_date(t["ts"]),
+                       "user_id": t["user_id"]})
+        g = t2.group_by(["day", "user_id"]).aggregate(
+            [("user_id", "count")])
+        return pa.table({"day": g["day"], "user_id": g["user_id"],
+                         "n": pc.cast(g["user_id_count"], pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["day", "user_id"])
+              .aggregate(Sum("n", alias_name="n")))
+    counts = counts.map_batches(
+        lambda t: pa.table({"day": t["day"], "user_id": t["user_id"],
+                            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow")
+
+    def part(df):
+        df = df.sort_values(["day", "n", "user_id"],
+                            ascending=[True, False, True])
+        out = df.groupby("day", sort=False).head(1)
+        return out.rename(columns={"n": "n_events"})
+
+    return grouped(counts, "day", part).sort("day")
