@@ -43,6 +43,7 @@ class AudioStatsStage:
         declared = batch["codec"].to_pylist()
 
         rms_mdb = np.full(n, -240_000, dtype=np.int64)
+        centroid_mhz = np.zeros(n, dtype=np.int64)
         peak_mdb = np.full(n, -240_000, dtype=np.int64)
         zcross = np.zeros(n, dtype=np.int64)
         n_samples = np.zeros(n, dtype=np.int64)
@@ -63,10 +64,13 @@ class AudioStatsStage:
             zcross[i] = audio_dsp.zero_crossings(pcm)
             lo, hi = audio_dsp.trim_silence(pcm, self.trim_threshold_dbfs)
             active_samples[i] = hi - lo
+            centroid_mhz[i] = round(
+                audio_dsp.spectral_centroid_hz(pcm, _sr) * 1000)
         out = batch.drop_columns(["bytes"])
         return (out.append_column("audio_ok", pa.array(ok))
                 .append_column("n_samples", pa.array(n_samples))
                 .append_column("rms_mdb", pa.array(rms_mdb))
                 .append_column("peak_mdb", pa.array(peak_mdb))
                 .append_column("zero_crossings", pa.array(zcross))
-                .append_column("active_samples", pa.array(active_samples)))
+                .append_column("active_samples", pa.array(active_samples))
+                .append_column("centroid_mhz", pa.array(centroid_mhz)))

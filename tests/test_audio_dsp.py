@@ -95,3 +95,16 @@ class TestAudioStatsStage:
         out = AudioStatsStage()(t).to_pylist()
         assert [r["audio_ok"] for r in out] == [False, False]
         assert [r["rms_mdb"] for r in out] == [-240_000, -240_000]
+
+
+def test_spectral_centroid_tracks_tone_frequency():
+    from mail_deduplicate_ray.functions import audio_dsp as dsp
+    for f in (300.0, 1200.0):
+        c = dsp.spectral_centroid_hz(_sine(freq=f, sr=16000, dur=0.5),
+                                     16000)
+        assert abs(c - f) < f * 0.15 + 20
+    # brighter content -> higher centroid (ordering property)
+    lo = dsp.spectral_centroid_hz(_sine(freq=200, sr=16000), 16000)
+    hi = dsp.spectral_centroid_hz(_sine(freq=3000, sr=16000), 16000)
+    assert hi > lo
+    assert dsp.spectral_centroid_hz(np.zeros(1000, np.float32), 16000) == 0.0
