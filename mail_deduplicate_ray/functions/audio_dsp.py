@@ -97,3 +97,21 @@ def spectral_centroid_hz(pcm: np.ndarray, sr: int,
         return 0.0
     freqs = np.fft.rfftfreq(n_fft, d=1.0 / sr)
     return float((freqs * mag2).sum() / total)
+
+
+def snr_estimate_db(pcm: np.ndarray, frame: int = 256) -> float:
+    """Crude SNR estimate: mean frame energy over the 10th-percentile
+    frame energy (the noise-floor proxy), in dB.  Clips with uniform
+    energy (pure tones) report near 0-ish ratios of mean/floor; clips
+    with silence+speech-like dynamics report high values.  Returns 0.0
+    when fewer than 2 frames."""
+    if len(pcm) < 2 * frame:
+        return 0.0
+    n_frames = len(pcm) // frame
+    e = np.mean(pcm[:n_frames * frame].reshape(n_frames, frame) ** 2,
+                axis=1)
+    floor = float(np.percentile(e, 10))
+    mean = float(e.mean())
+    if floor <= 0.0:
+        floor = 1e-12
+    return float(10.0 * np.log10(max(mean, 1e-12) / floor))

@@ -120,4 +120,5 @@ def clips_audio_stats(sf_dir: str) -> "ray.data.Dataset":
         concurrency=(max(1, hi // 2), max(1, hi - 1)), num_cpus=1)
     return out.select_columns(["clip_id", "audio_ok", "n_samples",
                                "rms_mdb", "peak_mdb", "zero_crossings",
-                               "active_samples", "centroid_mhz"])
+                               "active_samples", "centroid_mhz",
+                               "snr_mdb"])

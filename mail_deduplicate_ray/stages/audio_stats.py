@@ -44,6 +44,7 @@ class AudioStatsStage:
 
         rms_mdb = np.full(n, -240_000, dtype=np.int64)
         centroid_mhz = np.zeros(n, dtype=np.int64)
+        snr_mdb = np.zeros(n, dtype=np.int64)
         peak_mdb = np.full(n, -240_000, dtype=np.int64)
         zcross = np.zeros(n, dtype=np.int64)
         n_samples = np.zeros(n, dtype=np.int64)
@@ -66,6 +67,7 @@ class AudioStatsStage:
             active_samples[i] = hi - lo
             centroid_mhz[i] = round(
                 audio_dsp.spectral_centroid_hz(pcm, _sr) * 1000)
+            snr_mdb[i] = round(audio_dsp.snr_estimate_db(pcm) * 1000)
         out = batch.drop_columns(["bytes"])
         return (out.append_column("audio_ok", pa.array(ok))
                 .append_column("n_samples", pa.array(n_samples))
@@ -73,4 +75,5 @@ class AudioStatsStage:
                 .append_column("peak_mdb", pa.array(peak_mdb))
                 .append_column("zero_crossings", pa.array(zcross))
                 .append_column("active_samples", pa.array(active_samples))
-                .append_column("centroid_mhz", pa.array(centroid_mhz)))
+                .append_column("centroid_mhz", pa.array(centroid_mhz))
+                .append_column("snr_mdb", pa.array(snr_mdb)))

@@ -108,3 +108,15 @@ def test_spectral_centroid_tracks_tone_frequency():
     hi = dsp.spectral_centroid_hz(_sine(freq=3000, sr=16000), 16000)
     assert hi > lo
     assert dsp.spectral_centroid_hz(np.zeros(1000, np.float32), 16000) == 0.0
+
+
+def test_snr_estimate_orders_dynamics():
+    from mail_deduplicate_ray.functions import audio_dsp as dsp
+    sr = 16000
+    tone = _sine(sr=sr, dur=0.5)
+    # half silence + half tone has a much higher mean/floor ratio than
+    # a continuous tone
+    bursty = np.concatenate([np.zeros(len(tone), np.float32)
+                             + 1e-4, tone])
+    assert dsp.snr_estimate_db(bursty) > dsp.snr_estimate_db(tone) + 10
+    assert dsp.snr_estimate_db(np.zeros(100, np.float32)) == 0.0
