@@ -181,3 +181,33 @@ def test_export_flags_validated_eagerly(tmp_path, small_corpus):
     with _pytest.raises(ValueError, match="requires --out"):
         main(["dedup", "--input", str(src),
               "--export-codec", "pcm_s16le"])
+
+
+def test_cli_checkpoint_resume_identical_results(tmp_path, small_corpus):
+    """End-to-end CLI resume: a second run with the same
+    --checkpoint-root reuses the signature/edge checkpoints and writes
+    the identical kept set."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from mail_deduplicate_ray.__main__ import main
+
+    tbl, _ = small_corpus
+    src = tmp_path / "in.parquet"
+    pq.write_table(tbl, src)
+    ck = tmp_path / "ck"
+
+    def run(out_name):
+        out = tmp_path / out_name
+        rc = main(["dedup", "--input", str(src), "--out", str(out),
+                   "--checkpoint-root", str(ck)])
+        assert rc == 0
+        t = pq.read_table(out)
+        return sorted(t["clip_id"].to_pylist())
+
+    first = run("o1")
+    # checkpoint dirs now exist
+    assert any(ck.rglob("manifest.json"))
+    second = run("o2")
+    assert first == second
