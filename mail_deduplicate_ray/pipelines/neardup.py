@@ -109,6 +109,26 @@ def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
     else:
         sigs = clip_signatures(ds, cfg).materialize()
     n_found = sigs.count()
+    if n_found == 0:
+        # empty corpus: build an explicitly-typed empty result instead of
+        # letting downstream stages trip over schema-less datasets
+        # (ds.schema() is None when no blocks exist)
+        import ray.data as _rd
+        empty_settled = _rd.from_arrow(pa.table({
+            "clip_id": pa.array([], pa.string()),
+            "cluster_id": pa.array([], pa.string()),
+            "keep": pa.array([], pa.bool_()),
+            "reason": pa.array([], pa.string())}))
+        empty_edges = _rd.from_arrow(pa.table({
+            "src": pa.array([], pa.string()),
+            "dst": pa.array([], pa.string())}))
+        stats = collect_stats(empty_settled, 0)
+        stats.check()
+        return DedupResult(settled=empty_settled, rejected=sigs,
+                           edges=empty_edges, stats=stats,
+                           overflow_dropped=0,
+                           stage_times={"signature":
+                                        round(_time.time() - _t0, 3)})
     st["signature"] = _time.time() - _t0
     _t0 = _time.time()
 

@@ -457,3 +457,25 @@ def test_substring_channel_tiny_fragment_beyond_estimates():
     ed = res.edges.to_pandas()
     assert set(map(tuple, ed[["src", "dst"]].to_numpy())) == {
         ("big-0", "small-0")}
+
+
+def test_empty_corpus_and_extra_columns(small_corpus):
+    """Robustness: an empty clips table yields a typed empty result
+    (stats all zero, invariants hold); unknown extra columns ride
+    through the flagship untouched."""
+    import pyarrow as pa
+
+    from mail_deduplicate_ray.config import DedupConfig
+    from mail_deduplicate_ray.pipelines import neardup
+
+    tbl, _ = small_corpus
+    res = neardup.dedup_clips(ray.data.from_arrow(tbl.slice(0, 0)),
+                              DedupConfig())
+    assert res.settled.count() == 0
+    d = res.stats.to_dict()
+    assert d["mail_found"] == 0 and d["set_total"] == 0
+
+    extra = tbl.append_column("source_shard",
+                              pa.array(["s0"] * tbl.num_rows))
+    res2 = neardup.dedup_clips(ray.data.from_arrow(extra), DedupConfig())
+    assert res2.settled.count() == res2.stats.to_dict()["mail_retained"]
