@@ -45,6 +45,22 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--channels",
                    default="exact,minhash,audio,containment,substring")
     d.add_argument("--checkpoint-root", default=None)
+    d.add_argument("--action", default=None,
+                   choices=["copy-selected", "copy-discarded",
+                            "move-selected", "move-discarded",
+                            "delete-selected", "delete-discarded",
+                            "dedup-storage"],
+                   help="verb x target applied after settle (≙ ref Action "
+                        "enum action.py:281-339, verb routing :268-278): "
+                        "copy/move write the target subset to --out (move "
+                        "also emits a tombstone manifest), delete writes a "
+                        "tombstone manifest only, dedup-storage links "
+                        "discarded rows to their winner's blob (hardlink "
+                        "analogue). Default with --out: copy-selected")
+    d.add_argument("--allow-differing", action="store_true",
+                   help="dedup-storage only: link discarded rows whose "
+                        "content hash differs from the winner's "
+                        "(≙ --hardlink-differing, ref: action.py:156-192)")
     d.add_argument("--export-codec", default=None,
                    help="re-encode kept clips to this codec on export "
                         "(transcode action; requires --out)")
@@ -152,6 +168,15 @@ def main(argv: list[str] | None = None) -> int:
     # milliseconds, not as a RayTaskError after the whole dedup ran
     if args.export_sr and not args.export_codec:
         raise ValueError("--export-sr requires --export-codec")
+    if args.action and args.export_codec:
+        raise ValueError("--action and --export-codec are mutually "
+                         "exclusive (transcode is its own export verb)")
+    if args.action and not args.out and not args.dry_run:
+        raise ValueError(f"--action {args.action} requires --out "
+                         "(or --dry-run for counters only)")
+    if args.allow_differing and args.action != "dedup-storage":
+        raise ValueError("--allow-differing applies only to "
+                         "--action dedup-storage")
     if args.export_codec:
         from mail_deduplicate_ray import codecs as _codecs
         if args.export_codec not in _codecs.ENCODERS:
@@ -186,17 +211,32 @@ def main(argv: list[str] | None = None) -> int:
     res = neardup.dedup_clips(ds, cfg,
                               channels=tuple(args.channels.split(",")),
                               checkpoint_root=args.checkpoint_root)
-    if args.out and not args.dry_run:
-        if args.export_codec:
-            rep = actions.transcode_action(
-                res, read_clips(list(args.input)), args.out,
-                codec=args.export_codec, target_sr=args.export_sr)
-            print(f"wrote {rep.rows} transcoded rows -> {rep.out_path}",
-                  file=sys.stderr)
+    action = args.action
+    if action is None and args.out and not args.export_codec:
+        action = "copy-selected"  # the reference's default verb x target
+    if args.export_codec and not args.dry_run:
+        rep = actions.transcode_action(
+            res, read_clips(list(args.input)), args.out,
+            codec=args.export_codec, target_sr=args.export_sr)
+        print(f"wrote {rep.rows} transcoded rows -> {rep.out_path}",
+              file=sys.stderr)
+    elif action:
+        # verb x target routing (≙ OPERATIONS, ref: action.py:268-278);
+        # dry-run still produces counters, no I/O (ref: action.py:66-72)
+        if action == "dedup-storage":
+            rep = actions.dedup_storage_action(
+                res, args.out or "", allow_differing=args.allow_differing,
+                dry_run=args.dry_run)
         else:
-            rep = actions.copy_action(res, "selection", args.out)
-            print(f"wrote {rep.rows} kept rows -> {rep.out_path}",
-                  file=sys.stderr)
+            verb, _, tgt = action.partition("-")
+            target = {"selected": "selection", "discarded": "discard"}[tgt]
+            fn = {"copy": actions.copy_action, "move": actions.move_action,
+                  "delete": actions.delete_action}[verb]
+            rep = fn(res, target, args.out or "", dry_run=args.dry_run)
+        verbed = ("would touch" if rep.dry_run else "wrote")
+        dest = f" -> {rep.out_path}" if rep.out_path else ""
+        print(f"{rep.action} {rep.target}: {verbed} {rep.rows} rows{dest}",
+              file=sys.stderr)
     from mail_deduplicate_ray.stats import render_report
     print(render_report(res.stats, res.overflow_dropped, args.dry_run),
           file=sys.stderr)

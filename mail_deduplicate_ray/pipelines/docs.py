@@ -209,62 +209,17 @@ def minhash_clusters_docs(sf_dir: str) -> "ray.data.Dataset":
         batch_format="pyarrow")
 
 
-class _NgramJaccardScorer:
-    """Actor-pool stage for EXACT n-gram-set Jaccard pairs: the corpus'
-    inverted trigram index is BUILT ONCE on the driver and broadcast via
-    ray.put; each actor's __init__ just ray.gets the numpy arrays
-    (zero-copy reads from the object store — building per actor cost a
-    multi-second 10M-element argsort times the pool size).  Each batch
-    emits (a_id, b_id) for pairs with set-Jaccard >= threshold (a < b, so
-    each unordered pair appears once).
+def _gram_set1(text) -> "np.ndarray":
+    """One doc's sorted unique uint64 trigram hashes, with the oracle's
+    empty-text convention ({''} -> the bare FNV offset)."""
+    import numpy as np
 
-    This is the exact-verify counterpart of the MinHash channel — at
-    10^12 scale pair GENERATION goes through LSH buckets
-    (stages/candidates.py) and this kernel only verifies candidates."""
-
-    def __init__(self, index_ref, threshold: float) -> None:
-        import ray as _ray
-        (self.ids, self.sizes, self.uniq, self.starts,
-         self.postings) = _ray.get(index_ref)
-        self.threshold = threshold
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        import numpy as np
-        n_corpus = len(self.ids)
-        a_out, b_out = [], []
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        for grams, a_id in zip(_gram_sets(t), ids):
-            na = len(grams)
-            if na == 0:
-                continue
-            # postings walk: exact intersection COUNT against every corpus
-            # doc in one vectorized pass (no per-pair loop).  Per-DOC, not
-            # per-batch-matrix on purpose: common trigrams have posting
-            # lists touching most of the corpus, so a batched gather
-            # materializes ~10^9-element temporaries and runs 15x slower
-            # than this cache-resident per-doc walk (measured).
-            if not len(self.uniq):
-                continue
-            loc = np.minimum(np.searchsorted(self.uniq, grams),
-                             len(self.uniq) - 1)
-            hits = loc[self.uniq[loc] == grams]
-            if not len(hits):
-                continue
-            sel = np.concatenate([
-                self.postings[self.starts[lo]:self.starts[lo + 1]]
-                for lo in hits])
-            counts = np.bincount(sel, minlength=n_corpus)
-            union = na + self.sizes - counts
-            # same float expression as the oracle SQL (i*1.0/union >= t)
-            ok = (counts / union >= self.threshold) & (self.ids > a_id)
-            js = np.flatnonzero(ok)
-            a_out.extend([int(a_id)] * len(js))
-            b_out.extend(self.ids[js].tolist())
-        return pa.table({"a_id": pa.array(a_out, pa.int64()),
-                         "b_id": pa.array(b_out, pa.int64())})
+    from mail_deduplicate_ray.functions.shingles import _OFFS
+    h = shingles.shingle_hashes(text or "", 3)
+    return h if len(h) else np.array([_OFFS], dtype=np.uint64)
 
 
-def _gram_sets(t: pa.Table, k: int = 3):
+def _gram_sets(t: pa.Table):
     """Per-doc sorted, unique uint64 trigram hashes via the deterministic
     rolling-hash kernel (process-independent — actors and driver must
     agree).  Gram definition mirrors the oracle SQL exactly on the ASCII
@@ -274,51 +229,18 @@ def _gram_sets(t: pa.Table, k: int = 3):
     gives the gram set {''} (hashed as the bare FNV offset), so two empty
     docs pair at Jaccard 1.0 — shingle_hashes alone would return no grams
     and silently drop those pairs."""
-    import numpy as np
-
-    from mail_deduplicate_ray.functions.shingles import _OFFS
-    empty = np.array([_OFFS], dtype=np.uint64)
     for text in t["text"].to_pylist():
-        h = shingles.shingle_hashes(text or "", k)
-        yield h if len(h) else empty
+        yield _gram_set1(text)
 
 
-class _SubstringVerifier:
-    """Actor stage: verifies candidate (container_class, contained_class)
-    pairs by SUFFIX-ARRAY search (functions/suffixarray.py — the
-    north-star's exact-substring detector), then expands each verified
-    class pair to its (container doc, contained doc) cross product.
-    Container suffix arrays are memoized per actor — at scale the same
-    container is probed by many patterns."""
-
-    def __init__(self, corpus_ref) -> None:
-        import ray as _ray
-        self.texts, self.members = _ray.get(corpus_ref)
-        self._sa: dict[int, "np.ndarray"] = {}
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        from mail_deduplicate_ray.functions.suffixarray import (sa_contains,
-                                                                suffix_array)
-        a_out, b_out = [], []
-        for big, small in zip(t["big"].to_numpy(zero_copy_only=False),
-                              t["small"].to_numpy(zero_copy_only=False)):
-            big, small = int(big), int(small)
-            sa = self._sa.get(big)
-            if sa is None:
-                sa = suffix_array(np.frombuffer(self.texts[big], np.uint8))
-                self._sa[big] = sa
-            if sa_contains(self.texts[big], sa, self.texts[small]):
-                bm, sm = self.members[big], self.members[small]
-                a_out.append(np.repeat(bm, len(sm)))
-                b_out.append(np.tile(sm, len(bm)))
-        cat = (np.concatenate(a_out) if a_out
-               else np.empty(0, np.int64))
-        catb = (np.concatenate(b_out) if b_out
-                else np.empty(0, np.int64))
-        return pa.table({"a_id": pa.array(cat, pa.int64()),
-                         "b_id": pa.array(catb, pa.int64())})
+def _text_cls(texts) -> list[str]:
+    """128-bit identity key per text (collision-safe class id: identical
+    texts share a class; distinct texts never collide in practice —
+    2^-128).  Classing duplicates BEFORE the similarity join is the
+    memoized-verification idiom of stages/candidates.py: a cluster of m
+    identical copies costs O(m) member rows, never O(m^2) verify work."""
+    return [hashlib.sha256((v or "").encode()).hexdigest()[:32]
+            for v in texts]
 
 
 def substring_pairs(sf_dir: str, min_len: int = 64,
@@ -328,119 +250,410 @@ def substring_pairs(sf_dir: str, min_len: int = 64,
     containment (the north-star's suffix-array detector; ref analogue:
     byte-identical grouping mail.py:423-439 generalized to containment).
 
-    Shape: winnowing-minimizer candidate buckets (window w = min_len-k+1,
-    so any valid pattern provably shares >= 1 minimizer with its
-    container — see functions/shingles.minimizers) -> groupby(bucket)
-    pair-gen over DISTINCT text classes -> suffix-array verify in an
-    actor pool -> expand classes to doc pairs.  Texts are ASCII in this
-    corpus, so byte and char lengths agree with the SQL oracle.  At
-    10^12 scale the class texts join back by key instead of the ray.put
-    broadcast, and hot minimizer buckets salt exactly like the LSH
-    channels (stages/candidates._bucket_slices)."""
+    Routed through the clips substring machinery (stages/candidates.py):
+    winnowing-minimizer buckets -> bipartite candidates over DISTINCT
+    texts (one fused explode + one bucketed shuffle) -> exact
+    suffix-array verify with ``orient=True`` (verified rows come back as
+    (container, contained); equal-length identical-copy pairs drop) ->
+    identical-text class expansion via bloom-pruned shuffle joins.
+    Nothing corpus-sized touches the driver: texts re-attach inside
+    ``verify_substring_edges`` (semi-join-pruned broadcast under its
+    caps, bucketed-join fallback beyond — both parity-tested), and the
+    member table is bloom-semi-pruned to participating representatives
+    before the expansion joins.  Texts are ASCII in this corpus, so byte
+    (channel eligibility) and char (oracle) lengths agree."""
     import numpy as np
-    import pandas as pd
-    import pyarrow.parquet as pq
 
-    from mail_deduplicate_ray.functions.shingles import minimizers
-    w = min_len - k + 1
-    corpus = pq.read_table(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
-    ids = corpus["doc_id"].to_numpy(zero_copy_only=False)
-    codes, uniq = pd.factorize(
-        pd.Series([v or "" for v in corpus["text"].to_pylist()]))
-    texts = [u.encode("utf-8") for u in uniq]
-    members = [ids[np.flatnonzero(codes == c)].astype(np.int64)
-               for c in range(len(uniq))]
-    import ray as _ray
-    ref = _ray.put((texts, members))
+    from mail_deduplicate_ray.config import DedupConfig
+    from mail_deduplicate_ray.stages import bucketing, candidates
+    from mail_deduplicate_ray.stages.joins import semi_anti_join, shuffle_join
 
-    lens = np.array([len(b) for b in texts], dtype=np.int64)
-    eligible = np.flatnonzero(lens >= min_len)  # both sides need >= min_len
-    cls_tbl = pa.table({
-        "cls": pa.array(eligible, pa.int64()),
-        "n_bytes": pa.array(lens[eligible], pa.int64()),
-        "text": pa.array([uniq[c] for c in eligible], pa.string()),
-    })
+    cfg = DedupConfig(substring_k=k, substring_min_len=min_len)
+    docs = _docs(sf_dir, ["doc_id", "text"])
 
-    def explode(t: pa.Table) -> pa.Table:
-        buckets, cls_out, len_out = [], [], []
-        for cls, nb, txt in zip(t["cls"].to_numpy(zero_copy_only=False),
-                                t["n_bytes"].to_numpy(zero_copy_only=False),
-                                t["text"].to_pylist()):
-            mins = minimizers(np.frombuffer(txt.encode("utf-8"), np.uint8),
-                              k, w)
-            buckets.append(mins)
-            cls_out.append(np.full(len(mins), cls, np.int64))
-            len_out.append(np.full(len(mins), nb, np.int64))
+    def to_clips(t: pa.Table) -> pa.Table:
+        # zero-padded string ids so the machinery's min-clip_id class
+        # representative is the min doc_id (string order == numeric order)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table({
-            "bucket": pa.array(np.concatenate(buckets) if buckets
-                               else np.empty(0, np.uint64)),
-            "cls": pa.array(np.concatenate(cls_out) if cls_out
-                            else np.empty(0, np.int64)),
-            "n_bytes": pa.array(np.concatenate(len_out) if len_out
-                                else np.empty(0, np.int64)),
-        })
+            "clip_id": pa.array([f"{i:020d}" for i in ids], pa.string()),
+            "transcript_norm": t["text"]})
 
-    def pair_gen(g: pa.Table) -> pa.Table:
-        n_bytes = g["n_bytes"].to_numpy(zero_copy_only=False)
-        cls = g["cls"].to_numpy(zero_copy_only=False)
-        order = np.argsort(n_bytes, kind="stable")
-        nb, cl = n_bytes[order], cls[order]
-        i, j = np.triu_indices(len(cl), k=1)
-        strict = nb[i] < nb[j]  # contained must be STRICTLY shorter
-        return pa.table({"big": pa.array(cl[j][strict], pa.int64()),
-                         "small": pa.array(cl[i][strict], pa.int64())})
+    usable = docs.map_batches(to_clips, batch_format="pyarrow")
+    raw = candidates.candidate_edges(usable, cfg, channels=("substring",))
+    ded = candidates.dedup_edges(raw)
+    ver = candidates.verify_substring_edges(ded, usable, cfg, orient=True)
+    pairs = ver.map_batches(
+        lambda t: (lambda f: pa.table({
+            "big": pc.cast(f["src"], pa.int64()),
+            "small": pc.cast(f["dst"], pa.int64())}))(
+            t.filter(pc.not_equal(t["src"], ""))),
+        batch_format="pyarrow").materialize()
 
-    n_blocks = max(2, min(64, len(eligible)))
-    cand = (ray.data.from_arrow(cls_tbl).repartition(n_blocks)
-            .map_batches(explode, batch_format="pyarrow")
-            .groupby("bucket").map_groups(pair_gen, batch_format="pyarrow"))
-    # a class pair can surface from many shared minimizers: verify once
-    distinct = cand.groupby(["big", "small"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow")
-    from mail_deduplicate_ray.stages.bucketing import pool_size
-    _, hi = pool_size()
-    return distinct.map_batches(
-        _SubstringVerifier, fn_constructor_args=(ref,),
-        batch_format="pyarrow", batch_size=64,
-        concurrency=(1, max(2, hi // 2)))
+    empty = ray.data.from_arrow(pa.table({
+        "a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())}))
+    if pairs.count() == 0:
+        return empty
+
+    # pair endpoints are identical-text class REPRESENTATIVES (min doc_id)
+    # — expand each side to its full class through the member table
+    mem_rows = docs.map_batches(
+        lambda t: pa.table({
+            "cls": pa.array(_text_cls(t["text"].to_pylist()), pa.string()),
+            "doc_id": t["doc_id"]}),
+        batch_format="pyarrow")
+
+    def rep_expand(df) -> pa.Table:
+        rep = df.groupby("cls", sort=False)["doc_id"].transform("min")
+        return pa.table({
+            "rep_id": pa.array(rep.to_numpy(dtype=np.int64), pa.int64()),
+            "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64),
+                               pa.int64())})
+
+    members = bucketing.grouped(mem_rows, "cls", rep_expand)
+    pids = pairs.map_batches(
+        lambda t: pa.table({"rep_id": pa.concat_arrays(
+            [t["big"].combine_chunks().cast(pa.int64()),
+             t["small"].combine_chunks().cast(pa.int64())])}),
+        batch_format="pyarrow")
+    # bloom semi prune: member rows of non-participating classes drop
+    # BEFORE the shuffle, so the expansion joins move O(pairs), not corpus
+    members = semi_anti_join(members, pids, "rep_id", "rep_id",
+                             bloom_bits=1 << 20).materialize()
+    am = members.map_batches(
+        lambda t: pa.table({"rep_id": t["rep_id"], "a_id": t["doc_id"]}),
+        batch_format="pyarrow")
+    bm = members.map_batches(
+        lambda t: pa.table({"rep_id": t["rep_id"], "b_id": t["doc_id"]}),
+        batch_format="pyarrow")
+    e2 = shuffle_join(shuffle_join(pairs, am, "big", "rep_id"),
+                      bm, "small", "rep_id")
+    return e2.map_batches(
+        lambda t: t.select(["a_id", "b_id"]), batch_format="pyarrow") \
+        .union(empty)
+
+
+# verify-regime caps for the ngram-Jaccard join (patchable in tests to
+# force the bucketed-join fallback — same switch as verify_substring_edges)
+_NGJ_PAIR_BROADCAST_LIMIT = 2_000_000
+_NGJ_TEXT_BYTES_CAP = 1 << 30
+
+
+class _PrefixExplode:
+    """Actor stage: per doc, emit the PREFIX of its trigram set under the
+    global rarity order — one row (gram_rank, cls, size) per prefix gram.
+    Prefix length |s| - ceil(t*|s|) + 1 is the classic prefix-filter bound
+    (All-Pairs / PPJoin): two sets with Jaccard >= t MUST share a gram
+    inside both prefixes, so the bucketed groupby downstream sees every
+    qualifying pair.  Rarity ordering makes buckets small: a gram with
+    document frequency m lands in at most m prefixes.  The rank map is
+    ray.get ONCE per actor (zero-copy plasma arrays)."""
+
+    def __init__(self, rank_ref, threshold: float) -> None:
+        import ray as _ray
+        self.grams_sorted, self.rank = _ray.get(rank_ref)
+        self.t = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+        texts = t["text"].to_pylist()
+        cls = _text_cls(texts)
+        bkt, cls_out, size_out = [], [], []
+        seen: set[str] = set()  # identical texts in one batch explode once
+        for text, ck in zip(texts, cls):
+            if ck in seen:
+                continue
+            seen.add(ck)
+            grams = _gram_set1(text)
+            n = len(grams)
+            # safe ceil: never under-count the required overlap (a float
+            # product sitting just above an exact integer would shorten
+            # the prefix and could miss a true pair)
+            p = n - int(np.ceil(self.t * n - 1e-9)) + 1
+            r = np.sort(self.rank[np.searchsorted(self.grams_sorted,
+                                                  grams)])[:max(p, 1)]
+            bkt.append(r)
+            cls_out.append(np.repeat(np.array([ck], object), len(r)))
+            size_out.append(np.full(len(r), n, np.int64))
+        if not bkt:
+            return pa.table({"gram_rank": pa.array([], pa.uint64()),
+                             "cls": pa.array([], pa.string()),
+                             "size": pa.array([], pa.int64())})
+        return pa.table({
+            "gram_rank": pa.array(np.concatenate(bkt), pa.uint64()),
+            "cls": pa.array(np.concatenate(cls_out), pa.string()),
+            "size": pa.array(np.concatenate(size_out), pa.int64())})
+
+
+def _ngj_verify_rows(cls_a, cls_b, texts_a, texts_b,
+                     threshold: float) -> pa.Table:
+    """Exact trigram-set Jaccard check per candidate class pair (same
+    float expression as the oracle SQL: inter*1.0/union >= t).  Gram sets
+    are memoized per class within the call — one class verifies against
+    many counterparts."""
+    import numpy as np
+    cache: dict[str, "np.ndarray"] = {}
+
+    def grams(ck: str, text) -> "np.ndarray":
+        g = cache.get(ck)
+        if g is None:
+            g = _gram_set1(text)
+            cache[ck] = g
+        return g
+
+    out_a, out_b = [], []
+    for ca, cb, ta, tb in zip(cls_a, cls_b, texts_a, texts_b):
+        if not isinstance(ta, str) or not isinstance(tb, str):
+            continue  # missing side (null text / NaN)
+        ga, gb = grams(ca, ta), grams(cb, tb)
+        inter = np.intersect1d(ga, gb, assume_unique=True).size
+        union = len(ga) + len(gb) - inter
+        if inter / union >= threshold:
+            out_a.append(ca)
+            out_b.append(cb)
+    return pa.table({"cls_a": pa.array(out_a, pa.string()),
+                     "cls_b": pa.array(out_b, pa.string())})
 
 
 def ngram_jaccard_pairs(sf_dir: str,
                         threshold: float = 0.6) -> "ray.data.Dataset":
     """(a_id, b_id) pairs with exact character-trigram-set Jaccard >=
-    threshold (the n-gram-Jaccard dedup family member with a full DuckDB
-    oracle; MinHash estimates the same quantity at scale)."""
+    threshold — a fully DISTRIBUTED exact set-similarity join (the
+    n-gram-Jaccard dedup family member with a full DuckDB oracle;
+    MinHash estimates the same quantity at scale).
+
+    Shape (prefix-filtered similarity join, All-Pairs/PPJoin re-expressed
+    as Ray Data shuffles — nothing corpus-sized ever touches the driver):
+
+    1. **rarity rank** — one map_batches pass emits per-batch partial
+       (gram, count) rows; a groupby-sum reduces them.  The distinct
+       trigram count is bounded by |charset|^3 REGARDLESS of corpus size,
+       so this table is provably small and its rank arrays broadcast via
+       one ray.put.
+    2. **identical-text classing** — docs group by a 128-bit text hash;
+       one shuffle of (cls, doc_id) scalars yields intra-class pairs
+       (Jaccard exactly 1.0) and the member table for final expansion.
+       No text crosses this shuffle.
+    3. **prefix explode + bucketed pair-gen** — each DISTINCT class emits
+       its rarity-ordered prefix rows; groupby(gram_rank) generates
+       candidate class pairs under the exact size-ratio bound
+       (J <= min/max), two-pointer vectorized, then pairs dedup by a
+       bucketed drop_duplicates.
+    4. **exact verify** — candidate pairs re-attach one representative
+       text per class: broadcast regime (semi-join-pruned cls->text map,
+       ray.put once, zero shuffles) under _NGJ_* caps, bucketed
+       shuffle-join fallback beyond (parity-tested).
+    5. **expansion** — verified class pairs join the member table twice
+       (cls_a, then cls_b) and union with the intra-class pairs.
+    """
     import numpy as np
-    import pyarrow.parquet as pq
-    corpus = pq.read_table(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
-    ids = corpus["doc_id"].to_numpy(zero_copy_only=False)
-    sets = list(_gram_sets(corpus))
-    # inverted index gram -> posting slice of corpus doc positions,
-    # built once here, shipped to every actor as read-only plasma arrays
-    sizes = np.array([len(s) for s in sets], dtype=np.int64)
-    flat = np.concatenate(sets) if sets else np.empty(0, np.uint64)
-    docpos = np.repeat(np.arange(len(sets)), sizes)
-    order = np.argsort(flat, kind="stable")
-    uniq, starts = np.unique(flat[order], return_index=True)
     import ray as _ray
-    ref = _ray.put((ids, sizes, uniq, np.append(starts, len(flat)),
-                    docpos[order]))
-    from mail_deduplicate_ray.stages.bucketing import pool_size
-    # pool no bigger than the number of batches it will see — a
-    # cluster-sized pool spends more wall on actor startup than scoring
-    # when the query side is small
-    # small batches: per-batch output (pair lists) is highly skewed —
-    # duplicate-dense id ranges emit 10x the pairs of sparse ones, so fine
-    # batch granularity is what bounds the straggler
-    batch = 64
-    n_tasks = max(1, (corpus.num_rows + batch - 1) // batch)
-    _, hi = pool_size()
-    hi = max(2, min(hi, n_tasks))
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        _NgramJaccardScorer, fn_constructor_args=(ref, threshold),
-        batch_format="pyarrow", batch_size=batch, concurrency=(1, hi))
+
+    from mail_deduplicate_ray.stages import bucketing
+    from mail_deduplicate_ray.stages.joins import semi_anti_join, shuffle_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    empty_pairs = ray.data.from_arrow(pa.table({
+        "a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())}))
+
+    # ---- 1. global gram document-frequency -> rarity rank (broadcast)
+    def df_partial(t: pa.Table) -> pa.Table:
+        sets = list(_gram_sets(t))
+        if not sets:
+            return pa.table({"gram": pa.array([], pa.uint64()),
+                             "cnt": pa.array([], pa.int64())})
+        u, c = np.unique(np.concatenate(sets), return_counts=True)
+        return pa.table({"gram": pa.array(u, pa.uint64()),
+                         "cnt": pa.array(c, pa.int64())})
+
+    def df_sum(df) -> pa.Table:
+        s = df.groupby("gram", sort=False)["cnt"].sum()
+        return pa.table({
+            "gram": pa.array(s.index.to_numpy(dtype=np.uint64), pa.uint64()),
+            "cnt": pa.array(s.to_numpy(dtype=np.int64), pa.int64())})
+
+    # bucketed sum, NOT the native groupby: Ray's sort-based aggregation
+    # round-trips uint64 keys through Python ints and fails Arrow
+    # conversion for values above int64 max
+    df_tbl = bucketing.grouped(
+        docs.map_batches(df_partial, batch_format="pyarrow"),
+        "gram", df_sum).to_pandas()
+    if not len(df_tbl):
+        return empty_pairs
+    g = df_tbl["gram"].to_numpy(dtype=np.uint64)
+    c = df_tbl["cnt"].to_numpy(dtype=np.int64)
+    o = np.argsort(g, kind="stable")
+    gs, cs = g[o], c[o]
+    rank = np.empty(len(gs), np.uint64)
+    rank[np.lexsort((gs, cs))] = np.arange(len(gs), dtype=np.uint64)
+    rank_ref = _ray.put((gs, rank))
+
+    # ---- 2. identical-text classing (scalar shuffle only)
+    members = docs.map_batches(
+        lambda t: pa.table({
+            "cls": pa.array(_text_cls(t["text"].to_pylist()), pa.string()),
+            "doc_id": t["doc_id"]}),
+        batch_format="pyarrow").materialize()  # consumed by 3 branches
+
+    def triangles(df) -> pa.Table:
+        a_out, b_out = [], []
+        for _, grp in df.groupby("cls", sort=False):
+            if len(grp) < 2:
+                continue
+            m = np.sort(grp["doc_id"].to_numpy(dtype=np.int64))
+            i, j = np.triu_indices(len(m), 1)
+            a_out.append(m[i])
+            b_out.append(m[j])
+        a = np.concatenate(a_out) if a_out else np.empty(0, np.int64)
+        b = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
+        return pa.table({"a_id": pa.array(a, pa.int64()),
+                         "b_id": pa.array(b, pa.int64())})
+
+    intra = bucketing.grouped(members, "cls", triangles)
+
+    # ---- 3. prefix explode -> bucketed candidate pair-gen
+    prefix = docs.map_batches(
+        _PrefixExplode, fn_constructor_args=(rank_ref, threshold),
+        batch_format="pyarrow", batch_size=512,
+        concurrency=bucketing.pool_size())
+
+    def pair_gen(df) -> pa.Table:
+        bkt = df["gram_rank"].to_numpy(dtype=np.uint64)
+        cls = df["cls"].to_numpy()
+        size = df["size"].to_numpy(dtype=np.int64)
+        order = np.lexsort((cls, bkt))
+        b_sorted = bkt[order]
+        bounds = np.flatnonzero(np.concatenate(
+            ([True], b_sorted[1:] != b_sorted[:-1], [True])))
+        a_out, b_out = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            idx = order[s:e]
+            # distinct classes only (cross-batch duplicates collapse here)
+            uc, first = np.unique(cls[idx], return_index=True)
+            if len(uc) < 2:
+                continue
+            su = size[idx[first]]
+            so = np.argsort(su, kind="stable")
+            s_sorted, c_sorted = su[so], uc[so]
+            # two-pointer under the exact size-ratio bound: emission is
+            # output-sensitive, O(candidates), never O(bucket^2)
+            j_idx = np.arange(len(s_sorted))
+            lows = np.searchsorted(s_sorted,
+                                   threshold * s_sorted - 1e-9, "left")
+            cnt = np.maximum(j_idx - lows, 0)
+            tot = int(cnt.sum())
+            if not tot:
+                continue
+            jj = np.repeat(j_idx, cnt)
+            ii = (np.repeat(lows, cnt)
+                  + np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt))
+            pa_, pb_ = c_sorted[ii], c_sorted[jj]
+            a_out.append(np.minimum(pa_, pb_))
+            b_out.append(np.maximum(pa_, pb_))
+        a = np.concatenate(a_out) if a_out else np.empty(0, object)
+        b = np.concatenate(b_out) if b_out else np.empty(0, object)
+        return pa.table({"cls_a": pa.array(a, pa.string()),
+                         "cls_b": pa.array(b, pa.string())})
+
+    cand = bucketing.grouped(
+        bucketing.grouped(prefix, "gram_rank", pair_gen),
+        "cls_a", lambda df: df.drop_duplicates()).materialize()
+    n_pairs = cand.count()
+    if n_pairs == 0:
+        return intra.union(empty_pairs)
+
+    # ---- 4. exact verify (broadcast regime, bucketed-join fallback)
+    verified = None
+    if n_pairs <= _NGJ_PAIR_BROADCAST_LIMIT:
+        parts: list[pa.Array] = []
+        for b in cand.iter_batches(batch_format="pyarrow",
+                                   batch_size=65536):
+            parts.append(pc.unique(b["cls_a"]))
+            parts.append(pc.unique(b["cls_b"]))
+        need = pc.unique(pa.concat_arrays(
+            [p.cast(pa.string()) for p in parts]))
+        need_ref = _ray.put(need)
+
+        def prune(t: pa.Table, ref=need_ref) -> pa.Table:
+            ks = pa.array(_text_cls(t["text"].to_pylist()), pa.string())
+            m = pc.is_in(ks, value_set=_ray.get(ref))
+            return pa.table({"cls": ks.filter(m),
+                             "text": t.filter(m)["text"]})
+
+        tmap: dict | None = {}
+        total = 0
+        for b in docs.map_batches(prune, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow", batch_size=8192):
+            for ck, txt in zip(b["cls"].to_pylist(), b["text"].to_pylist()):
+                if ck not in tmap:
+                    txt = txt or ""
+                    tmap[ck] = txt
+                    total += len(txt.encode("utf-8"))
+            if total > _NGJ_TEXT_BYTES_CAP:
+                tmap = None
+                break
+        if tmap is not None:
+            tref = _ray.put(tmap)
+
+            def vmap(t: pa.Table, ref=tref) -> pa.Table:
+                m = _ray.get(ref)
+                ca = t["cls_a"].to_pylist()
+                cb = t["cls_b"].to_pylist()
+                return _ngj_verify_rows(ca, cb, [m.get(x) for x in ca],
+                                        [m.get(x) for x in cb], threshold)
+
+            verified = cand.map_batches(vmap, batch_size=65536,
+                                        batch_format="pyarrow")
+    if verified is None:
+        # fallback: prune distinct class texts by semi join, then two
+        # bucketed joins attach each side's text — O(participating text)
+        # per join, the same cost class as one LSH band pass
+        ctext = docs.map_batches(
+            lambda t: pa.table({
+                "cls": pa.array(_text_cls(t["text"].to_pylist()),
+                                pa.string()),
+                "text": t["text"]}),
+            batch_format="pyarrow")
+        keys = cand.map_batches(
+            lambda t: pa.table({"cls": pa.concat_arrays(
+                [t["cls_a"].combine_chunks().cast(pa.string()),
+                 t["cls_b"].combine_chunks().cast(pa.string())])}),
+            batch_format="pyarrow")
+        ctext = semi_anti_join(ctext, keys, "cls", "cls")
+        ctext = bucketing.grouped(
+            ctext, "cls", lambda df: df.drop_duplicates("cls")).materialize()
+        ta = ctext.map_batches(
+            lambda t: pa.table({"cls": t["cls"], "text_a": t["text"]}),
+            batch_format="pyarrow")
+        tb = ctext.map_batches(
+            lambda t: pa.table({"cls": t["cls"], "text_b": t["text"]}),
+            batch_format="pyarrow")
+        j = shuffle_join(shuffle_join(cand, ta, "cls_a", "cls"),
+                         tb, "cls_b", "cls")
+        verified = j.map_batches(
+            lambda t: _ngj_verify_rows(
+                t["cls_a"].to_pylist(), t["cls_b"].to_pylist(),
+                t["text_a"].to_pylist(), t["text_b"].to_pylist(),
+                threshold),
+            batch_format="pyarrow")
+
+    # ---- 5. expand verified class pairs to doc pairs
+    am = members.map_batches(
+        lambda t: pa.table({"cls": t["cls"], "a_id": t["doc_id"]}),
+        batch_format="pyarrow")
+    bm = members.map_batches(
+        lambda t: pa.table({"cls": t["cls"], "b_id": t["doc_id"]}),
+        batch_format="pyarrow")
+    e2 = shuffle_join(shuffle_join(verified, am, "cls_a", "cls"),
+                      bm, "cls_b", "cls")
+    cross = e2.map_batches(
+        lambda t: pa.table({
+            "a_id": pc.min_element_wise(t["a_id"], t["b_id"]),
+            "b_id": pc.max_element_wise(t["a_id"], t["b_id"])}),
+        batch_format="pyarrow")
+    return intra.union(cross)
 
 
 def simhash_neardup_pairs(sf_dir: str,

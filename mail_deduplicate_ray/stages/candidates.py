@@ -762,7 +762,8 @@ def dedup_edges(raw_edges: "ray.data.Dataset",
 _SA_FANOUT = 256
 
 
-def _verify_pair_rows(srcs, dsts, stexts, dtexts) -> pa.Table:
+def _verify_pair_rows(srcs, dsts, stexts, dtexts,
+                      orient: bool = False) -> pa.Table:
     """The exact verification kernel shared by both verify paths: for each
     candidate (src, dst) with attached texts, keep the pair iff the shorter
     text occurs verbatim in the longer.  Low-fanout containers use the
@@ -772,7 +773,13 @@ def _verify_pair_rows(srcs, dsts, stexts, dtexts) -> pa.Table:
     measured break-even: build 648us vs 1.6us/`in` query, so the SA only
     pays when many patterns hit one container).  Equal-length pairs are
     identical-copy star candidates (same tfp group) and verify by string
-    equality — equal length can never strictly contain."""
+    equality — equal length can never strictly contain.
+
+    ``orient=True`` switches to STRICT-containment semantics: verified
+    rows come back as (src=container, dst=contained) and equal-length
+    (identical-copy) pairs are dropped — the shape the docs
+    ``substring_pairs`` oracle needs, where edge direction is the
+    answer rather than fodder for connected components."""
     from mail_deduplicate_ray.functions.suffixarray import (sa_contains,
                                                             suffix_array)
     # fanout census: how many patterns will query each container here
@@ -789,13 +796,13 @@ def _verify_pair_rows(srcs, dsts, stexts, dtexts) -> pa.Table:
         if not isinstance(stext, str) or not isinstance(dtext, str):
             continue  # missing side (null text or NaN from pandas)
         if len(stext) == len(dtext):
-            if stext == dtext:
+            if not orient and stext == dtext:
                 out_s.append(src)
                 out_d.append(dst)
             continue
-        big_id, big, small = ((src, stext, dtext)
-                              if len(stext) > len(dtext)
-                              else (dst, dtext, stext))
+        big_id, small_id, big, small = ((src, dst, stext, dtext)
+                                        if len(stext) > len(dtext)
+                                        else (dst, src, dtext, stext))
         if fanout[big_id] >= _SA_FANOUT:
             ent = cache.get(big_id)
             if ent is None:
@@ -806,8 +813,8 @@ def _verify_pair_rows(srcs, dsts, stexts, dtexts) -> pa.Table:
         else:
             hit = small in big
         if hit:
-            out_s.append(src)
-            out_d.append(dst)
+            out_s.append(big_id if orient else src)
+            out_d.append(small_id if orient else dst)
     return pa.table({
         "src": pa.array(out_s, pa.string()),
         "dst": pa.array(out_d, pa.string()),
@@ -817,7 +824,8 @@ def _verify_pair_rows(srcs, dsts, stexts, dtexts) -> pa.Table:
 
 def verify_substring_edges(deduped: "ray.data.Dataset",
                            usable: "ray.data.Dataset", cfg: DedupConfig,
-                           nbuckets: int = 64) -> "ray.data.Dataset":
+                           nbuckets: int = 64,
+                           orient: bool = False) -> "ray.data.Dataset":
     """Exact suffix-array verification of the substring channel's
     candidate pairs (the north-star detector, BASELINE.json).
 
@@ -910,7 +918,7 @@ def verify_substring_edges(deduped: "ray.data.Dataset",
                 dsts = t["dst"].to_pylist()
                 return _verify_pair_rows(
                     srcs, dsts, [m.get(s) for s in srcs],
-                    [m.get(d) for d in dsts])
+                    [m.get(d) for d in dsts], orient=orient)
 
             return rest.union(cand.map_batches(vmap, batch_size=65536,
                                                batch_format="pyarrow"))
@@ -953,7 +961,7 @@ def verify_substring_edges(deduped: "ray.data.Dataset",
         return _verify_pair_rows(
             pairs["other"].tolist(), pairs["key"].tolist(),
             pairs["otext"].tolist(),  # NaN/None handled by the kernel
-            [tmap.get(k) for k in pairs["key"]])
+            [tmap.get(k) for k in pairs["key"]], orient=orient)
 
     verified = bucketing.grouped(p1.union(text_rows), "key", j2, nbuckets,
                                  batch_format="pyarrow")

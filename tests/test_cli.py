@@ -211,3 +211,72 @@ def test_cli_checkpoint_resume_identical_results(tmp_path, small_corpus):
     assert any(ck.rglob("manifest.json"))
     second = run("o2")
     assert first == second
+
+
+# ---- CLI --action verb x target matrix (≙ ref Action enum
+# action.py:281-339 routed from cli.py:477; test model: the reference's
+# action matrix tests/test_action.py:82) ----
+
+@pytest.mark.parametrize("action", [
+    "copy-selected", "copy-discarded", "move-selected", "move-discarded",
+    "delete-selected", "delete-discarded", "dedup-storage"])
+def test_cli_action_matrix(tmp_path, clips_file, capsys, action):
+    out = tmp_path / "out"
+
+    # dry run first: counters produced, NO output dirs, input untouched
+    before = open(clips_file, "rb").read()
+    assert main(["dedup", "--input", clips_file, "--dry-run",
+                 "--action", action]) == 0
+    cap = capsys.readouterr()
+    assert "would touch" in cap.err
+    assert not out.exists()
+    assert open(clips_file, "rb").read() == before
+
+    # real run writes the routed artifact
+    assert main(["dedup", "--input", clips_file, "--out", str(out),
+                 "--action", action]) == 0
+    cap = capsys.readouterr()
+    stats = json.loads(cap.out.strip().splitlines()[-1])["stats"]
+    verb = action.split("-")[0]
+    # keep=True = everything not discarded (evicted mails stay in place,
+    # ref: deduplicate.py:453 — eviction is not discard)
+    n_sel = sum(stats.get(k, 0) for k in (
+        "mail_selected", "mail_unique", "mail_skipped", "mail_evicted"))
+    n_disc = stats.get("mail_discarded", 0)
+    if action == "dedup-storage":
+        # discarded rows -> (clip_id, blob_ref) links, byte-equality gated
+        # (the gate may block all links; the manifest dir still lands)
+        assert out.exists()
+        files = sorted(out.glob("*.parquet"))
+        if files:
+            got = pq.read_table(out)
+            assert set(got.column_names) == {"clip_id", "blob_ref"}
+            assert got.num_rows <= n_disc
+        return
+    got = pq.read_table(out)
+    if verb in ("copy", "move"):
+        want = n_sel if action.endswith("selected") else n_disc
+        assert got.num_rows == want
+        assert "clip_id" in got.column_names and "keep" in got.column_names
+        tomb = tmp_path / "out.tombstones"
+        if verb == "move":  # move also emits the tombstone manifest
+            assert pq.read_table(tomb).column_names == ["clip_id"]
+            assert pq.read_table(tomb).num_rows == want
+        else:
+            assert not tomb.exists()
+    else:  # delete -> tombstone manifest only
+        want = n_sel if action.endswith("selected") else n_disc
+        assert got.column_names == ["clip_id"]
+        assert got.num_rows == want
+    assert open(clips_file, "rb").read() == before  # source never mutated
+
+
+def test_cli_action_flags_validated_eagerly(clips_file, tmp_path):
+    with pytest.raises(ValueError, match="requires --out"):
+        main(["dedup", "--input", clips_file, "--action", "move-selected"])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        main(["dedup", "--input", clips_file, "--out", str(tmp_path / "o"),
+              "--action", "copy-selected", "--export-codec", "pcm_s16le"])
+    with pytest.raises(ValueError, match="allow-differing"):
+        main(["dedup", "--input", clips_file, "--dry-run",
+              "--action", "copy-selected", "--allow-differing"])
