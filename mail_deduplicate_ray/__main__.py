@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "tombstone manifest only, dedup-storage links "
                         "discarded rows to their winner's blob (hardlink "
                         "analogue). Default with --out: copy-selected")
+    d.add_argument("--append", action="store_true",
+                   help="copy/move only: add new part files to an existing "
+                        "output dataset (generation-stamped, manifest "
+                        "tracked) instead of replacing it (≙ create_box "
+                        "append, ref: mail_box.py:490-511)")
     d.add_argument("--allow-differing", action="store_true",
                    help="dedup-storage only: link discarded rows whose "
                         "content hash differs from the winner's "
@@ -177,6 +182,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.allow_differing and args.action != "dedup-storage":
         raise ValueError("--allow-differing applies only to "
                          "--action dedup-storage")
+    if args.append and (args.action or "copy-selected").split("-")[0] \
+            not in ("copy", "move"):
+        raise ValueError("--append applies only to copy/move actions")
     if args.export_codec:
         from mail_deduplicate_ray import codecs as _codecs
         if args.export_codec not in _codecs.ENCODERS:
@@ -232,7 +240,9 @@ def main(argv: list[str] | None = None) -> int:
             target = {"selected": "selection", "discarded": "discard"}[tgt]
             fn = {"copy": actions.copy_action, "move": actions.move_action,
                   "delete": actions.delete_action}[verb]
-            rep = fn(res, target, args.out or "", dry_run=args.dry_run)
+            kw = {"append": args.append} if verb in ("copy", "move") else {}
+            rep = fn(res, target, args.out or "", dry_run=args.dry_run,
+                     **kw)
         verbed = ("would touch" if rep.dry_run else "wrote")
         dest = f" -> {rep.out_path}" if rep.out_path else ""
         print(f"{rep.action} {rep.target}: {verbed} {rep.rows} rows{dest}",

@@ -65,26 +65,64 @@ def _atomic_write(ds: "ray.data.Dataset", out_dir: str | Path) -> int:
                for p in sorted(out.glob("*.parquet")))
 
 
+def _append_write(ds: "ray.data.Dataset", out_dir: str | Path) -> int:
+    """Append-mode export (≙ create_box(..., append), ref:
+    mail_box.py:490-511): new part files land in the EXISTING dataset dir
+    under a fresh generation prefix; ``_manifest.json`` records per-
+    generation lineage (files + rows).  Underscore-prefixed names are
+    ignored by parquet directory readers, so the union reads back with a
+    plain ``pq.read_table(dir)``.  The parts are staged to a tmp dir
+    first and moved in one pass; the manifest update is atomic
+    (tmp + rename), so a torn append leaves at worst orphan parts that
+    the next manifest never references."""
+    import json
+
+    import pyarrow.parquet as pq
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    tmp = out.parent / f".{out.name}.tmp-{int(time.time() * 1e6)}"
+    ds.write_parquet(str(tmp))
+    manifest_p = out / "_manifest.json"
+    manifest = (json.loads(manifest_p.read_text())
+                if manifest_p.exists() else {"generations": []})
+    gen = len(manifest["generations"])
+    files = []
+    rows = 0
+    for p in sorted(tmp.glob("*.parquet")):
+        name = f"gen{gen:05d}-{p.name}"
+        rows += pq.ParquetFile(p).metadata.num_rows
+        p.rename(out / name)
+        files.append(name)
+    shutil.rmtree(tmp)
+    manifest["generations"].append({"id": gen, "files": files,
+                                    "rows": rows})
+    mtmp = out / f"._manifest.tmp-{int(time.time() * 1e6)}"
+    mtmp.write_text(json.dumps(manifest, indent=1))
+    mtmp.rename(manifest_p)
+    return rows
+
+
 def copy_action(result: DedupResult, target: str, out_dir: str | Path,
-                dry_run: bool = False) -> ActionReport:
+                dry_run: bool = False, append: bool = False) -> ActionReport:
     sub = _subset(result, target)
     if dry_run:  # counters still produced (ref: action.py:66-72)
         return ActionReport("copy", target, sub.count(), True)
-    n = _atomic_write(sub, out_dir)
-    return ActionReport("copy", target, n, False, str(out_dir))
+    n = (_append_write if append else _atomic_write)(sub, out_dir)
+    return ActionReport("copy", target, n, False, str(out_dir),
+                        {"append": append})
 
 
 def move_action(result: DedupResult, target: str, out_dir: str | Path,
-                dry_run: bool = False) -> ActionReport:
+                dry_run: bool = False, append: bool = False) -> ActionReport:
     """copy + tombstones for the moved rows (ref: action.py:94-117 —
     'remove from source' becomes a deletion manifest)."""
-    rep = copy_action(result, target, out_dir, dry_run)
+    rep = copy_action(result, target, out_dir, dry_run, append)
     tomb = _subset(result, target).select_columns(["clip_id"])
     if not dry_run:
-        _atomic_write(tomb, Path(out_dir).parent /
-                      f"{Path(out_dir).name}.tombstones")
+        (_append_write if append else _atomic_write)(
+            tomb, Path(out_dir).parent / f"{Path(out_dir).name}.tombstones")
     return ActionReport("move", target, rep.rows, dry_run, rep.out_path,
-                        {"tombstones": rep.rows})
+                        {"tombstones": rep.rows, "append": append})
 
 
 def delete_action(result: DedupResult, target: str, out_dir: str | Path,

@@ -50,9 +50,11 @@ def _norm(m: np.ndarray) -> np.ndarray:
 
 def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
+    # predicate pushdown: only row groups that can hold vec_id < n land in
+    # driver memory — never the whole corpus (the query side is tiny)
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    t = t.filter(pc.less(t["vec_id"], n_queries))
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", n_queries)])
     return _to_matrix(t)
 
 
@@ -113,38 +115,92 @@ def ann_bruteforce_topk(sf_dir: str, n_queries: int = 8,
                                                    batch_format="pyarrow")
 
 
-class _NearDupScorer:
-    def __init__(self, corpus_ref, threshold: float) -> None:
-        self.ids, m = ray.get(corpus_ref)
-        self.mn = _norm(m)
-        self.threshold = threshold
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35,
+                            n_blocks: int = 8) -> "ray.data.Dataset":
+    """All unordered pairs with cosine >= threshold — EXACT all-pairs
+    (the truth oracle the LSH path is recall-gated against), expressed
+    as a distributed block self-join: rows hash into ``n_blocks`` id
+    blocks, each row replicates to its n_blocks block-pair buckets
+    (shuffle volume n x B rows — the standard triangle-join trade), and
+    every unordered block pair is scored by exactly ONE partition task
+    (n^2/B^2 dot products each).  No whole-corpus ``ray.put``, nothing
+    on the driver; the math is bit-identical to a single matmul (same
+    per-row norms, same d-ordered dot products), so the output matches
+    the broadcast formulation exactly."""
+    from mail_deduplicate_ray.stages import bucketing
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        ids, emb = _to_matrix(t)
-        sims = _norm(emb) @ self.mn.T
-        ai, bj = np.nonzero(sims >= self.threshold)
-        a = ids[ai]
-        b = self.ids[bj]
-        keep = a < b  # each unordered pair once, no self-pairs
-        return pa.table({
-            "a_id": pa.array(a[keep].astype(np.int64), pa.int64()),
-            "b_id": pa.array(b[keep].astype(np.int64), pa.int64()),
-        })
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)  # native f32
+        n = len(ids)
+        dims = len(flat) // n if n else 0
+        emb = np.ascontiguousarray(flat.reshape(n, dims))
+        blk = (ids % n_blocks).astype(np.int64)
+        emb_bin = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(emb.dtype.itemsize * dims), n,
+            [None, pa.py_buffer(emb.tobytes())])
+        base = pa.table({"vec_id": pa.array(ids.astype(np.int64)),
+                         "blk": pa.array(blk),
+                         "emb": emb_bin})
+        # one copy per block partner; pair key (min, max) folded to an int
+        reps = np.repeat(np.arange(n), n_blocks)
+        other = np.tile(np.arange(n_blocks, dtype=np.int64), n)
+        mine = blk[reps]
+        lo = np.minimum(mine, other)
+        hi = np.maximum(mine, other)
+        return base.take(pa.array(reps)).append_column(
+            "pk", pa.array(lo * n_blocks + hi, pa.int64()))
 
+    exploded = _read(sf_dir).map_batches(explode, batch_format="pyarrow",
+                                         batch_size=4096)
 
-def embedding_neardup_pairs(sf_dir: str,
-                            threshold: float = 0.35) -> "ray.data.Dataset":
-    """All unordered pairs with cosine >= threshold.  The corpus side is
-    broadcast (embeddings tables are the small side of training pipelines);
-    the streaming side scans once — no shuffle."""
-    import pyarrow.parquet as pq
-    corpus = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                           columns=["vec_id", "embedding"])
-    ref = ray.put(_to_matrix(corpus))
-    return _read(sf_dir).map_batches(
-        _NearDupScorer, fn_constructor_args=(ref, threshold),
-        batch_format="pyarrow", batch_size=4096,
-        concurrency=_pool())
+    def part(df) -> "pa.Table":
+        import pandas as pd
+        ids_all = df["vec_id"].to_numpy()
+        blk_all = df["blk"].to_numpy()
+        raw = np.frombuffer(b"".join(df["emb"]), dtype=np.float32)
+        emb_all = _norm(raw.reshape(len(df), -1).astype(np.float64))
+        pks = df["pk"].to_numpy()
+        a_out, b_out = [], []
+        order = np.argsort(pks, kind="stable")
+        p_sorted = pks[order]
+        bounds = np.flatnonzero(np.concatenate(
+            ([True], p_sorted[1:] != p_sorted[:-1], [True])))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            idx = order[s:e]
+            pk = int(p_sorted[s])
+            i, j = pk // n_blocks, pk % n_blocks
+            if i == j:
+                # within-block rows appear once here; each unordered pair
+                # shows up in both (x,y) and (y,x) of the matrix — a<b
+                # keeps one and drops self-pairs
+                sub = idx[blk_all[idx] == i]
+                m = emb_all[sub]
+                sims = m @ m.T
+                ai, bj = np.nonzero(sims >= threshold)
+                a, b = ids_all[sub][ai], ids_all[sub][bj]
+                keep = a < b
+                a_out.append(a[keep])
+                b_out.append(b[keep])
+            else:
+                sa = idx[blk_all[idx] == i]
+                sb = idx[blk_all[idx] == j]
+                if not len(sa) or not len(sb):
+                    continue
+                sims = emb_all[sa] @ emb_all[sb].T
+                ai, bj = np.nonzero(sims >= threshold)
+                a, b = ids_all[sa][ai], ids_all[sb][bj]
+                a_out.append(np.minimum(a, b))
+                b_out.append(np.maximum(a, b))
+        a = np.concatenate(a_out) if a_out else np.empty(0, np.int64)
+        b = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
+        return pa.table({"a_id": pa.array(a.astype(np.int64), pa.int64()),
+                         "b_id": pa.array(b.astype(np.int64), pa.int64())})
+
+    nb = max(8, (n_blocks * (n_blocks + 1)) // 2)
+    return bucketing.grouped(exploded, "pk", part, nbuckets=nb,
+                             batch_format="pandas")
 
 
 class _SRPBucketer:

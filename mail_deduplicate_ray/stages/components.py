@@ -11,9 +11,11 @@ per-node Python calls.
 Convergence: labels are monotonically non-increasing, so a round with
 ``sum(changed) == 0`` is a fixpoint; LSH candidate clusters are near-stars
 (stages/candidates.py emits representative edges), so 2-4 rounds typical;
-``max_rounds`` caps defensively.  At 10^12-node scale the same loop gets
-large-star/small-star contraction to bound rounds at O(log n) (PAPERS.md:
-BTS, ICDE 2024) — the seam is this function.
+``max_rounds`` caps defensively.  For adversarial topologies (chains of
+near-dup clusters with diameter ≫ rounds) ``method="star"`` selects
+large/small-star contraction (:func:`star_contraction_components` —
+PAPERS.md: Kiveris et al.), which converges in O(log n) rounds and
+produces identical min labels (parity-tested on planted path graphs).
 
 Determinism: labels are clip_id strings, min is lexicographic — identical
 output at any parallelism (≙ min-path link target, deduplicate.py:1168).
@@ -28,7 +30,7 @@ import pyarrow as pa
 import ray.data
 
 from mail_deduplicate_ray.stages.bucketing import (BUCKET_COL, add_bucket,
-                                                   arrow_clean,
+                                                   arrow_clean, grouped,
                                                    hash_to_buckets)
 
 
@@ -112,9 +114,128 @@ def _pointer_jump(labels: "ray.data.Dataset",
         batch_format="pandas")
 
 
+def _edge_fingerprint(edges: "ray.data.Dataset") -> tuple[int, int]:
+    """Order-insensitive (count, wrapped-sum-of-row-hash) fingerprint of an
+    edge table — the convergence test for star contraction.  Sum wraps in
+    uint64; two DIFFERENT edge sets colliding on both count and sum is a
+    ~2^-64 event, and a false match only ends iteration one round early on
+    a set that then fails the (tested) label parity, never silently."""
+    def part(t: pa.Table) -> pa.Table:
+        h = (pd.util.hash_array(t["src"].to_numpy(zero_copy_only=False))
+             * np.uint64(0x9E3779B97F4A7C15)
+             ^ pd.util.hash_array(t["dst"].to_numpy(zero_copy_only=False)))
+        tot = np.uint64(0)
+        for v in h:
+            tot += v  # uint64 wraparound
+        return pa.table({"cnt": pa.array([t.num_rows], pa.int64()),
+                         "h": pa.array([int(tot) & ((1 << 63) - 1)],
+                                       pa.int64())})
+
+    cnt = 0
+    hs = 0
+    for b in edges.map_batches(part, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        cnt += sum(b["cnt"].to_pylist())
+        for v in b["h"].to_pylist():
+            hs = (hs + v) & ((1 << 63) - 1)
+    return cnt, hs
+
+
+def _star_phase(edges: "ray.data.Dataset", large: bool,
+                nbuckets: int) -> "ray.data.Dataset":
+    """One large-star or small-star round (Kiveris et al., 'Connected
+    Components in MapReduce and Beyond' — PAPERS.md).  Input and output
+    edges are (src < dst) normalized strings; each input edge yields
+    exactly ONE output edge, so the edge count never grows.
+
+    large-star(u): m = min(Γ(u) ∪ {u}); emit (m, v) for v ∈ Γ(u), v > u
+    small-star(u): over neighbors v < u only: m = min; emit (m, v) for
+                   v ≠ m plus (m, u)
+    """
+    if large:
+        rows = _both_directions(edges)
+    else:
+        # group at the LARGER endpoint; neighbors are all smaller
+        rows = edges.map_batches(
+            lambda t: pa.table({"node": t["dst"], "nbr": t["src"]}),
+            batch_format="pyarrow")
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        node = df["node"].to_numpy()
+        nbr = df["nbr"].to_numpy()
+        order = np.lexsort((nbr, node))
+        n_s, b_s = node[order], nbr[order]
+        bounds = np.flatnonzero(np.concatenate(
+            ([True], n_s[1:] != n_s[:-1], [True])))
+        src_out: list = []
+        dst_out: list = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            u = n_s[s]
+            nbrs = np.unique(b_s[s:e])  # sorted, deduped
+            if large:
+                m = nbrs[0] if nbrs[0] < u else u
+                vs = nbrs[nbrs > u]
+                src_out.extend([m] * len(vs))
+                dst_out.extend(vs.tolist())
+            else:
+                m = nbrs[0]
+                vs = nbrs[1:]
+                src_out.extend([m] * (len(vs) + 1))
+                dst_out.extend(vs.tolist())
+                dst_out.append(u)
+        return pd.DataFrame({"src": src_out, "dst": dst_out})
+
+    return grouped(rows, "node", part, nbuckets)
+
+
+def star_contraction_components(edges: "ray.data.Dataset",
+                                max_rounds: int = 30,
+                                nbuckets: int = 64,
+                                ) -> tuple["ray.data.Dataset", int]:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    contraction — the provably O(log n)-round algorithm for adversarial
+    topologies (long chains) where one-hop min propagation needs
+    O(diameter) rounds (PAPERS.md: Kiveris et al.; the seam named in
+    :func:`connected_components`).  Converges when a full round leaves
+    the edge set unchanged (order-insensitive fingerprint); the final
+    state is a star forest rooted at each component's min node, read off
+    directly as the label table.  Returns (labels, rounds)."""
+    cur = edges.map_batches(
+        lambda t: t.select(["src", "dst"]), batch_format="pyarrow") \
+        .materialize()
+    fp = _edge_fingerprint(cur)
+    rounds = 0
+    while True:
+        rounds += 1
+        cur = _star_phase(cur, large=True, nbuckets=nbuckets)
+        cur = _star_phase(cur, large=False, nbuckets=nbuckets) \
+            .materialize()
+        nfp = _edge_fingerprint(cur)
+        if nfp == fp:
+            break
+        fp = nfp
+        if rounds >= max_rounds:
+            raise RuntimeError(
+                f"star contraction did not converge in {max_rounds} "
+                "rounds — raise max_rounds")
+
+    def to_labels(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays([t["dst"].combine_chunks(),
+                                      t["src"].combine_chunks()]),
+            "label": pa.concat_arrays([t["src"].combine_chunks(),
+                                       t["src"].combine_chunks()])})
+
+    labels = grouped(
+        cur.map_batches(to_labels, batch_format="pyarrow"),
+        "node", lambda df: df.drop_duplicates(subset=["node"]), nbuckets)
+    return labels, rounds
+
+
 def connected_components(edges: "ray.data.Dataset", max_rounds: int = 10,
                          nbuckets: int = 64,
                          driver_threshold: int = 2_000_000,
+                         method: str = "hashmin",
                          ) -> "ray.data.Dataset":
     """edges(src,dst) -> labels(node,label); covers nodes appearing in edges
     (singletons are defaulted by attach_cluster_ids).
@@ -123,10 +244,22 @@ def connected_components(edges: "ray.data.Dataset", max_rounds: int = 10,
     the driver (≙ the reference's driver-held hash index — the edge table
     is the *duplicate pairs*, a small fraction of the corpus even at scale);
     beyond it, the distributed min-label propagation below runs entirely as
-    bucketed shuffles.  Both produce identical min-label output."""
+    bucketed shuffles.  Both produce identical min-label output.
+
+    ``method="star"`` switches the distributed engine to large/small-star
+    contraction (:func:`star_contraction_components`) — same labels,
+    O(log n) rounds even on adversarial chain graphs where min
+    propagation's per-round reach matters (parity- and round-count-tested
+    on planted path graphs)."""
+    if method not in ("hashmin", "star"):
+        raise ValueError(f"unknown method {method!r}")
     n_edges = edges.count()
     if n_edges <= driver_threshold:
         return _driver_union_find(edges)
+    if method == "star":
+        labels, _ = star_contraction_components(edges, max(max_rounds, 30),
+                                                nbuckets)
+        return labels
     # partition count scales with the edge volume (~100k edges/partition):
     # tiny inputs (tests, forced-distributed runs) otherwise pay 64 shuffle
     # partitions of fixed overhead per round

@@ -120,3 +120,45 @@ def test_transcode_unknown_codec_rejected(result, tmp_path):
 
     with _pytest.raises(ValueError, match="codec"):
         actions._TranscodeStage("mp3", None)
+
+
+def test_copy_append_roundtrip(result, tmp_path):
+    """Append-mode export (≙ create_box append, ref: mail_box.py:490-511):
+    a second copy into the same dir ADDS generation-stamped parts; the
+    union reads back with a plain directory read and the manifest records
+    per-generation lineage."""
+    import json
+
+    out = tmp_path / "ds"
+    r1 = actions.copy_action(result, "selection", out, append=True)
+    r2 = actions.copy_action(result, "discard", out, append=True)
+    got = pq.read_table(out)  # _manifest.json is reader-ignored
+    assert got.num_rows == r1.rows + r2.rows
+    ids = got["clip_id"].to_pylist()
+    assert len(set(ids)) == len(ids)  # selection and discard are disjoint
+    man = json.loads((out / "_manifest.json").read_text())
+    assert [g["id"] for g in man["generations"]] == [0, 1]
+    assert man["generations"][0]["rows"] == r1.rows
+    assert man["generations"][1]["rows"] == r2.rows
+    for g in man["generations"]:
+        for f in g["files"]:
+            assert (out / f).exists()
+
+
+def test_copy_append_vs_replace(result, tmp_path):
+    out = tmp_path / "ds"
+    r1 = actions.copy_action(result, "selection", out, append=True)
+    assert pq.read_table(out).num_rows == r1.rows
+    # replace mode wipes the dir (manifest and all generations gone)
+    r2 = actions.copy_action(result, "selection", out)
+    assert pq.read_table(out).num_rows == r2.rows == r1.rows
+    assert not (out / "_manifest.json").exists()
+
+
+def test_move_append_tombstones(result, tmp_path):
+    out = tmp_path / "moved"
+    r1 = actions.move_action(result, "discard", out, append=True)
+    r2 = actions.move_action(result, "discard", out, append=True)
+    tomb = tmp_path / "moved.tombstones"
+    assert pq.read_table(out).num_rows == r1.rows + r2.rows
+    assert pq.read_table(tomb).num_rows == r1.rows + r2.rows

@@ -192,3 +192,61 @@ def test_format_version_feeds_fingerprint(monkeypatch):
     fp1 = cfg.fingerprint()
     monkeypatch.setattr(DedupConfig, "SIG_FORMAT_VERSION", 99)
     assert DedupConfig().fingerprint() != fp1
+
+
+def test_partial_resume_invalidates_edge_log(root):
+    """A resume that hashes NEW rows must recompute the edge log — the
+    for_rows guard (pipelines/neardup.py) — and the recomputed edges must
+    link the new duplicates (≙ cache.py staleness: stale content never
+    answers from cache)."""
+    import pyarrow as pa
+
+    from mail_deduplicate_ray.pipelines import neardup
+
+    tbl, _ = synth.generate_clips(30, seed=7)
+    cfg = DedupConfig()
+    r1 = neardup.dedup_clips(ray.data.from_arrow(tbl), cfg,
+                             checkpoint_root=str(root))
+    store = CheckpointStore(root, cfg.fingerprint())
+    mf1 = store.manifest()["edges"]
+    n1 = r1.stats["mail_found"] if isinstance(r1.stats, dict) \
+        else r1.stats.to_dict()["mail_found"]
+    assert mf1["for_rows"] == n1
+
+    # grow the corpus: clone an existing clip under a fresh id — an exact
+    # duplicate that MUST surface as a new edge after resume
+    first = tbl.slice(0, 1)
+    clone = first.set_column(
+        tbl.schema.get_field_index("clip_id"), "clip_id",
+        pa.array(["zz-cloned-row"], pa.string()))
+    grown = pa.concat_tables([tbl, clone])
+    r2 = neardup.dedup_clips(ray.data.from_arrow(grown), cfg,
+                             checkpoint_root=str(root))
+    mf2 = CheckpointStore(root, cfg.fingerprint()).manifest()["edges"]
+    assert mf2["for_rows"] == n1 + 1  # edge log recomputed, not reused
+    touched = {r["src"] for r in r2.edges.take_all()} \
+        | {r["dst"] for r in r2.edges.take_all()}
+    assert "zz-cloned-row" in touched
+    orig = first["clip_id"][0].as_py()
+    clusters = {r["clip_id"]: r["cluster_id"]
+                for r in r2.settled.select_columns(
+                    ["clip_id", "cluster_id"]).take_all()}
+    assert clusters["zz-cloned-row"] == clusters[orig]
+
+
+def test_edge_log_reused_when_nothing_changed(root):
+    """Unchanged corpus + config: the second run must ANSWER edges from
+    the checkpoint (for_rows and edge_fp both match)."""
+    from mail_deduplicate_ray.pipelines import neardup
+
+    tbl, _ = synth.generate_clips(30, seed=7)
+    cfg = DedupConfig()
+    neardup.dedup_clips(ray.data.from_arrow(tbl), cfg,
+                        checkpoint_root=str(root))
+    store = CheckpointStore(root, cfg.fingerprint())
+    stamp1 = store.manifest()["edges"]
+    r2 = neardup.dedup_clips(ray.data.from_arrow(tbl), cfg,
+                             checkpoint_root=str(root))
+    stamp2 = CheckpointStore(root, cfg.fingerprint()).manifest()["edges"]
+    assert stamp2 == stamp1  # untouched -> loaded, not rewritten
+    assert r2.stats.to_dict()["mail_found"] == tbl.num_rows

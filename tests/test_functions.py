@@ -301,3 +301,56 @@ class TestSuffixArray:
             assert len(np.intersect1d(mp, mt)) > 0
         # too-short pattern yields empty set
         assert len(minimizers(text[:63], k, w)) == 0
+
+
+class TestAdpcm:
+    """IMA-ADPCM (WAV tag 0x11) — the registry's third real codec and its
+    worked extension example (≙ EML proving the reference's box-format
+    registry, mail_box.py:128-232)."""
+
+    def test_roundtrip_snr_tone(self):
+        x = _tone()
+        data = codecs.encode(x, 16000, "adpcm_ima")
+        y, sr = codecs.decode(data)  # tag sniffed, no declared codec
+        assert sr == 16000
+        # output is block-rounded (final block zero-padded)
+        assert len(x) <= len(y) < len(x) + 505
+        assert codecs.snr_db(x, y) >= 30
+        # ~4.1 bits/sample incl. headers vs 16 for pcm
+        assert len(data) < 0.6 * len(x)
+
+    def test_roundtrip_snr_speechlike(self):
+        rng = np.random.default_rng(3)
+        n = rng.standard_normal(8000)
+        k = np.exp(-np.arange(40) / 8.0)
+        sp = np.convolve(n, k)[:8000]
+        sp = (0.3 * sp / np.abs(sp).max()).astype(np.float32)
+        y, _ = codecs.decode(codecs.encode(sp, 8000, "adpcm_ima"))
+        assert codecs.snr_db(sp, y) >= 20  # 4-bit ADPCM on broadband
+
+    def test_max_samples_whole_blocks(self):
+        x = _tone()
+        data = codecs.encode(x, 16000, "adpcm_ima")
+        full, _ = codecs.decode(data)
+        pre, _ = codecs.decode(data, max_samples=100)
+        # block granularity: rounded up to one 505-sample block
+        assert len(pre) == 505
+        assert np.array_equal(pre, full[:505])
+
+    def test_truncated_payload_rejected(self):
+        data = codecs.encode(_tone(), 16000, "adpcm_ima")
+        hdr = 44  # RIFF header size
+        with pytest.raises(ValueError, match="truncated"):
+            # mid-block cut: container dlen no longer matches
+            codecs.decode(data[:hdr + 100])
+
+    def test_corrupt_block_header_rejected(self):
+        data = bytearray(codecs.encode(_tone(), 16000, "adpcm_ima"))
+        data[44 + 2] = 200  # step index way out of range
+        with pytest.raises(ValueError, match="corrupt"):
+            codecs.decode(bytes(data))
+
+    def test_empty_signal(self):
+        y, sr = codecs.decode(codecs.encode(
+            np.empty(0, np.float32), 8000, "adpcm_ima"))
+        assert sr == 8000 and len(y) == 0

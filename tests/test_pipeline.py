@@ -479,3 +479,49 @@ def test_empty_corpus_and_extra_columns(small_corpus):
                               pa.array(["s0"] * tbl.num_rows))
     res2 = neardup.dedup_clips(ray.data.from_arrow(extra), DedupConfig())
     assert res2.settled.count() == res2.stats.to_dict()["mail_retained"]
+
+
+def test_star_contraction_path_graph_log_rounds():
+    """Planted path graph (diameter >> rounds): large/small-star
+    contraction must produce the same min labels as driver union-find in
+    O(log n) rounds (≙ the components.py adversarial-chain seam;
+    PAPERS.md: Kiveris et al.).  Node names are id-permuted so the
+    component min is NOT adjacent to most nodes."""
+    import math
+    import random
+
+    n = 512
+    rng = random.Random(41)
+    perm = list(range(n))
+    rng.shuffle(perm)
+    names = [f"v{perm[i]:05d}" for i in range(n)]
+    edges = ray.data.from_items(
+        [{"src": min(names[i], names[i + 1]),
+          "dst": max(names[i], names[i + 1])} for i in range(n - 1)])
+    truth = {r["node"]: r["label"] for r in
+             components.connected_components(
+                 edges, driver_threshold=10**9).take_all()}
+    labels, rounds = components.star_contraction_components(edges,
+                                                            nbuckets=8)
+    got = {r["node"]: r["label"] for r in labels.take_all()}
+    assert got == truth
+    assert set(got.values()) == {min(names)}
+    # O(log n): alternation halves star depth each round
+    assert rounds <= 2 * math.ceil(math.log2(n)) + 2, rounds
+
+
+def test_star_contraction_matches_hashmin_on_multi_component():
+    edges = ray.data.from_items([
+        {"src": "a", "dst": "b"}, {"src": "b", "dst": "c"},
+        {"src": "c", "dst": "d"}, {"src": "x", "dst": "y"},
+        {"src": "p", "dst": "q"}, {"src": "q", "dst": "r"},
+    ])
+    via_star = {r["node"]: r["label"] for r in
+                components.connected_components(
+                    edges, driver_threshold=0,
+                    method="star").take_all()}
+    via_hash = {r["node"]: r["label"] for r in
+                components.connected_components(
+                    edges, driver_threshold=0).take_all()}
+    assert via_star == via_hash
+    assert via_star["d"] == "a" and via_star["r"] == "p"
