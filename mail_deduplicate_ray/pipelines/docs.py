@@ -337,6 +337,9 @@ def substring_pairs(sf_dir: str, min_len: int = 64,
 # force the bucketed-join fallback — same switch as verify_substring_edges)
 _NGJ_PAIR_BROADCAST_LIMIT = 2_000_000
 _NGJ_TEXT_BYTES_CAP = 1 << 30
+# candidate-path selector: None = auto (dense regime -> block self-join,
+# sparse -> prefix-filtered join); tests force "prefix" / "block"
+_NGJ_FORCE_PATH: str | None = None
 
 
 class _PrefixExplode:
@@ -456,7 +459,65 @@ def ngram_jaccard_pairs(sf_dir: str,
     empty_pairs = ray.data.from_arrow(pa.table({
         "a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())}))
 
-    # ---- 1. global gram document-frequency -> rarity rank (broadcast)
+    # ---- regime pick from a BOUNDED sample (first ~4k docs — same
+    # bounded-driver-sample pattern as the IVF quantizer): coverage =
+    # fraction of the (sampled) gram universe the average doc holds.
+    # Sparse (real text: ~300 grams per doc out of 10^5-10^6 distinct) ->
+    # prefix filtering prunes hard and is the scale path.  Dense (tiny
+    # gram universe, every pair shares most grams — prefix buckets
+    # degenerate to all-pairs) -> block self-join with a vectorized
+    # postings verify: each unordered class-block pair scored by exactly
+    # ONE task, no candidate dedup shuffle at all.  Sampling only steers
+    # the heuristic; both paths are exact.
+    import pyarrow.parquet as pq
+    sample_parts = []
+    got = 0
+    for rb in pq.ParquetFile(f"{sf_dir}/documents.parquet").iter_batches(
+            batch_size=2048, columns=["text"]):
+        sample_parts.append(rb)
+        got += rb.num_rows
+        if got >= 4096:
+            break
+    if got == 0:
+        return empty_pairs
+    sample = pa.Table.from_batches(sample_parts)
+    sample_sets = list(_gram_sets(sample))
+    sample_universe = np.unique(np.concatenate(sample_sets))
+    coverage = (sum(len(s) for s in sample_sets) / len(sample_sets)
+                / max(1, len(sample_universe)))
+    path = _NGJ_FORCE_PATH or ("block" if coverage > 0.05 else "prefix")
+
+    # ---- identical-text classing (scalar shuffle only)
+    members = docs.map_batches(
+        lambda t: pa.table({
+            "cls": pa.array(_text_cls(t["text"].to_pylist()), pa.string()),
+            "doc_id": t["doc_id"]}),
+        batch_format="pyarrow").materialize()  # consumed by 3 branches
+
+    def triangles(df) -> pa.Table:
+        a_out, b_out = [], []
+        for _, grp in df.groupby("cls", sort=False):
+            if len(grp) < 2:
+                continue
+            m = np.sort(grp["doc_id"].to_numpy(dtype=np.int64))
+            i, j = np.triu_indices(len(m), 1)
+            a_out.append(m[i])
+            b_out.append(m[j])
+        a = np.concatenate(a_out) if a_out else np.empty(0, np.int64)
+        b = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
+        return pa.table({"a_id": pa.array(a, pa.int64()),
+                         "b_id": pa.array(b, pa.int64())})
+
+    intra = bucketing.grouped(members, "cls", triangles)
+
+    if path == "block":
+        # materialized: the verify shuffle chain otherwise re-plans inside
+        # the 3-way union and loses stage overlap (measured ~2x end-to-end)
+        verified = _ngj_block_pairs(docs, threshold).materialize()
+        return _ngj_expand(intra, verified, members, empty_pairs)
+
+    # ---- 1. global gram document-frequency -> rarity rank (broadcast;
+    # distinct trigram count is bounded by |charset|^3 at ANY corpus size)
     def df_partial(t: pa.Table) -> pa.Table:
         sets = list(_gram_sets(t))
         if not sets:
@@ -479,7 +540,7 @@ def ngram_jaccard_pairs(sf_dir: str,
         docs.map_batches(df_partial, batch_format="pyarrow"),
         "gram", df_sum).to_pandas()
     if not len(df_tbl):
-        return empty_pairs
+        return intra.union(empty_pairs)
     g = df_tbl["gram"].to_numpy(dtype=np.uint64)
     c = df_tbl["cnt"].to_numpy(dtype=np.int64)
     o = np.argsort(g, kind="stable")
@@ -487,29 +548,6 @@ def ngram_jaccard_pairs(sf_dir: str,
     rank = np.empty(len(gs), np.uint64)
     rank[np.lexsort((gs, cs))] = np.arange(len(gs), dtype=np.uint64)
     rank_ref = _ray.put((gs, rank))
-
-    # ---- 2. identical-text classing (scalar shuffle only)
-    members = docs.map_batches(
-        lambda t: pa.table({
-            "cls": pa.array(_text_cls(t["text"].to_pylist()), pa.string()),
-            "doc_id": t["doc_id"]}),
-        batch_format="pyarrow").materialize()  # consumed by 3 branches
-
-    def triangles(df) -> pa.Table:
-        a_out, b_out = [], []
-        for _, grp in df.groupby("cls", sort=False):
-            if len(grp) < 2:
-                continue
-            m = np.sort(grp["doc_id"].to_numpy(dtype=np.int64))
-            i, j = np.triu_indices(len(m), 1)
-            a_out.append(m[i])
-            b_out.append(m[j])
-        a = np.concatenate(a_out) if a_out else np.empty(0, np.int64)
-        b = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
-        return pa.table({"a_id": pa.array(a, pa.int64()),
-                         "b_id": pa.array(b, pa.int64())})
-
-    intra = bucketing.grouped(members, "cls", triangles)
 
     # ---- 3. prefix explode -> bucketed candidate pair-gen
     prefix = docs.map_batches(
@@ -639,7 +677,64 @@ def ngram_jaccard_pairs(sf_dir: str,
                 threshold),
             batch_format="pyarrow")
 
-    # ---- 5. expand verified class pairs to doc pairs
+    return _ngj_expand(intra, verified, members, empty_pairs)
+
+
+_NGJ_MEMBER_BROADCAST_LIMIT = 5_000_000
+
+
+def _ngj_expand(intra: "ray.data.Dataset", verified: "ray.data.Dataset",
+                members: "ray.data.Dataset",
+                empty_pairs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Expand verified cross-class pairs to doc pairs through the member
+    table and union with the intra-class triangles.  Two regimes: up to
+    ``_NGJ_MEMBER_BROADCAST_LIMIT`` member rows the cls->ids map travels
+    once via ray.put and expansion is a zero-shuffle map (classes are
+    mostly singletons, so the shuffle joins were 2 full exchanges of the
+    pair table for nothing — measured 10s -> ~1s at sf0.1); beyond the
+    cap, two bucketed shuffle joins (never driver-bound)."""
+    import numpy as np
+    import ray as _ray
+
+    from mail_deduplicate_ray.stages.joins import shuffle_join
+
+    if members.count() <= _NGJ_MEMBER_BROADCAST_LIMIT:
+        mm: dict[str, list[int]] = {}
+        for b in members.iter_batches(batch_format="pyarrow",
+                                      batch_size=65536):
+            for ck, did in zip(b["cls"].to_pylist(),
+                               b["doc_id"].to_pylist()):
+                mm.setdefault(ck, []).append(did)
+        ref = _ray.put({k: np.asarray(v, np.int64)
+                        for k, v in mm.items()})
+
+        def expand(t: pa.Table, ref=ref) -> pa.Table:
+            m = _ray.get(ref)
+            ca = t["cls_a"].to_pylist()
+            cb = t["cls_b"].to_pylist()
+            na = np.fromiter((len(m[x]) for x in ca), np.int64, len(ca))
+            nb = np.fromiter((len(m[x]) for x in cb), np.int64, len(cb))
+            if len(ca) and (na == 1).all() and (nb == 1).all():
+                a = np.fromiter((m[x][0] for x in ca), np.int64, len(ca))
+                b = np.fromiter((m[x][0] for x in cb), np.int64, len(cb))
+            else:
+                parts_a, parts_b = [], []
+                for x, y in zip(ca, cb):
+                    ma, mb = m[x], m[y]
+                    parts_a.append(np.repeat(ma, len(mb)))
+                    parts_b.append(np.tile(mb, len(ma)))
+                a = (np.concatenate(parts_a) if parts_a
+                     else np.empty(0, np.int64))
+                b = (np.concatenate(parts_b) if parts_b
+                     else np.empty(0, np.int64))
+            return pa.table({
+                "a_id": pa.array(np.minimum(a, b), pa.int64()),
+                "b_id": pa.array(np.maximum(a, b), pa.int64())})
+
+        cross = verified.map_batches(expand, batch_format="pyarrow",
+                                     batch_size=65536)
+        return intra.union(cross).union(empty_pairs)
+
     am = members.map_batches(
         lambda t: pa.table({"cls": t["cls"], "a_id": t["doc_id"]}),
         batch_format="pyarrow")
@@ -653,7 +748,105 @@ def ngram_jaccard_pairs(sf_dir: str,
             "a_id": pc.min_element_wise(t["a_id"], t["b_id"]),
             "b_id": pc.max_element_wise(t["a_id"], t["b_id"])}),
         batch_format="pyarrow")
-    return intra.union(cross)
+    return intra.union(cross).union(empty_pairs)
+
+
+def _ngj_block_pairs(docs: "ray.data.Dataset", threshold: float,
+                     n_blocks: int = 8) -> "ray.data.Dataset":
+    """Dense-regime exact Jaccard pairs over DISTINCT text classes: the
+    block self-join idiom (see embedding_neardup_pairs) — every class
+    replicates its packed gram set to its ``n_blocks`` block-pair buckets
+    and each unordered block pair is scored by exactly one partition task
+    with the vectorized postings walk (per-class searchsorted + bincount
+    against the opposite block — the cache-resident kernel, never a
+    per-pair Python loop).  No candidate dedup shuffle exists on this
+    path: each class pair is examined exactly once."""
+    import numpy as np
+
+    from mail_deduplicate_ray.stages import bucketing
+
+    ctext = docs.map_batches(
+        lambda t: pa.table({
+            "cls": pa.array(_text_cls(t["text"].to_pylist()), pa.string()),
+            "text": t["text"]}),
+        batch_format="pyarrow")
+    classes = bucketing.grouped(
+        ctext, "cls", lambda df: df.drop_duplicates("cls"))
+
+    def explode(t: pa.Table) -> pa.Table:
+        cls = t["cls"].to_pylist()
+        grams = [_gram_set1(v) for v in t["text"].to_pylist()]
+        base = pa.table({
+            "cls": t["cls"],
+            "blk": pa.array(bucketing.hash_to_buckets(cls, n_blocks)
+                            .astype(np.int64), pa.int64()),
+            "grams": pa.array([g.tobytes() for g in grams], pa.binary())})
+        n = t.num_rows
+        reps = np.repeat(np.arange(n), n_blocks)
+        other = np.tile(np.arange(n_blocks, dtype=np.int64), n)
+        mine = base["blk"].to_numpy(zero_copy_only=False)[reps]
+        lo = np.minimum(mine, other)
+        hi = np.maximum(mine, other)
+        return base.take(pa.array(reps)).append_column(
+            "pk", pa.array(lo * n_blocks + hi, pa.int64()))
+
+    exploded = classes.map_batches(explode, batch_format="pyarrow")
+
+    def part(df) -> pa.Table:
+        cls_all = df["cls"].to_numpy()
+        blk_all = df["blk"].to_numpy()
+        grams_all = [np.frombuffer(b, np.uint64) for b in df["grams"]]
+        sizes_all = np.array([len(g) for g in grams_all], dtype=np.int64)
+        pks = df["pk"].to_numpy()
+        a_out: list = []
+        b_out: list = []
+        order = np.argsort(pks, kind="stable")
+        p_sorted = pks[order]
+        bounds = np.flatnonzero(np.concatenate(
+            ([True], p_sorted[1:] != p_sorted[:-1], [True])))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            idx = order[s:e]
+            pk = int(p_sorted[s])
+            i, j = pk // n_blocks, pk % n_blocks
+            sb = idx[blk_all[idx] == j]
+            sa = sb if i == j else idx[blk_all[idx] == i]
+            if not len(sa) or not len(sb):
+                continue
+            # inverted postings over the RIGHT side, built once per pair
+            flat = (np.concatenate([grams_all[k] for k in sb])
+                    if len(sb) else np.empty(0, np.uint64))
+            pos = np.repeat(np.arange(len(sb)), sizes_all[sb])
+            o2 = np.argsort(flat, kind="stable")
+            uniq, starts = np.unique(flat[o2], return_index=True)
+            starts = np.append(starts, len(flat))
+            postings = pos[o2]
+            sizes_b = sizes_all[sb]
+            cls_b = cls_all[sb]
+            for k in sa.tolist():
+                ga = grams_all[k]
+                if not len(uniq):
+                    continue
+                loc = np.minimum(np.searchsorted(uniq, ga), len(uniq) - 1)
+                hits = loc[uniq[loc] == ga]
+                if not len(hits):
+                    continue
+                sel = np.concatenate(
+                    [postings[starts[h]:starts[h + 1]] for h in hits])
+                counts = np.bincount(sel, minlength=len(sb))
+                union = len(ga) + sizes_b - counts
+                ok = counts / union >= threshold
+                if i == j:
+                    ok &= cls_b > cls_all[k]  # each unordered pair once
+                js = np.flatnonzero(ok)
+                ca = cls_all[k]
+                for cb in cls_b[js].tolist():
+                    a_out.append(min(ca, cb))
+                    b_out.append(max(ca, cb))
+        return pa.table({"cls_a": pa.array(a_out, pa.string()),
+                         "cls_b": pa.array(b_out, pa.string())})
+
+    nb = max(8, (n_blocks * (n_blocks + 1)) // 2)
+    return bucketing.grouped(exploded, "pk", part, nbuckets=nb)
 
 
 def simhash_neardup_pairs(sf_dir: str,

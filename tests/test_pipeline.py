@@ -525,3 +525,34 @@ def test_star_contraction_matches_hashmin_on_multi_component():
                     edges, driver_threshold=0).take_all()}
     assert via_star == via_hash
     assert via_star["d"] == "a" and via_star["r"] == "p"
+
+
+def test_ngram_jaccard_both_paths_agree():
+    """The dense-regime block self-join and the sparse-regime prefix-
+    filtered join are both exact: identical pair sets on the same corpus;
+    the prefix path's bucketed-join verify fallback (forced tiny caps)
+    agrees too."""
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+    d = "/root/testdata/sf0.001"
+
+    def run():
+        return {(r["a_id"], r["b_id"]) for r in
+                docs_mod.ngram_jaccard_pairs(d).take_all()}
+
+    forced = {}
+    try:
+        for p in ("block", "prefix"):
+            docs_mod._NGJ_FORCE_PATH = p
+            forced[p] = run()
+        # prefix path, broadcast verify disabled -> shuffle-join fallback
+        docs_mod._NGJ_FORCE_PATH = "prefix"
+        old = docs_mod._NGJ_PAIR_BROADCAST_LIMIT
+        docs_mod._NGJ_PAIR_BROADCAST_LIMIT = 0
+        forced["prefix-fallback"] = run()
+        docs_mod._NGJ_PAIR_BROADCAST_LIMIT = old
+    finally:
+        docs_mod._NGJ_FORCE_PATH = None
+        docs_mod._NGJ_PAIR_BROADCAST_LIMIT = 2_000_000
+    assert forced["block"] == forced["prefix"]
+    assert forced["block"] == forced["prefix-fallback"]
+    assert len(forced["block"]) > 0
