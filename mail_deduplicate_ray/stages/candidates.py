@@ -251,7 +251,9 @@ def explode_all(batch: pa.Table, cfg: DedupConfig,
         containment  minhash_sig8 (num_perm B) || set_size (8 B LE)
         substring    n_bytes of utf-8 transcript_norm (8 B LE) || tfp
                      minimizer-set fingerprint (8 B LE) || role (1 B:
-                     1 = global-min row)
+                     1 = global-min row) || bot4: the text's 4 SMALLEST
+                     minimizers (4x8 B LE, UINT64_MAX-padded) — the
+                     exact subset-prune sketch (see _substring_core)
     """
     n = batch.num_rows
     out_idx: list[np.ndarray] = []    # row index into batch
@@ -389,15 +391,24 @@ def explode_all(batch: pa.Table, cfg: DedupConfig,
                 starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
                 pos_in_seg = np.arange(ridx.size) - np.repeat(starts, counts)
                 role = (pos_in_seg < cfg.substring_probes).astype(np.uint8)
+                # bottom-4 minimizer sketch (minimizers() is sorted):
+                # containment implies minimizer-set SUBSET, so the verify
+                # core can prune candidates exactly (no recall loss)
+                bot4 = np.full((el.size, 4), np.uint64(0xFFFFFFFFFFFFFFFF),
+                               np.uint64)
+                for r, m in enumerate(mins):
+                    bot4[r, :min(4, len(m))] = m[:4]
                 pay = np.concatenate(
                     [n_bytes[ridx][:, None].view(np.uint8),
                      tfp[:, None].view(np.uint8),
-                     role[:, None]], axis=1)
+                     role[:, None],
+                     np.repeat(bot4, counts, axis=0).view(np.uint8)],
+                    axis=1)
                 out_idx.append(ridx)
                 out_ch.append(np.full(ridx.size, _CH["substring"], np.uint8))
                 out_bkt.append(flat)
                 out_pay.append(np.ascontiguousarray(pay).tobytes())
-                out_wid.append(np.full(ridx.size, 17, np.int32))
+                out_wid.append(np.full(ridx.size, 49, np.int32))
 
     if not out_idx:
         return pa.table({"clip_id": pa.array([], pa.string()),
@@ -543,7 +554,8 @@ def _containment_core(ids_all: np.ndarray, buckets: np.ndarray,
 
 def _substring_core(ids_all: np.ndarray, buckets: np.ndarray,
                     sizes_all: np.ndarray, tfp_all: np.ndarray,
-                    roles_all: np.ndarray, cfg: DedupConfig) -> pd.DataFrame:
+                    roles_all: np.ndarray, cfg: DedupConfig,
+                    bot4_all: "np.ndarray | None" = None) -> pd.DataFrame:
     """CANDIDATE containee↔container pairs, BIPARTITE per bucket.
     (Emitted rows are (min_id, max_id)-normalized by ``_edges_df`` —
     orientation is NOT preserved; the verify stage re-derives it from the
@@ -620,6 +632,28 @@ def _substring_core(ids_all: np.ndarray, buckets: np.ndarray,
             for gi in c_sel.tolist():
                 lo = np.searchsorted(n_sorted, g_n[gi], side="right")
                 bigger = by_len[lo:]
+                # pre-prune budget: the 8*cap SHORTEST containers (nearest
+                # parents) enter the sketch prune; the far tail is dropped
+                # with accounting.  Bounds sketch-compare cost per
+                # containee at 8*cap*16 ops in pathological hot buckets —
+                # strictly MORE permissive than the old direct cap.
+                if bigger.size > 8 * cap:
+                    dropped += int(bigger.size - 8 * cap)
+                    bigger = bigger[:8 * cap]
+                if bot4_all is not None and bigger.size:
+                    # EXACT subset prune: containment => minimizers(P) ⊆
+                    # minimizers(T), so any of P's 4 smallest minimizers
+                    # that is below T's 4th-smallest MUST appear among
+                    # T's bottom-4.  Kills the random same-minimizer
+                    # collisions that make low-entropy corpora quadratic
+                    # (measured 9.1M -> ~real candidates at 380k clips)
+                    # with zero recall loss.
+                    c4 = bot4_all[rep[gi]]
+                    b4 = bot4_all[rep[bigger]]
+                    ge = c4[None, :] >= b4[:, 3][:, None]
+                    present = (b4[:, :, None]
+                               == c4[None, None, :]).any(axis=1)
+                    bigger = bigger[(ge | present).all(axis=1)]
                 if bigger.size > cap:
                     dropped += int(bigger.size - cap)
                     bigger = bigger[:cap]
@@ -681,12 +715,14 @@ def _fused_partition(df: pd.DataFrame, cfg: DedupConfig,
 
     sel = np.flatnonzero(ch == _CH["substring"])
     if sel.size:
-        mat = _payload_matrix(pay[sel], 17)
+        mat = _payload_matrix(pay[sel], 49)
         sizes = np.ascontiguousarray(mat[:, :8]).view(np.int64).ravel()
         tfp = np.ascontiguousarray(mat[:, 8:16]).view(np.uint64).ravel()
         roles = mat[:, 16]
+        bot4 = np.ascontiguousarray(mat[:, 17:49]).view(np.uint64) \
+            .reshape(-1, 4)
         out.append(_substring_core(ids[sel], bkt[sel], sizes, tfp, roles,
-                                   cfg))
+                                   cfg, bot4))
 
     return pd.concat(out, ignore_index=True) if out else _EMPTY
 

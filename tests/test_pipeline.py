@@ -556,3 +556,32 @@ def test_ngram_jaccard_both_paths_agree():
     assert forced["block"] == forced["prefix"]
     assert forced["block"] == forced["prefix-fallback"]
     assert len(forced["block"]) > 0
+
+
+def test_substring_bot4_subset_prune_is_exact():
+    """The bottom-4 minimizer sketch prune: a TRUE containment candidate
+    (containee sketch subset-consistent with the container) survives; a
+    random single-minimizer collision is pruned before verification."""
+    from mail_deduplicate_ray.stages.candidates import _substring_core
+    cfg = DedupConfig(max_bucket=256)
+    # rows: containee P (80 B), true container T (500 B, holds all of
+    # P's small minimizers), random collider R (500 B, shares only the
+    # probe minimizer 10)
+    ids = np.array(["P-0", "T-0", "R-0"])
+    bkts = np.array([10, 10, 10], np.uint64)
+    sizes = np.array([80, 500, 500], np.int64)
+    tfps = np.array([1, 2, 3], np.uint64)
+    roles = np.array([1, 0, 0], np.uint8)
+    bot4 = np.array([
+        [10, 20, 30, 40],       # P
+        [5, 10, 20, 25],        # T: P's 10,20 < boundary 25 and present
+        [10, 50, 60, 70],       # R: P's 20 < boundary 70, NOT present
+    ], np.uint64)
+    df = _substring_core(ids, bkts, sizes, tfps, roles, cfg, bot4)
+    pairs = set(map(tuple, df[df.src != ""][["src", "dst"]].to_numpy()))
+    assert ("P-0", "T-0") in pairs
+    assert ("P-0", "R-0") not in pairs
+    # without the sketch both candidates are emitted (prune is the delta)
+    df2 = _substring_core(ids, bkts, sizes, tfps, roles, cfg)
+    pairs2 = set(map(tuple, df2[df2.src != ""][["src", "dst"]].to_numpy()))
+    assert ("P-0", "R-0") in pairs2
