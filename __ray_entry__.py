@@ -14,7 +14,8 @@ from collections.abc import Callable
 from typing import Any
 
 from mail_deduplicate_ray.functions.textstats import STOPWORDS
-from mail_deduplicate_ray.pipelines import ann, clips, docs, relational
+from mail_deduplicate_ray.pipelines import (ann, clips, docs, images,
+                                             relational)
 from mail_deduplicate_ray.pipelines.docs import REGEXP_PATTERN
 
 
@@ -115,6 +116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_flagship": clips.flagship_clusters,          # rows-only
         "clips_exact_dedup": clips.clips_exact_dedup,       # rows-only
         "clips_audio_stats": clips.clips_audio_stats,       # rows-only (dBFS kernels unit-tested)
+        # --- images (real BMP decode -> dhash -> exact Hamming pairs;
+        #     non-SQL: binary pixel decode) ---
+        "images_dhash_neardup": images.images_dhash_neardup,  # rows-only (planted-truth recall test)
         "clips_signatures": clips.clips_signature_table,    # rows-only
     }
 

@@ -1,0 +1,173 @@
+"""Image near-dup pipeline: REAL pixel decode -> dHash -> exact pairs.
+
+The image analogue of the clips flagship's fingerprint channels, over a
+deterministic synthetic BMP corpus (no image tables ship with the
+testdata; synthesis is seeded per-index so any range is bit-identical —
+the clips-corpus convention, synth.py):
+
+    read images parquet (cached fixture)
+      -> ImageDecodeStage(real_decode=True) actor pool   [BMP -> pixels]
+      -> dhash64 perceptual fingerprints
+      -> pigeonhole banding (max_hamming+1 disjoint blocks — recall 1.0
+         by construction, the simhash_neardup_pairs idiom)
+      -> bucketed exact Hamming verify -> pair dedup
+
+Planted near-dup structure: exact byte copies, uniform brightness shifts
+(dhash-invariant by construction — horizontal differences are unchanged
+except at clip boundaries), and mild pixel noise.  Ground truth rides
+beside the cache for the recall test.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from mail_deduplicate_ray.functions import imaging, simhash
+from mail_deduplicate_ray.stages import bucketing
+from mail_deduplicate_ray.stages.multimodal import ImageDecodeStage
+
+CACHE_ROOT = Path("/tmp/mdr_cache")
+_H, _W = 48, 64
+
+
+def _synth_image(rng: np.random.Generator) -> np.ndarray:
+    """Low-frequency random field — dhash-meaningful structure (pure
+    noise has no stable gradients, every hash bit is a coin flip)."""
+    small = rng.integers(0, 256, (6, 8, 3)).astype(np.float32)
+    img = np.stack([imaging.resize_bilinear(small[:, :, c], _H, _W)
+                    for c in range(3)], axis=2)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def images_path(sf_dir: str, n_base: int | None = None,
+                seed: int = 43) -> Path:
+    """Deterministic cached BMP corpus sized to the sf (n_base defaults to
+    the documents row count).  Layout: parquet of (img_id, bytes, width,
+    height, fmt) + a truth JSON of planted near-dup pairs."""
+    if n_base is None:
+        n_base = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    tag = Path(sf_dir).name or "sf"
+    out = CACHE_ROOT / f"images-{tag}-{n_base}-{seed}"
+    if out.exists():
+        return out
+    CACHE_ROOT.mkdir(parents=True, exist_ok=True)
+    ids: list[str] = []
+    payloads: list[bytes] = []
+    pairs: list[tuple[str, str, str]] = []
+    for i in range(n_base):
+        rng = np.random.default_rng((seed, i))
+        img = _synth_image(rng)
+        base_id = f"img-{i:08d}-0"
+        ids.append(base_id)
+        payloads.append(imaging.encode_bmp(img))
+        kind = ("unique", "exact", "bright", "noise")[int(rng.integers(4))]
+        if kind == "unique":
+            continue
+        cid = f"img-{i:08d}-1"
+        if kind == "exact":
+            dup = img
+        elif kind == "bright":
+            dup = np.clip(img.astype(np.int16)
+                          + int(rng.integers(-12, 13)), 0, 255) \
+                .astype(np.uint8)
+        else:  # noise
+            dup = np.clip(img.astype(np.int16)
+                          + rng.integers(-2, 3, img.shape), 0, 255) \
+                .astype(np.uint8)
+        ids.append(cid)
+        payloads.append(imaging.encode_bmp(dup))
+        pairs.append((base_id, cid, kind))
+    tbl = pa.table({
+        "img_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(payloads, pa.binary()),
+        "width": pa.array([_W] * len(ids), pa.int32()),
+        "height": pa.array([_H] * len(ids), pa.int32()),
+        "fmt": pa.array(["bmp"] * len(ids), pa.string()),
+    })
+    tmp = out.with_suffix(".tmp")
+    tmp.mkdir(parents=True, exist_ok=True)
+    n_parts = max(1, min(16, tbl.num_rows // 256))
+    step = -(-tbl.num_rows // n_parts)
+    for p in range(n_parts):
+        pq.write_table(tbl.slice(p * step, step),
+                       tmp / f"part-{p:04d}.parquet", row_group_size=512)
+    tmp.rename(out)
+    (CACHE_ROOT / f"{out.name}.truth.json").write_text(
+        json.dumps({"pairs": pairs}))
+    return out
+
+
+def image_hashes(sf_dir: str) -> "ray.data.Dataset":
+    """(img_id, dhash, decode_ok) via the REAL decode actor pool —
+    payload-bearing rows in small batches, bytes dropped on exit."""
+    path = images_path(sf_dir)
+    ds = ray.data.read_parquet(str(path))
+    return ds.map_batches(
+        ImageDecodeStage, fn_constructor_args=(64, True),
+        batch_format="pyarrow", batch_size=32,
+        concurrency=bucketing.pool_size()) \
+        .select_columns(["img_id", "dhash", "decode_ok"])
+
+
+def images_dhash_neardup(sf_dir: str,
+                         max_hamming: int = 3) -> "ray.data.Dataset":
+    """EXACT dhash near-dup pairs (Hamming <= max_hamming): pigeonhole
+    banding over the 64-bit hash -> bucketed verify -> pair dedup (the
+    simhash_neardup_pairs idiom on perceptual image fingerprints)."""
+    nb = max_hamming + 1
+    if 64 % nb:
+        raise ValueError("max_hamming + 1 must divide 64")
+    hashes = image_hashes(sf_dir).map_batches(
+        lambda t: t.filter(t["decode_ok"]), batch_format="pyarrow")
+
+    def explode(t: pa.Table) -> pa.Table:
+        fp = t["dhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bands = simhash.band_keys_u64(fp, bands=nb)
+        ids = t["img_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "band": pa.array(bands.ravel(), pa.uint64()),
+            "img_id": pa.array(np.repeat(ids, nb), pa.string()),
+            "fp": pa.array(np.repeat(fp, nb), pa.uint64()),
+        })
+
+    rows = hashes.map_batches(explode, batch_format="pyarrow")
+
+    def verify(df) -> pa.Table:
+        ids_all = df["img_id"].to_numpy()
+        fp_all = df["fp"].to_numpy().astype(np.uint64)
+        bands = df["band"].to_numpy().astype(np.uint64)
+        order = np.lexsort((ids_all, bands))
+        b_sorted = bands[order]
+        bounds = np.flatnonzero(np.concatenate(
+            ([True], b_sorted[1:] != b_sorted[:-1], [True])))
+        a_out, b_out = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            idx = order[s:e]
+            fp = fp_all[idx]
+            ids = ids_all[idx]
+            i, j = np.triu_indices(len(idx), 1)
+            ok = simhash.hamming(fp[i], fp[j]) <= max_hamming
+            if ok.any():
+                a_out.append(ids[i[ok]])
+                b_out.append(ids[j[ok]])
+        a = np.concatenate(a_out) if a_out else np.empty(0, object)
+        b = np.concatenate(b_out) if b_out else np.empty(0, object)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pa.table({"a_id": pa.array(lo, pa.string()),
+                         "b_id": pa.array(hi, pa.string())})
+
+    cand = bucketing.grouped(rows, "band", verify, batch_format="pandas")
+    return bucketing.grouped(
+        cand, "a_id",
+        lambda df: df.drop_duplicates(subset=["a_id", "b_id"]),
+        nbuckets=16)

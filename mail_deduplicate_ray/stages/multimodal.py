@@ -2,10 +2,13 @@
 
 The engine treats every modality as an opaque ``binary`` column + typed
 metadata, processed by actor-pool ``map_batches`` stages (same shape as
-stages/decode.py).  The sandbox has no image/video libraries, so the pixel
-work is STUBBED behind clearly-marked ``NotImplementedError`` — with a
-deterministic fake featurizer so the Ray-side plumbing (schema, batch
-sizing, actor signature, rejection rows, output layout) is real and tested.
+stages/decode.py).  Pixel decode is REAL for the pure-numpy-parseable
+public formats (BMP 24-bit, Netpbm P5/P6, Y4M C420 video — see
+functions/imaging.py); formats that genuinely need external codecs
+(JPEG/PNG/H.264, absent from this sandbox) become REJECTION ROWS with a
+reason, never exceptions (the resilience contract, ref:
+deduplicate.py:563-576).  The deterministic fake featurizer remains
+available (``real_decode=False``) as the stand-in for learned encoders.
 
 Schema convention::
 
@@ -24,11 +27,14 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from mail_deduplicate_ray.functions import imaging
+
 
 def _fake_embedding(payload: bytes, dims: int) -> np.ndarray:
-    """Deterministic stand-in for a real encoder: seeded by content hash.
-    Replaced by a real model in production; the distribution of work
-    (bytes -> fixed-dim float vector) is identical."""
+    """Deterministic stand-in for a LEARNED encoder: seeded by content
+    hash.  The real-decode path uses the classic tiny-image embedding
+    instead; this fake remains the model-shaped placeholder (bytes ->
+    fixed-dim float vector, identical work distribution)."""
     seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
     rng = np.random.default_rng(seed)
     v = rng.standard_normal(dims).astype(np.float32)
@@ -36,35 +42,60 @@ def _fake_embedding(payload: bytes, dims: int) -> np.ndarray:
 
 
 class ImageDecodeStage:
-    """bytes -> (embedding, ok, reason); drops ``bytes``.
+    """bytes -> (embedding, dhash, decode_ok, reason); drops ``bytes``.
 
-    ``real_decode=True`` requires an image library (absent here) and raises
-    NotImplementedError at construction — the stub path is the default and
-    exercises the full Ray plumbing."""
+    ``real_decode=True``: decode via functions/imaging.py (BMP/PPM/PGM),
+    embedding = L2-normalized 8x8 tiny-image (dims must be a square),
+    ``dhash`` = 64-bit perceptual difference hash.  Unsupported/corrupt
+    payloads -> decode_ok=False + reason.  ``real_decode=False``: the
+    deterministic fake featurizer (learned-encoder stand-in); dhash 0."""
 
     def __init__(self, dims: int = 64, real_decode: bool = False) -> None:
-        if real_decode:
-            raise NotImplementedError(
-                "image decode: no image library in this container (stubbed)")
         self.dims = dims
+        self.real = real_decode
+        if real_decode:
+            side = int(dims ** 0.5)
+            if side * side != dims:
+                raise ValueError("real_decode needs a square dims "
+                                 "(tiny-image embedding)")
+            self.side = side
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["bytes"].to_pylist()
-        ok, reasons, embs = [], [], []
-        for p in payloads:
+        fmts = (batch["fmt"].to_pylist() if "fmt" in batch.column_names
+                else [None] * batch.num_rows)
+        ok, reasons, embs, hashes = [], [], [], []
+        for p, fmt in zip(payloads, fmts):
             if not p:
                 ok.append(False)
                 reasons.append("empty_payload")
                 embs.append(np.zeros(self.dims, dtype=np.float32))
-            else:
+                hashes.append(0)
+                continue
+            if not self.real:
                 ok.append(True)
                 reasons.append("")
                 embs.append(_fake_embedding(p, self.dims))
+                hashes.append(0)
+                continue
+            try:
+                gray = imaging.to_gray(imaging.decode_image(bytes(p), fmt))
+                embs.append(imaging.tiny_embedding(gray, self.side))
+                hashes.append(imaging.dhash64(gray))
+                ok.append(True)
+                reasons.append("")
+            except ValueError as e:  # rejection row, never an exception
+                ok.append(False)
+                reasons.append(str(e))
+                embs.append(np.zeros(self.dims, dtype=np.float32))
+                hashes.append(0)
         out = batch.drop_columns(["bytes"])
         return (out.append_column(
                     "embedding",
                     pa.array([e.tolist() for e in embs],
                              pa.list_(pa.float32(), self.dims)))
+                .append_column("dhash", pa.array(
+                    np.array(hashes, dtype=np.uint64), pa.uint64()))
                 .append_column("decode_ok", pa.array(ok))
                 .append_column("decode_reason", pa.array(reasons, pa.string())))
 
@@ -72,24 +103,53 @@ class ImageDecodeStage:
 class VideoFrameSampleStage:
     """bytes -> k frame embeddings (uniform sample positions); drops bytes.
 
-    Real frame extraction needs a video library (absent) — stubbed the same
-    way; the output layout (list of per-frame vectors + frame indices) is
-    what a real sampler produces."""
+    ``real_decode=True``: Y4M (C420) parsing via functions/imaging.py —
+    frame positions are resolved by OFFSET math, so only the sampled
+    frames' luma planes are ever touched (the column-pruning discipline
+    applied inside one payload).  Other containers -> decode_ok=False.
+    ``real_decode=False``: deterministic fake embeddings (same layout)."""
 
     def __init__(self, k_frames: int = 4, dims: int = 64,
                  real_decode: bool = False) -> None:
-        if real_decode:
-            raise NotImplementedError(
-                "video decode: no video library in this container (stubbed)")
         self.k = k_frames
         self.dims = dims
+        self.real = real_decode
+        if real_decode:
+            side = int(dims ** 0.5)
+            if side * side != dims:
+                raise ValueError("real_decode needs a square dims")
+            self.side = side
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["bytes"].to_pylist()
         n_frames = batch["n_frames"].to_pylist()
         embs, idxs, ok = [], [], []
         for p, nf in zip(payloads, n_frames):
-            if not p or not nf:
+            if not p:
+                embs.append([])
+                idxs.append([])
+                ok.append(False)
+                continue
+            if self.real:
+                try:
+                    data = bytes(p)
+                    total = imaging.y4m_frame_count(data)
+                    if total <= 0:
+                        raise ValueError("no frames")
+                    pos = np.unique(np.linspace(
+                        0, total - 1, min(self.k, total)).astype(int))
+                    embs.append([imaging.tiny_embedding(
+                        imaging.decode_y4m_frame(data, int(i))
+                        .astype(np.float32), self.side).tolist()
+                        for i in pos])
+                    idxs.append([int(i) for i in pos])
+                    ok.append(True)
+                except ValueError:
+                    embs.append([])
+                    idxs.append([])
+                    ok.append(False)
+                continue
+            if not nf:
                 embs.append([])
                 idxs.append([])
                 ok.append(False)

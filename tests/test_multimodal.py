@@ -1,11 +1,14 @@
-"""Multimodal stub plumbing: schemas, actor signature, rejection rows,
-payload-drop — real; pixel decode stubbed (no image/video libs here)."""
+"""Multimodal stages: Ray plumbing (schemas, actor signature, rejection
+rows, payload-drop) + REAL pure-numpy pixel decode (BMP/PPM/PGM images,
+Y4M video — functions/imaging.py); JPEG/PNG stay rejection rows (no
+external codecs in this sandbox)."""
 
 import numpy as np
 import pyarrow as pa
 import pytest
 import ray.data
 
+from mail_deduplicate_ray.functions import imaging
 from mail_deduplicate_ray.stages.multimodal import (ImageDecodeStage,
                                                     VideoFrameSampleStage)
 
@@ -21,19 +24,86 @@ def _images(n=10):
     }))
 
 
-def test_real_decode_stubbed():
-    with pytest.raises(NotImplementedError):
-        ImageDecodeStage(real_decode=True)
-    with pytest.raises(NotImplementedError):
-        VideoFrameSampleStage(real_decode=True)
+def _rng_img(seed, h=48, w=64):
+    return np.random.default_rng(seed).integers(
+        0, 256, (h, w, 3), dtype=np.uint8)
 
 
-def test_image_stage_plumbing():
+class TestImagingKernels:
+    def test_bmp_roundtrip_exact(self):
+        img = _rng_img(1)
+        got = imaging.decode_bmp(imaging.encode_bmp(img))
+        np.testing.assert_array_equal(img, got)
+
+    def test_bmp_row_padding(self):
+        # width 3 -> 9-byte rows padded to 12: padding must not leak
+        img = _rng_img(2, h=5, w=3)
+        np.testing.assert_array_equal(
+            img, imaging.decode_bmp(imaging.encode_bmp(img)))
+
+    def test_bmp_truncated_raises(self):
+        data = imaging.encode_bmp(_rng_img(3))
+        with pytest.raises(ValueError, match="truncated"):
+            imaging.decode_bmp(data[:100])
+        with pytest.raises(ValueError, match="not a BMP"):
+            imaging.decode_bmp(b"nope")
+
+    def test_netpbm_roundtrip(self):
+        img = _rng_img(4)
+        np.testing.assert_array_equal(
+            img, imaging.decode_netpbm(imaging.encode_ppm(img)))
+        gray = _rng_img(5)[:, :, 0]
+        np.testing.assert_array_equal(
+            gray, imaging.decode_netpbm(imaging.encode_ppm(gray)))
+
+    def test_netpbm_comment_header(self):
+        img = _rng_img(6, h=4, w=4)
+        raw = imaging.encode_ppm(img)
+        commented = b"P6\n# a comment\n4 4 255\n" + raw.split(b"\n", 1)[1]
+        np.testing.assert_array_equal(img, imaging.decode_netpbm(commented))
+
+    def test_y4m_frame_offset_decode(self):
+        frames = np.stack([np.full((16, 32), i * 10, np.uint8)
+                           for i in range(8)])
+        data = imaging.encode_y4m(frames, fps=30)
+        assert imaging.y4m_frame_count(data) == 8
+        for k in (0, 3, 7):
+            np.testing.assert_array_equal(frames[k],
+                                          imaging.decode_y4m_frame(data, k))
+        with pytest.raises(ValueError, match="out of range"):
+            imaging.decode_y4m_frame(data, 8)
+
+    def test_dhash_perceptual(self):
+        # gradient image: brightness shift barely moves the dhash;
+        # a different image is far away
+        base = np.tile(np.arange(64, dtype=np.float32) * 4, (48, 1))
+        shifted = np.clip(base + 10.0, 0, 255)
+        other = imaging.to_gray(_rng_img(7))
+        h0, h1 = imaging.dhash64(base), imaging.dhash64(shifted)
+        h2 = imaging.dhash64(other)
+        assert bin(h0 ^ h1).count("1") <= 4
+        assert bin(h0 ^ h2).count("1") >= 16
+
+    def test_tiny_embedding_normalized(self):
+        e = imaging.tiny_embedding(imaging.to_gray(_rng_img(8)))
+        assert e.shape == (64,)
+        assert abs(float(np.linalg.norm(e)) - 1.0) < 1e-5
+
+    def test_decode_image_sniffs_magic(self):
+        img = _rng_img(9)
+        # declared format wrong -> magic wins (declared-then-sniffed)
+        got = imaging.decode_image(imaging.encode_bmp(img), "jpeg_wrong")
+        np.testing.assert_array_equal(img, got)
+        with pytest.raises(ValueError, match="unsupported image format"):
+            imaging.decode_image(b"\xff\xd8\xff\xe0 jpeg bytes", "jpg")
+
+
+def test_image_stage_fake_path_plumbing():
     out = _images().map_batches(
         ImageDecodeStage, fn_constructor_args=(64,),
         batch_format="pyarrow", batch_size=4, concurrency=2)
     t = pa.concat_tables(out.iter_batches(batch_size=None,
-                                           batch_format="pyarrow"))
+                                          batch_format="pyarrow"))
     assert "bytes" not in t.schema.names  # payload dropped (dehydration)
     assert t.num_rows == 10
     embs = t["embedding"].to_pylist()
@@ -53,7 +123,35 @@ def test_image_stage_plumbing():
                                              dtype=np.float32))
 
 
-def test_video_stage_plumbing():
+def test_image_stage_real_decode():
+    """REAL decode path: BMP/PPM rows decode to true tiny-image embeddings
+    + dhash; a JPEG payload becomes a rejection row with a reason."""
+    imgs = [_rng_img(i) for i in range(3)]
+    tbl = pa.table({
+        "id": ["bmp0", "bmp0-copy", "ppm1", "jpeg2"],
+        "bytes": [imaging.encode_bmp(imgs[0]), imaging.encode_bmp(imgs[0]),
+                  imaging.encode_ppm(imgs[1]),
+                  b"\xff\xd8\xff\xe0 not decodable"],
+        "width": pa.array([64] * 4, pa.int32()),
+        "height": pa.array([48] * 4, pa.int32()),
+        "fmt": ["bmp", "bmp", "ppm", "jpg"],
+    })
+    out = ray.data.from_arrow(tbl).map_batches(
+        ImageDecodeStage, fn_constructor_args=(64, True),
+        batch_format="pyarrow", batch_size=2, concurrency=2)
+    rows = {r["id"]: r for r in out.take_all()}
+    assert rows["jpeg2"]["decode_ok"] is False
+    assert "unsupported image format" in rows["jpeg2"]["decode_reason"]
+    # identical bytes -> identical dhash + embedding
+    assert rows["bmp0"]["dhash"] == rows["bmp0-copy"]["dhash"] != 0
+    np.testing.assert_array_equal(rows["bmp0"]["embedding"],
+                                  rows["bmp0-copy"]["embedding"])
+    # embedding matches the kernel directly (stage == kernel)
+    want = imaging.tiny_embedding(imaging.to_gray(imgs[1]))
+    np.testing.assert_allclose(rows["ppm1"]["embedding"], want, rtol=1e-6)
+
+
+def test_video_stage_fake_path_plumbing():
     vids = ray.data.from_arrow(pa.table({
         "id": ["v0", "v1", "v2"],
         "bytes": [b"FAKE" * 100, b"", b"MP4!" * 50],
@@ -64,10 +162,58 @@ def test_video_stage_plumbing():
     out = vids.map_batches(VideoFrameSampleStage, fn_constructor_args=(4, 32),
                            batch_format="pyarrow", batch_size=2, concurrency=2)
     t = pa.concat_tables(out.iter_batches(batch_size=None,
-                                           batch_format="pyarrow"))
+                                          batch_format="pyarrow"))
     assert "bytes" not in t.schema.names
     rows = {r["id"]: r for r in t.to_pylist()}
     assert len(rows["v0"]["frame_embeddings"]) == 4  # uniform sample of 100
     assert rows["v0"]["frame_indices"] == [0, 33, 66, 99]
     assert rows["v1"]["decode_ok"] is False
     assert len(rows["v2"]["frame_embeddings"]) == 2  # clamped to n_frames
+
+
+def test_video_stage_real_y4m():
+    """Real Y4M sampling: k uniform frame positions decode by offset; an
+    MP4 payload (external codec needed) is a rejection row."""
+    frames = np.stack([np.full((16, 32), (i * 13) % 256, np.uint8)
+                       for i in range(10)])
+    y4m = imaging.encode_y4m(frames, fps=25)
+    vids = ray.data.from_arrow(pa.table({
+        "id": ["y0", "bad"],
+        "bytes": [y4m, b"\x00\x00\x00 ftypisom mp4 payload"],
+        "fps": pa.array([25.0, 30.0], pa.float32()),
+        "n_frames": pa.array([10, 50], pa.int32()),
+        "fmt": ["y4m", "mp4"],
+    }))
+    out = vids.map_batches(VideoFrameSampleStage,
+                           fn_constructor_args=(4, 64, True),
+                           batch_format="pyarrow", batch_size=2,
+                           concurrency=2)
+    rows = {r["id"]: r for r in out.take_all()}
+    assert rows["bad"]["decode_ok"] is False
+    assert rows["y0"]["frame_indices"] == [0, 3, 6, 9]
+    # per-frame embedding equals the kernel run on the true luma plane
+    want = imaging.tiny_embedding(frames[6].astype(np.float32))
+    np.testing.assert_allclose(rows["y0"]["frame_embeddings"][2], want,
+                               rtol=1e-6)
+
+
+def test_images_dhash_neardup_planted_recall():
+    """First-class image near-dup query: exact + brightness-shift planted
+    pairs MUST pair (dhash invariant under uniform shifts away from clip
+    boundaries); overall planted recall gated at 0.9 (noise copies can
+    exceed the Hamming radius by construction)."""
+    import json
+
+    from mail_deduplicate_ray.pipelines import images as im
+    sf = "/root/testdata/sf0.001"
+    path = im.images_path(sf)
+    truth = json.loads((im.CACHE_ROOT / f"{path.name}.truth.json")
+                       .read_text())["pairs"]
+    assert truth
+    got = {(r["a_id"], r["b_id"]) for r in
+           im.images_dhash_neardup(sf).take_all()}
+    exact = [(a, b) for a, b, k in truth if k == "exact"]
+    hits_exact = sum((min(a, b), max(a, b)) in got for a, b in exact)
+    assert hits_exact == len(exact)  # byte copies always pair
+    hits = sum((min(a, b), max(a, b)) in got for a, b, _ in truth)
+    assert hits / len(truth) >= 0.9
