@@ -15,7 +15,7 @@ from typing import Any
 
 from mail_deduplicate_ray.functions.textstats import STOPWORDS
 from mail_deduplicate_ray.pipelines import (ann, clips, docs, images,
-                                             relational)
+                                             relational, videos)
 from mail_deduplicate_ray.pipelines.docs import REGEXP_PATTERN
 
 
@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- images (real BMP decode -> dhash -> exact Hamming pairs;
         #     non-SQL: binary pixel decode) ---
         "images_dhash_neardup": images.images_dhash_neardup,  # rows-only (planted-truth recall test)
+        "videos_frame_neardup": videos.videos_frame_neardup,  # rows-only (planted-truth recall test)
         "clips_signatures": clips.clips_signature_table,    # rows-only
     }
 

@@ -44,7 +44,7 @@ BENCH_QUERIES = [
     "event_transitions", "day_retention_matrix",
     "scrub_docs", "token_repetition_docs", "curate_docs",
     "vocab_coverage_docs",
-    "clips_audio_stats", "images_dhash_neardup",
+    "clips_audio_stats", "images_dhash_neardup", "videos_frame_neardup",
 ]
 
 

@@ -29,7 +29,7 @@ import pyarrow.parquet as pq
 
 import ray.data
 
-from mail_deduplicate_ray.functions import imaging, simhash
+from mail_deduplicate_ray.functions import imaging
 from mail_deduplicate_ray.stages import bucketing
 from mail_deduplicate_ray.stages.multimodal import ImageDecodeStage
 
@@ -120,54 +120,9 @@ def images_dhash_neardup(sf_dir: str,
                          max_hamming: int = 3) -> "ray.data.Dataset":
     """EXACT dhash near-dup pairs (Hamming <= max_hamming): pigeonhole
     banding over the 64-bit hash -> bucketed verify -> pair dedup (the
-    simhash_neardup_pairs idiom on perceptual image fingerprints)."""
-    nb = max_hamming + 1
-    if 64 % nb:
-        raise ValueError("max_hamming + 1 must divide 64")
+    shared fingerprint primitive, pipelines/fingerprints.py)."""
+    from mail_deduplicate_ray.pipelines.fingerprints import \
+        exact_hamming_pairs
     hashes = image_hashes(sf_dir).map_batches(
         lambda t: t.filter(t["decode_ok"]), batch_format="pyarrow")
-
-    def explode(t: pa.Table) -> pa.Table:
-        fp = t["dhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bands = simhash.band_keys_u64(fp, bands=nb)
-        ids = t["img_id"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "band": pa.array(bands.ravel(), pa.uint64()),
-            "img_id": pa.array(np.repeat(ids, nb), pa.string()),
-            "fp": pa.array(np.repeat(fp, nb), pa.uint64()),
-        })
-
-    rows = hashes.map_batches(explode, batch_format="pyarrow")
-
-    def verify(df) -> pa.Table:
-        ids_all = df["img_id"].to_numpy()
-        fp_all = df["fp"].to_numpy().astype(np.uint64)
-        bands = df["band"].to_numpy().astype(np.uint64)
-        order = np.lexsort((ids_all, bands))
-        b_sorted = bands[order]
-        bounds = np.flatnonzero(np.concatenate(
-            ([True], b_sorted[1:] != b_sorted[:-1], [True])))
-        a_out, b_out = [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s < 2:
-                continue
-            idx = order[s:e]
-            fp = fp_all[idx]
-            ids = ids_all[idx]
-            i, j = np.triu_indices(len(idx), 1)
-            ok = simhash.hamming(fp[i], fp[j]) <= max_hamming
-            if ok.any():
-                a_out.append(ids[i[ok]])
-                b_out.append(ids[j[ok]])
-        a = np.concatenate(a_out) if a_out else np.empty(0, object)
-        b = np.concatenate(b_out) if b_out else np.empty(0, object)
-        lo = np.minimum(a, b)
-        hi = np.maximum(a, b)
-        return pa.table({"a_id": pa.array(lo, pa.string()),
-                         "b_id": pa.array(hi, pa.string())})
-
-    cand = bucketing.grouped(rows, "band", verify, batch_format="pandas")
-    return bucketing.grouped(
-        cand, "a_id",
-        lambda df: df.drop_duplicates(subset=["a_id", "b_id"]),
-        nbuckets=16)
+    return exact_hamming_pairs(hashes, "img_id", "dhash", max_hamming)

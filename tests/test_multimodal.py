@@ -217,3 +217,24 @@ def test_images_dhash_neardup_planted_recall():
     assert hits_exact == len(exact)  # byte copies always pair
     hits = sum((min(a, b), max(a, b)) in got for a, b, _ in truth)
     assert hits / len(truth) >= 0.9
+
+
+def test_videos_frame_neardup_planted_recall():
+    """Video near-dup query: pooled tiny-image embeddings are EXACTLY
+    invariant to uniform brightness shifts (mean-centered) and stable
+    under frame re-timing, so all planted kinds must pair."""
+    import json
+
+    from mail_deduplicate_ray.pipelines import videos as vi
+    sf = "/root/testdata/sf0.001"
+    path = vi.videos_path(sf)
+    truth = json.loads((vi.CACHE_ROOT / f"{path.name}.truth.json")
+                       .read_text())["pairs"]
+    assert truth
+    got = {(r["a_id"], r["b_id"]) for r in
+           vi.videos_frame_neardup(sf).take_all()}
+    exact = [(a, b) for a, b, k in truth if k in ("exact", "bright")]
+    hits_exact = sum((min(a, b), max(a, b)) in got for a, b in exact)
+    assert hits_exact == len(exact)  # byte copies + brightness: invariant
+    hits = sum((min(a, b), max(a, b)) in got for a, b, _ in truth)
+    assert hits / len(truth) >= 0.9  # retimed copies within SRP radius
