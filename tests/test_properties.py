@@ -249,3 +249,50 @@ def test_asof_join_matches_naive_reference(lrows, rrows):
             best_t = max(t for t, _ in cand)
             best_rvs = {ri for t, ri in cand if t == best_t}
             assert int(row["rv"]) in best_rvs
+
+
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1))
+@settings(max_examples=30, deadline=None)
+def test_bmp_roundtrip_property(h, w, seed):
+    """Any (H, W, 3) uint8 image round-trips the BMP codec exactly —
+    including widths whose 3-byte rows need 1-3 pad bytes."""
+    import numpy as np
+
+    from mail_deduplicate_ray.functions import imaging
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3),
+                                               dtype=np.uint8)
+    np.testing.assert_array_equal(
+        img, imaging.decode_bmp(imaging.encode_bmp(img)))
+
+
+@given(st.integers(2, 30), st.integers(2, 30), st.integers(0, 2**32 - 1))
+@settings(max_examples=30, deadline=None)
+def test_resize_bilinear_bounds_property(h, w, seed):
+    """Bilinear output values stay within the input's [min, max] (convex
+    combinations), and identity-size resize reproduces the input."""
+    import numpy as np
+
+    from mail_deduplicate_ray.functions import imaging
+    img = np.random.default_rng(seed).integers(0, 256, (h, w)) \
+        .astype(np.float64)
+    out = imaging.resize_bilinear(img, max(1, h // 2), max(1, w // 2))
+    assert out.min() >= img.min() - 1e-9
+    assert out.max() <= img.max() + 1e-9
+    np.testing.assert_allclose(imaging.resize_bilinear(img, h, w), img,
+                               atol=1e-9)
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(-30, 30))
+@settings(max_examples=30, deadline=None)
+def test_tiny_embedding_brightness_invariant_property(seed, shift):
+    """Mean-centering makes the tiny-image embedding EXACTLY invariant to
+    uniform brightness shifts (while values stay unclipped)."""
+    import numpy as np
+
+    from mail_deduplicate_ray.functions import imaging
+    # leave headroom so the shift never clips
+    img = np.random.default_rng(seed).integers(40, 216, (24, 32)) \
+        .astype(np.float32)
+    a = imaging.tiny_embedding(img)
+    b = imaging.tiny_embedding(img + shift)
+    np.testing.assert_allclose(a, b, atol=1e-5)
