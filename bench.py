@@ -148,7 +148,7 @@ def run_scaling() -> None:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    MDR_BENCH_ONLY_FLAGSHIP="1",
                    MDR_BENCH_NBASE=os.environ.get("MDR_SCALING_NBASE",
-                                                  "120000"))
+                                                  "240000"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout

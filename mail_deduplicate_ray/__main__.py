@@ -182,8 +182,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.allow_differing and args.action != "dedup-storage":
         raise ValueError("--allow-differing applies only to "
                          "--action dedup-storage")
-    if args.append and (args.action or "copy-selected").split("-")[0] \
-            not in ("copy", "move"):
+    if args.append and (args.export_codec
+                        or (args.action or "copy-selected").split("-")[0]
+                        not in ("copy", "move")):
         raise ValueError("--append applies only to copy/move actions")
     if args.export_codec:
         from mail_deduplicate_ray import codecs as _codecs

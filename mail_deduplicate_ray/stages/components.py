@@ -124,11 +124,11 @@ def _edge_fingerprint(edges: "ray.data.Dataset") -> tuple[int, int]:
         h = (pd.util.hash_array(t["src"].to_numpy(zero_copy_only=False))
              * np.uint64(0x9E3779B97F4A7C15)
              ^ pd.util.hash_array(t["dst"].to_numpy(zero_copy_only=False)))
-        tot = np.uint64(0)
-        for v in h:
-            tot += v  # uint64 wraparound
+        # modular sum is order-independent, so vectorized wraparound is safe
+        with np.errstate(over="ignore"):
+            tot = int(np.add.reduce(h, dtype=np.uint64)) if len(h) else 0
         return pa.table({"cnt": pa.array([t.num_rows], pa.int64()),
-                         "h": pa.array([int(tot) & ((1 << 63) - 1)],
+                         "h": pa.array([tot & ((1 << 63) - 1)],
                                        pa.int64())})
 
     cnt = 0

@@ -280,3 +280,9 @@ def test_cli_action_flags_validated_eagerly(clips_file, tmp_path):
     with pytest.raises(ValueError, match="allow-differing"):
         main(["dedup", "--input", clips_file, "--dry-run",
               "--action", "copy-selected", "--allow-differing"])
+
+
+def test_cli_append_with_export_codec_rejected(clips_file, tmp_path):
+    with pytest.raises(ValueError, match="append applies only"):
+        main(["dedup", "--input", clips_file, "--out", str(tmp_path / "o"),
+              "--export-codec", "pcm_s16le", "--append"])

@@ -550,11 +550,19 @@ def test_ngram_jaccard_both_paths_agree():
         docs_mod._NGJ_PAIR_BROADCAST_LIMIT = 0
         forced["prefix-fallback"] = run()
         docs_mod._NGJ_PAIR_BROADCAST_LIMIT = old
+        # member-expansion broadcast disabled -> shuffle-join expansion
+        docs_mod._NGJ_FORCE_PATH = "block"
+        oldm = docs_mod._NGJ_MEMBER_BROADCAST_LIMIT
+        docs_mod._NGJ_MEMBER_BROADCAST_LIMIT = 0
+        forced["join-expand"] = run()
+        docs_mod._NGJ_MEMBER_BROADCAST_LIMIT = oldm
     finally:
         docs_mod._NGJ_FORCE_PATH = None
         docs_mod._NGJ_PAIR_BROADCAST_LIMIT = 2_000_000
+        docs_mod._NGJ_MEMBER_BROADCAST_LIMIT = 5_000_000
     assert forced["block"] == forced["prefix"]
     assert forced["block"] == forced["prefix-fallback"]
+    assert forced["block"] == forced["join-expand"]
     assert len(forced["block"]) > 0
 
 
