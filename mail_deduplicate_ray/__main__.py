@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--content-threshold", type=int, default=768)
     d.add_argument("--channels",
                    default="exact,minhash,audio,containment,substring")
+    d.add_argument("--cc-method", default=None,
+                   choices=["hashmin", "star"],
+                   help="distributed connected-components engine: hashmin "
+                        "(min-label + pointer jumping, default) or star "
+                        "(large/small-star contraction — O(log n) rounds "
+                        "on chain-shaped duplicate graphs)")
     d.add_argument("--checkpoint-root", default=None)
     d.add_argument("--action", default=None,
                    choices=["copy-selected", "copy-discarded",
@@ -165,6 +171,7 @@ def main(argv: list[str] | None = None) -> int:
         # only override when the flag was given — a TOML-configured
         # time_source must not be clobbered by the argparse default
         **({"time_source": args.time_source} if args.time_source else {}),
+        **({"cc_method": args.cc_method} if args.cc_method else {}),
         dry_run=args.dry_run,
     )
     cfg = (DedupConfig.from_toml(args.config, **over) if args.config

@@ -163,6 +163,11 @@ class DedupConfig:
     # pointer-jump compression, so ``r`` rounds cover component diameter
     # ~2^r; exceeding the cap raises instead of silently splitting)
     cc_max_rounds: int = 10
+    # distributed connected-components engine: "hashmin" (min-label +
+    # pointer jumping — the default; 2-4 rounds on near-star LSH graphs)
+    # or "star" (large/small-star contraction — O(log n) rounds on
+    # adversarial chain topologies; components.star_contraction_components)
+    cc_method: str = "hashmin"
 
     dry_run: bool = False
 
@@ -182,6 +187,9 @@ class DedupConfig:
                              "(the minimizer window needs >= 1 k-gram)")
         if self.substring_probes < 1:
             raise ValueError("substring_probes must be >= 1")
+        if self.cc_method not in ("hashmin", "star"):
+            raise ValueError(f"bad cc_method {self.cc_method!r} "
+                             "(hashmin | star)")
 
     # fields whose change invalidates SIGNATURE checkpoints (what the
     # decode+signature actors compute); verification thresholds live in

@@ -199,7 +199,8 @@ def minhash_clusters_docs(sf_dir: str) -> "ray.data.Dataset":
         lambda t: t.filter(pc.invert(t["rejected"])), batch_format="pyarrow")
     raw = candidates.candidate_edges(usable, cfg, channels=("minhash",))
     edges = candidates.dedup_edges(raw)
-    labels = components.connected_components(edges, cfg.cc_max_rounds)
+    labels = components.connected_components(edges, cfg.cc_max_rounds,
+                                              method=cfg.cc_method)
     rows = sigs.select_columns(["clip_id"])
     out = components.attach_cluster_ids(rows, labels)
     return out.map_batches(

@@ -179,7 +179,8 @@ def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
     st["candidates"] = _time.time() - _t0
     _t0 = _time.time()
 
-    labels = components.connected_components(edges, cfg.cc_max_rounds)
+    labels = components.connected_components(edges, cfg.cc_max_rounds,
+                                              method=cfg.cc_method)
     st["components"] = _time.time() - _t0
     _t0 = _time.time()
     rows = _settle_projection(usable, cfg)

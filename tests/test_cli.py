@@ -286,3 +286,15 @@ def test_cli_append_with_export_codec_rejected(clips_file, tmp_path):
     with pytest.raises(ValueError, match="append applies only"):
         main(["dedup", "--input", clips_file, "--out", str(tmp_path / "o"),
               "--export-codec", "pcm_s16le", "--append"])
+
+
+def test_cli_cc_method_star(clips_file, capsys):
+    """--cc-method star routes connected components through star
+    contraction end-to-end; stats invariants still hold."""
+    assert main(["dedup", "--input", clips_file, "--dry-run",
+                 "--cc-method", "star"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["stats"]["mail_found"] > 0
+    with pytest.raises(SystemExit):  # argparse rejects unknown engines
+        main(["dedup", "--input", clips_file, "--dry-run",
+              "--cc-method", "bogus"])
