@@ -839,12 +839,15 @@ def _ngj_block_pairs(docs: "ray.data.Dataset", threshold: float,
                 if i == j:
                     ok &= cls_b > cls_all[k]  # each unordered pair once
                 js = np.flatnonzero(ok)
-                ca = cls_all[k]
-                for cb in cls_b[js].tolist():
-                    a_out.append(min(ca, cb))
-                    b_out.append(max(ca, cb))
-        return pa.table({"cls_a": pa.array(a_out, pa.string()),
-                         "cls_b": pa.array(b_out, pa.string())})
+                if len(js):
+                    cbs = cls_b[js]
+                    cas = np.full(len(js), cls_all[k], object)
+                    a_out.append(np.minimum(cas, cbs))
+                    b_out.append(np.maximum(cas, cbs))
+        a = np.concatenate(a_out) if a_out else np.empty(0, object)
+        b = np.concatenate(b_out) if b_out else np.empty(0, object)
+        return pa.table({"cls_a": pa.array(a, pa.string()),
+                         "cls_b": pa.array(b, pa.string())})
 
     nb = max(8, (n_blocks * (n_blocks + 1)) // 2)
     return bucketing.grouped(exploded, "pk", part, nbuckets=nb)
