@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup_pairs": docs.simhash_neardup_pairs,  # rows-only (exact-banding parity-tested)
         "minhash_clusters_docs": docs.minhash_clusters_docs,  # rows-only
         "ngram_jaccard_pairs": docs.ngram_jaccard_pairs,
+        "levenshtein_neardup_pairs": docs.levenshtein_neardup_pairs,
         "stratified_sample_docs": docs.stratified_sample_docs,
         "length_weighted_sample_docs": docs.length_weighted_sample_docs,
         "sample_k_per_lang": docs.sample_k_per_lang,
@@ -197,6 +198,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.grams, b.grams)) * 1.0
                   / (len(a.grams) + len(b.grams)
                      - len(list_intersect(a.grams, b.grams))) >= 0.6
+        """,
+        # edit-distance similarity join (PassJoin pigeonhole candidates,
+        # banded-DP verify).  The MATERIALIZED chunk prefilter is EXACT:
+        # <=4 edits touch <=4 of the 5 covering chunks of b.text, so one
+        # chunk appears verbatim in a.text — it only prunes levenshtein()
+        # calls (23.9 s -> 0.15 s at sf0.01; DuckDB's levenshtein is the
+        # slow full-DP, and without MATERIALIZED the planner runs it
+        # before the cheap containment filter)
+        "levenshtein_neardup_pairs": """
+            WITH c AS MATERIALIZED (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       a.text AS ta, b.text AS tb
+                FROM documents a JOIN documents b
+                  ON a.doc_id < b.doc_id
+                 AND abs(length(a.text) - length(b.text)) <= 4
+                 AND (position(substr(b.text, 1 + 0 * ((length(b.text) + 4) // 5),
+                               ((length(b.text) + 4) // 5)) IN a.text) > 0
+                   OR position(substr(b.text, 1 + 1 * ((length(b.text) + 4) // 5),
+                               ((length(b.text) + 4) // 5)) IN a.text) > 0
+                   OR position(substr(b.text, 1 + 2 * ((length(b.text) + 4) // 5),
+                               ((length(b.text) + 4) // 5)) IN a.text) > 0
+                   OR position(substr(b.text, 1 + 3 * ((length(b.text) + 4) // 5),
+                               ((length(b.text) + 4) // 5)) IN a.text) > 0
+                   OR position(substr(b.text, 1 + 4 * ((length(b.text) + 4) // 5),
+                               ((length(b.text) + 4) // 5)) IN a.text) > 0))
+            SELECT a_id, b_id FROM c WHERE levenshtein(ta, tb) <= 4
         """,
         # exact-substring containment (suffix-array detector): contained
         # text strictly shorter, at least 64 chars (ASCII corpus: byte and

@@ -933,6 +933,139 @@ def simhash_neardup_pairs(sf_dir: str,
                    lambda df: df.drop_duplicates(subset=["a_id", "b_id"]))
 
 
+def levenshtein_neardup_pairs(sf_dir: str,
+                              max_dist: int = 4) -> "ray.data.Dataset":
+    """Edit-distance similarity join: every doc pair with
+    ``levenshtein(text_a, text_b) <= max_dist`` — the typo/near-edit
+    member of the dedup family (exact, not probabilistic).
+
+    PassJoin shape (see ``functions/editdist.py``; recall 1.0 by
+    pigeonhole): each doc INDEXES the ``d+1`` even segments of its own
+    text keyed ``(len, seg_i, bytes)`` and PROBES, for every partner
+    length ``L`` in ``[len-d, len]`` (the partition of the SHORTER side
+    of any pair is the indexed one), the substrings that could align
+    with ``L``'s segments (start within ``±d`` of the segment start).
+    Keys are 8-byte blake2b digests, so the ONE bucketed shuffle moves
+    ~17-byte rows; per-bucket bipartite pair-gen, global pair dedup,
+    then texts join back BY ID (bucketed shuffle join — never a driver
+    broadcast) for the banded-DP verify with common prefix/suffix trim.
+    Strings of ``len <= 2d`` meet in a single 'tiny' bucket (the
+    pigeonhole needs ``d+1`` non-empty segments); that bucket is bounded
+    by the corpus length histogram, every other stage is O(rows).
+    """
+    import numpy as np
+
+    from mail_deduplicate_ray.functions import editdist
+    from mail_deduplicate_ray.stages.bucketing import grouped
+    from mail_deduplicate_ray.stages.joins import shuffle_join
+
+    d = max_dist
+    nseg = d + 1
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def emit(t: pa.Table) -> pa.Table:
+        keys: list[int] = []
+        ids: list[int] = []
+        sides: list[int] = []
+        for did, text in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            s = text or ""
+            n = len(s)
+            seen: set[tuple[int, int]] = set()
+
+            def add(side: int, k: int) -> None:
+                if (side, k) not in seen:
+                    seen.add((side, k))
+                    keys.append(k)
+                    ids.append(did)
+                    sides.append(side)
+
+            if n <= 2 * d:          # pairs whose shorter side <= d
+                add(0, 0)
+                add(1, 0)
+            if n >= nseg:           # own partition, indexed
+                for i, (st, ln) in enumerate(editdist.segments(n, nseg)):
+                    add(0, editdist.seg_key(n, i, s[st:st + ln]))
+            # probe the partitions of shorter-or-equal partner lengths
+            for L in range(max(n - d, nseg), n + 1):
+                for i, (st, ln) in enumerate(editdist.segments(L, nseg)):
+                    lo = max(st - d, 0)
+                    hi = min(st + d, n - ln)
+                    for p in range(lo, hi + 1):
+                        add(1, editdist.seg_key(L, i, s[p:p + ln]))
+        return pa.table({
+            "key": pa.array(np.asarray(keys, np.uint64), pa.uint64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "side": pa.array(sides, pa.int8()),
+        })
+
+    rows = docs.map_batches(emit, batch_format="pyarrow")
+
+    def part(df) -> pa.Table:
+        # vectorized bipartite pair-gen: keep only keys present on BOTH
+        # sides (np.intersect1d), one argsort + np.split — never a
+        # per-group pandas loop over the ~mostly-singleton key space
+        # (measured 46 s -> sub-second at sf0.01)
+        key = df["key"].to_numpy().astype(np.uint64)
+        did = df["doc_id"].to_numpy().astype(np.int64)
+        side = df["side"].to_numpy()
+        both = np.intersect1d(np.unique(key[side == 0]),
+                              np.unique(key[side == 1]),
+                              assume_unique=True)
+        empty = pa.table({"a_id": pa.array([], pa.int64()),
+                          "b_id": pa.array([], pa.int64())})
+        if not len(both):
+            return empty
+        m = np.isin(key, both)
+        key, did, side = key[m], did[m], side[m]
+        order = np.argsort(key, kind="stable")
+        did, side = did[order], side[order]
+        _, starts = np.unique(key[order], return_index=True)
+        a_out, b_out = [], []
+        for ids_g, sd_g in zip(np.split(did, starts[1:]),
+                               np.split(side, starts[1:])):
+            idx = ids_g[sd_g == 0]
+            prb = ids_g[sd_g == 1]
+            a = np.repeat(idx, len(prb))
+            b = np.tile(prb, len(idx))
+            keep = a != b
+            if keep.any():
+                a, b = a[keep], b[keep]
+                a_out.append(np.minimum(a, b))
+                b_out.append(np.maximum(a, b))
+        if not a_out:
+            return empty
+        return pa.table({
+            "a_id": pa.array(np.concatenate(a_out), pa.int64()),
+            "b_id": pa.array(np.concatenate(b_out), pa.int64())})
+
+    cand = grouped(rows, "key", part)
+    cand = grouped(cand, "a_id",
+                   lambda df: df.drop_duplicates(subset=["a_id", "b_id"]))
+    # the deduped candidate table is output-bounded (pairs ARE the
+    # result); materializing it keeps the two downstream shuffle_joins'
+    # schema probes from re-executing the whole candidate pipeline
+    cand = cand.materialize()
+
+    ta = docs.map_batches(
+        lambda t: pa.table({"a_id": t["doc_id"], "text_a": t["text"]}),
+        batch_format="pyarrow")
+    tb = docs.map_batches(
+        lambda t: pa.table({"b_id": t["doc_id"], "text_b": t["text"]}),
+        batch_format="pyarrow")
+    joined = shuffle_join(shuffle_join(cand, ta, "a_id", "a_id"),
+                          tb, "b_id", "b_id")
+
+    def verify(t: pa.Table) -> pa.Table:
+        ok = [editdist.lev_within(x or "", y or "", d)
+              for x, y in zip(t["text_a"].to_pylist(),
+                              t["text_b"].to_pylist())]
+        kept = t.filter(pa.array(ok, pa.bool_()))
+        return kept.select(["a_id", "b_id"])
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
 def stratified_sample_docs(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic stratified sampling — the reproducible-subset
     operator a training-data pipeline needs (same sample at ANY

@@ -593,3 +593,66 @@ def test_substring_bot4_subset_prune_is_exact():
     df2 = _substring_core(ids, bkts, sizes, tfps, roles, cfg)
     pairs2 = set(map(tuple, df2[df2.src != ""][["src", "dst"]].to_numpy()))
     assert ("P-0", "R-0") in pairs2
+
+
+def test_lev_within_matches_bruteforce():
+    # banded DP + prefix/suffix trim == full-DP Levenshtein, all budgets
+    import random
+    from mail_deduplicate_ray.functions.editdist import (lev_bruteforce,
+                                                         lev_within)
+    rng = random.Random(7)
+    alpha = "abc"
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("same", "same")]
+    for _ in range(300):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 13)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 13)))
+        cases.append((a, b))
+    # long near-identical strings: edits buried mid-string after trim
+    base = "x" * 200 + "abcdefgh" + "y" * 200
+    cases += [(base, base.replace("cde", "c_e")),
+              (base, base.replace("abcdefgh", "")),
+              (base, "z" + base), (base, base + "zz")]
+    for a, b in cases:
+        truth = lev_bruteforce(a, b)
+        for d in range(0, 6):
+            assert lev_within(a, b, d) == (truth <= d), (a, b, d, truth)
+
+
+def test_levenshtein_neardup_pairs_matches_duckdb():
+    # PassJoin candidates + banded verify == DuckDB levenshtein truth
+    import duckdb
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+    d = "/root/testdata/sf0.001"
+    got = {(r["a_id"], r["b_id"])
+           for r in docs_mod.levenshtein_neardup_pairs(d).take_all()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    want = set(con.execute("""
+        SELECT a.doc_id, b.doc_id FROM documents a JOIN documents b
+          ON a.doc_id < b.doc_id
+         AND abs(length(a.text) - length(b.text)) <= 4
+        WHERE levenshtein(a.text, b.text) <= 4""").fetchall())
+    assert got == want and len(want) > 0
+
+
+def test_levenshtein_neardup_tiny_strings(tmp_path):
+    # strings shorter than d+1 segments route through the tiny bucket;
+    # result equals the brute-force truth (incl. cross tiny/long pairs)
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mail_deduplicate_ray.functions.editdist import lev_bruteforce
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+    texts = ["", "a", "ab", "abcd", "abce", "abcdefgh", "abcdefghij",
+             "zzzzzzzzzz", "abcdxfgh", "b", "ba"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = {(r["a_id"], r["b_id"]) for r in
+           docs_mod.levenshtein_neardup_pairs(str(tmp_path),
+                                              max_dist=3).take_all()}
+    want = {(i, j) for i, j in itertools.combinations(range(len(texts)), 2)
+            if lev_bruteforce(texts[i], texts[j]) <= 3}
+    assert got == want and len(want) > 0
