@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_flagship": clips.flagship_clusters,          # rows-only
         "clips_exact_dedup": clips.clips_exact_dedup,       # rows-only
         "clips_audio_stats": clips.clips_audio_stats,       # rows-only (dBFS kernels unit-tested)
+        "clips_silence_segments": clips.clips_silence_segments,  # rows-only (segmentation kernel unit-tested)
+        "clips_loudness": clips.clips_loudness,             # rows-only (gain kernel unit-tested)
         # --- images (real BMP decode -> dhash -> exact Hamming pairs;
         #     non-SQL: binary pixel decode) ---
         "images_dhash_neardup": images.images_dhash_neardup,  # rows-only (planted-truth recall test)

@@ -78,6 +78,52 @@ def trim_silence(pcm: np.ndarray, threshold_dbfs: float = -40.0,
     return (start, stop)
 
 
+def segment_silence(pcm: np.ndarray, threshold_dbfs: float = -40.0,
+                    frame: int = 256, min_gap_frames: int = 2,
+                    min_seg_frames: int = 1) -> list[tuple[int, int]]:
+    """Voiced segments as (start, stop) sample bounds: frame-RMS gate
+    (same energy grid as ``trim_silence``), silence gaps SHORTER than
+    ``min_gap_frames`` are bridged into one segment, segments shorter
+    than ``min_seg_frames`` dropped.  Vectorized run detection (one
+    diff/split over live-frame indices), no per-sample Python."""
+    if len(pcm) == 0:
+        return []
+    n_frames = -(-len(pcm) // frame)
+    padded = np.zeros(n_frames * frame, dtype=np.float64)
+    padded[:len(pcm)] = pcm
+    energy = np.sqrt(np.mean(padded.reshape(n_frames, frame) ** 2, axis=1))
+    thresh = 10.0 ** (threshold_dbfs / 20.0)
+    idx = np.flatnonzero(energy > thresh)
+    if len(idx) == 0:
+        return []
+    # split where the silent gap between live frames reaches min_gap
+    gaps = np.diff(idx) - 1
+    groups = np.split(idx, np.flatnonzero(gaps >= min_gap_frames) + 1)
+    segs = []
+    for g in groups:
+        if int(g[-1] - g[0]) + 1 < min_seg_frames:
+            continue
+        segs.append((int(g[0]) * frame,
+                     min((int(g[-1]) + 1) * frame, len(pcm))))
+    return segs
+
+
+def loudness_gain_db(pcm: np.ndarray,
+                     target_dbfs: float = -20.0) -> tuple[float, bool]:
+    """Normalization gain (dB) bringing the clip's RMS to
+    ``target_dbfs``, LIMITED so the gained peak never exceeds full
+    scale; returns ``(gain_db, limited)``.  Silence gets gain 0 (there
+    is nothing to normalize and +inf gain would amplify the floor)."""
+    r = rms_dbfs(pcm)
+    if r <= -240.0:
+        return (0.0, False)
+    want = target_dbfs - r
+    cap = -peak_dbfs(pcm)          # gain at which the peak hits 1.0
+    if want > cap:
+        return (float(cap), True)
+    return (float(want), False)
+
+
 def spectral_centroid_hz(pcm: np.ndarray, sr: int,
                          n_fft: int = 4096) -> float:
     """POWER-weighted mean frequency of the first ``n_fft`` samples

@@ -122,3 +122,34 @@ def clips_audio_stats(sf_dir: str) -> "ray.data.Dataset":
                                "rms_mdb", "peak_mdb", "zero_crossings",
                                "active_samples", "centroid_mhz",
                                "snr_mdb"])
+
+def clips_silence_segments(sf_dir: str) -> "ray.data.Dataset":
+    """Silence-split segmentation (rows-only query): one row per voiced
+    segment — decode in an actor pool, frame-RMS gate with short-gap
+    bridging, per-segment bounds in ms + segment RMS.  The audio
+    analogue of the windowed-explode operators on the events table;
+    at corpus scale the segment rows feed per-segment stages directly."""
+    from mail_deduplicate_ray.stages import bucketing
+    from mail_deduplicate_ray.stages.audio_stats import SilenceSegmentStage
+
+    ds = read_clips(sf_dir)
+    _, hi = bucketing.pool_size()
+    return ds.map_batches(
+        SilenceSegmentStage, batch_format="pyarrow", batch_size=128,
+        concurrency=(max(1, hi // 2), max(1, hi - 1)), num_cpus=1)
+
+
+def clips_loudness(sf_dir: str) -> "ray.data.Dataset":
+    """Loudness-normalization plan (rows-only query): per-clip RMS/peak
+    milli-dB and the peak-limited gain to -20 dBFS; the `limited` flag
+    marks clips whose crest factor forces a lower gain."""
+    from mail_deduplicate_ray.stages import bucketing
+    from mail_deduplicate_ray.stages.audio_stats import LoudnessStage
+
+    ds = read_clips(sf_dir)
+    _, hi = bucketing.pool_size()
+    out = ds.map_batches(
+        LoudnessStage, batch_format="pyarrow", batch_size=128,
+        concurrency=(max(1, hi // 2), max(1, hi - 1)), num_cpus=1)
+    return out.select_columns(["clip_id", "audio_ok", "rms_mdb",
+                               "peak_mdb", "gain_mdb", "limited"])

@@ -23,6 +23,34 @@ from mail_deduplicate_ray import codecs
 from mail_deduplicate_ray.functions import audio_dsp
 
 
+def iter_decoded(batch: pa.Table):
+    """Yield ``(row_index, pcm, sr)`` for every decodable payload row —
+    zero-copy Arrow-buffer slices into ``codecs.decode`` (the same
+    memoryview idiom as the signature stage; no ``to_pylist`` of the
+    binary column).  Undecodable rows are silently skipped: callers
+    mark them absent via their own ``ok`` accounting."""
+    import pyarrow.compute as pc
+    n = batch.num_rows
+    arr = batch["bytes"].combine_chunks()
+    odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=odt)[
+        arr.offset:arr.offset + n + 1]
+    mv = memoryview(arr.buffers()[2]) if arr.buffers()[2] is not None \
+        else memoryview(b"")
+    valid = (None if arr.null_count == 0 else
+             pc.is_valid(arr).to_numpy(zero_copy_only=False))
+    declared = batch["codec"].to_pylist()
+    for i in range(n):
+        if valid is not None and not valid[i]:
+            continue
+        try:
+            pcm, sr = codecs.decode(mv[off[i]:off[i + 1]],
+                                    declared[i] or None)
+        except (NotImplementedError, ValueError, struct_error):
+            continue
+        yield i, pcm, sr
+
+
 class AudioStatsStage:
     """map_batches(AudioStatsStage, concurrency=N, batch_format="pyarrow")."""
 
@@ -77,3 +105,75 @@ class AudioStatsStage:
                 .append_column("active_samples", pa.array(active_samples))
                 .append_column("centroid_mhz", pa.array(centroid_mhz))
                 .append_column("snr_mdb", pa.array(snr_mdb)))
+
+
+class SilenceSegmentStage:
+    """Silence-split segmentation: ONE OUTPUT ROW PER VOICED SEGMENT —
+    the row-multiplying audio operator (≙ the hopping-window explode
+    shape on the events table).  Each segment carries sample and
+    millisecond bounds plus its own RMS, so downstream stages (per-
+    segment transcription, per-segment dedup) consume segments as
+    first-class rows without re-decoding the clip."""
+
+    def __init__(self, threshold_dbfs: float = -40.0, frame: int = 256,
+                 min_gap_frames: int = 2, min_seg_frames: int = 1) -> None:
+        self.threshold_dbfs = threshold_dbfs
+        self.frame = frame
+        self.min_gap_frames = min_gap_frames
+        self.min_seg_frames = min_seg_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["clip_id"].to_pylist()
+        clip_id, seg_idx = [], []
+        start_ms, end_ms = [], []
+        seg_rms_mdb, n_segs_of_clip = [], []
+        for i, pcm, sr in iter_decoded(batch):
+            segs = audio_dsp.segment_silence(
+                pcm, self.threshold_dbfs, self.frame,
+                self.min_gap_frames, self.min_seg_frames)
+            for k, (lo, hi) in enumerate(segs):
+                clip_id.append(ids[i])
+                seg_idx.append(k)
+                start_ms.append(round(lo * 1000 / sr))
+                end_ms.append(round(hi * 1000 / sr))
+                seg_rms_mdb.append(
+                    round(audio_dsp.rms_dbfs(pcm[lo:hi]) * 1000))
+                n_segs_of_clip.append(len(segs))
+        return pa.table({
+            "clip_id": pa.array(clip_id, pa.string()),
+            "seg_idx": pa.array(seg_idx, pa.int32()),
+            "start_ms": pa.array(start_ms, pa.int64()),
+            "end_ms": pa.array(end_ms, pa.int64()),
+            "seg_rms_mdb": pa.array(seg_rms_mdb, pa.int64()),
+            "n_segs_of_clip": pa.array(n_segs_of_clip, pa.int32()),
+        })
+
+
+class LoudnessStage:
+    """Per-clip loudness normalization plan: RMS/peak levels and the
+    peak-limited gain that would bring the clip to ``target_dbfs``
+    (integer milli-dB outputs — the hash-stable cents convention)."""
+
+    def __init__(self, target_dbfs: float = -20.0) -> None:
+        self.target_dbfs = target_dbfs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ok = np.zeros(n, dtype=bool)
+        rms_mdb = np.full(n, -240_000, dtype=np.int64)
+        peak_mdb = np.full(n, -240_000, dtype=np.int64)
+        gain_mdb = np.zeros(n, dtype=np.int64)
+        limited = np.zeros(n, dtype=bool)
+        for i, pcm, _sr in iter_decoded(batch):
+            ok[i] = True
+            rms_mdb[i] = round(audio_dsp.rms_dbfs(pcm) * 1000)
+            peak_mdb[i] = round(audio_dsp.peak_dbfs(pcm) * 1000)
+            g, lim = audio_dsp.loudness_gain_db(pcm, self.target_dbfs)
+            gain_mdb[i] = round(g * 1000)
+            limited[i] = lim
+        out = batch.drop_columns(["bytes"])
+        return (out.append_column("audio_ok", pa.array(ok))
+                .append_column("rms_mdb", pa.array(rms_mdb))
+                .append_column("peak_mdb", pa.array(peak_mdb))
+                .append_column("gain_mdb", pa.array(gain_mdb))
+                .append_column("limited", pa.array(limited)))

@@ -120,3 +120,109 @@ def test_snr_estimate_orders_dynamics():
                              + 1e-4, tone])
     assert dsp.snr_estimate_db(bursty) > dsp.snr_estimate_db(tone) + 10
     assert dsp.snr_estimate_db(np.zeros(100, np.float32)) == 0.0
+
+
+class TestSegmentation:
+    def _speech_like(self, sr=16000):
+        # tone(0.1s) silence(0.05s) tone(0.1s) longsilence(0.3s) tone(0.1s)
+        tone = _sine(freq=440, sr=sr, dur=0.1, amp=0.5)
+        gap_short = np.zeros(int(sr * 0.05), np.float32)
+        gap_long = np.zeros(int(sr * 0.3), np.float32)
+        pcm = np.concatenate([tone, gap_short, tone, gap_long, tone])
+        return pcm, sr, tone, gap_short, gap_long
+
+    def test_segment_silence_splits_on_long_gaps_only(self):
+        pcm, sr, tone, gs, gl = self._speech_like()
+        # frame=256 @16k = 16ms; 0.05s gap ≈ 3 frames, 0.3s ≈ 18 frames:
+        # min_gap_frames=5 bridges the short gap, splits the long one
+        segs = audio_dsp.segment_silence(pcm, threshold_dbfs=-40.0,
+                                         frame=256, min_gap_frames=5)
+        assert len(segs) == 2
+        (a0, a1), (b0, b1) = segs
+        # first segment spans tone+gap+tone (frame-quantized bounds)
+        assert a0 <= 255 and abs(a1 - (2 * len(tone) + len(gs))) <= 256
+        assert abs(b0 - (2 * len(tone) + len(gs) + len(gl))) <= 256
+        assert b1 == len(pcm)
+
+    def test_segment_silence_min_gap_one_splits_both(self):
+        pcm, sr, *_ = self._speech_like()
+        segs = audio_dsp.segment_silence(pcm, frame=256, min_gap_frames=1)
+        assert len(segs) == 3
+
+    def test_segment_silence_edge_cases(self):
+        assert audio_dsp.segment_silence(np.array([], np.float32)) == []
+        assert audio_dsp.segment_silence(np.zeros(4096, np.float32)) == []
+        # all-voiced clip = one segment covering everything
+        segs = audio_dsp.segment_silence(_sine(dur=0.2))
+        assert segs == [(0, len(_sine(dur=0.2)))]
+
+    def test_min_seg_frames_drops_blips(self):
+        sr = 16000
+        blip = _sine(freq=440, sr=sr, dur=0.016, amp=0.5)  # ~1 frame
+        long = _sine(freq=440, sr=sr, dur=0.2, amp=0.5)
+        pcm = np.concatenate([blip, np.zeros(sr // 2, np.float32), long])
+        segs = audio_dsp.segment_silence(pcm, frame=256, min_gap_frames=2,
+                                         min_seg_frames=4)
+        assert len(segs) == 1 and segs[0][1] == len(pcm)
+
+
+class TestLoudness:
+    def test_gain_reaches_target_when_headroom(self):
+        pcm = _sine(amp=0.05)  # RMS ≈ -29 dBFS, peak -26: room to -20
+        g, lim = audio_dsp.loudness_gain_db(pcm, target_dbfs=-20.0)
+        assert not lim
+        assert audio_dsp.rms_dbfs(pcm * 10 ** (g / 20)) == pytest.approx(
+            -20.0, abs=0.05)
+
+    def test_gain_peak_limited(self):
+        # crest factor of a sine is 3 dB: normalizing RMS to -1 dBFS
+        # would push the peak past full scale -> limited to peak=0 dBFS
+        pcm = _sine(amp=0.1)
+        g, lim = audio_dsp.loudness_gain_db(pcm, target_dbfs=-1.0)
+        assert lim
+        assert audio_dsp.peak_dbfs(pcm * 10 ** (g / 20)) == pytest.approx(
+            0.0, abs=0.05)
+
+    def test_silence_gets_zero_gain(self):
+        assert audio_dsp.loudness_gain_db(
+            np.zeros(1000, np.float32)) == (0.0, False)
+
+
+def _payload_batch(pcms, sr=16000):
+    rows = [codecs.encode(p, sr, "pcm_s16le") for p in pcms]
+    return pa.table({
+        "clip_id": pa.array([f"c{i}" for i in range(len(rows))]),
+        "codec": pa.array(["pcm_s16le"] * len(rows)),
+        "bytes": pa.array(rows, pa.large_binary()),
+    })
+
+
+def test_silence_segment_stage_rows():
+    from mail_deduplicate_ray.stages.audio_stats import SilenceSegmentStage
+    sr = 16000
+    tone = _sine(freq=440, sr=sr, dur=0.1, amp=0.5)
+    gap = np.zeros(int(sr * 0.3), np.float32)
+    two_seg = np.concatenate([tone, gap, tone])
+    out = SilenceSegmentStage(min_gap_frames=5)(_payload_batch(
+        [two_seg, np.zeros(4096, np.float32), tone], sr))
+    df = out.to_pandas()
+    # clip c0 -> 2 segments, c1 (silence) -> none, c2 -> 1 segment
+    assert list(df[df.clip_id == "c0"].seg_idx) == [0, 1]
+    assert (df[df.clip_id == "c0"].n_segs_of_clip == 2).all()
+    assert "c1" not in set(df.clip_id)
+    assert len(df[df.clip_id == "c2"]) == 1
+    seg = df[(df.clip_id == "c0") & (df.seg_idx == 1)].iloc[0]
+    assert seg.start_ms == pytest.approx(400, abs=20)   # tone+gap = 0.4s
+    assert seg.end_ms == pytest.approx(500, abs=20)
+    assert abs(seg.seg_rms_mdb - (-9031)) < 300         # 0.5-amp sine RMS
+
+
+def test_loudness_stage_matches_kernels():
+    from mail_deduplicate_ray.stages.audio_stats import LoudnessStage
+    pcms = [_sine(amp=0.05), _sine(amp=0.1), np.zeros(1000, np.float32)]
+    df = LoudnessStage(target_dbfs=-20.0)(_payload_batch(pcms)).to_pandas()
+    assert df.audio_ok.all()
+    for i, p in enumerate(pcms):
+        g, lim = audio_dsp.loudness_gain_db(p, -20.0)
+        assert df.gain_mdb[i] == round(g * 1000)
+        assert bool(df.limited[i]) == lim
