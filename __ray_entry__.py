@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": docs.exact_dedup_docs,
         "normalized_dedup_docs": docs.normalized_dedup_docs,
         "dup_group_size_histogram": docs.dup_group_size_histogram,
+        "bag_dedup_docs": docs.bag_dedup_docs,
         "doc_hashes": docs.doc_hashes,
         "keep_biggest_per_lang": docs.keep_biggest_per_lang,
         "regexp_filter_docs": docs.regexp_filter_docs,
@@ -149,6 +150,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_hashes": """
             SELECT doc_id, sha256(text) AS text_sha FROM documents
+        """,
+        # word-order-invariant dedup: group on the sorted token multiset
+        # (engine keys on sha256 of the sorted list — same partition)
+        "bag_dedup_docs": """
+            SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+            FROM documents
+            GROUP BY list_sort(regexp_split_to_array(trim(text), '\\s+'))
         """,
         "keep_biggest_per_lang": """
             SELECT lang, doc_id, n_chars FROM (

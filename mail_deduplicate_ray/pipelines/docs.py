@@ -71,6 +71,25 @@ def normalized_dedup_docs(sf_dir: str) -> "ray.data.Dataset":
     return _dedup_by(_docs(sf_dir, ["doc_id", "text"]), key)
 
 
+def bag_dedup_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Word-order-invariant exact dedup: docs whose whitespace-token
+    MULTISETS are equal form one group (catches shuffled/reordered
+    copies that byte- and normalized-dedup miss) — (keeper_id,
+    n_copies) like ``exact_dedup_docs``.  Key = sha256 of the sorted
+    token list; the text column is dropped before the groupby so the
+    shuffle moves 28-byte keys (ref semantics: M7 canonical projection
+    + G1 group-by-hash, deduplicate.py:1009)."""
+    def key(t: pa.Table) -> pa.Table:
+        vals = [hashlib.sha256(
+                    "\x00".join(sorted((v or "").split())).encode()
+                ).hexdigest()
+                for v in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "text_key": pa.array(vals, pa.string())})
+
+    return _dedup_by(_docs(sf_dir, ["doc_id", "text"]), key)
+
+
 def doc_hashes(sf_dir: str) -> "ray.data.Dataset":
     """--hash-only analogue (ref: cli.py:656-674): signatures, stop."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
