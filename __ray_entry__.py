@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_weighted_sample_docs": docs.length_weighted_sample_docs,
         "sample_k_per_lang": docs.sample_k_per_lang,
         "top_trigrams": docs.top_trigrams,
+        "heavy_tokens": docs.heavy_tokens,
         "decontaminate_docs": docs.decontaminate_docs,
         "substring_pairs": docs.substring_pairs,
         "scrub_docs": docs.scrub_docs,
@@ -355,6 +356,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE length(text) >= 3)
             SELECT gram, count(*) AS n FROM grams
             GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 100
+        """,
+        # Count-Min candidates -> exact rescan; output is EXACT so the
+        # plain HAVING truth is the oracle
+        "heavy_tokens": """
+            SELECT tok, count(*) AS n
+            FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                      AS tok
+                  FROM documents)
+            GROUP BY tok HAVING count(*) >= 500
         """,
         "events_window_5m": """
             SELECT user_id,

@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "scrub_docs", "token_repetition_docs", "curate_docs",
     "vocab_coverage_docs",
     "clips_audio_stats", "images_dhash_neardup", "videos_frame_neardup",
+    # round-3 continuation additions
+    "levenshtein_neardup_pairs", "bag_dedup_docs", "heavy_tokens",
+    "clips_silence_segments", "clips_loudness",
 ]
 
 

@@ -73,3 +73,53 @@ def hll_estimate(regs: np.ndarray) -> int:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return int(round(est))
+
+
+# --- Count-Min — the mergeable frequency sketch -------------------------
+#
+# Heavy-hitter detection at 10^12 rows must not shuffle one row per
+# DISTINCT key just to discover that almost all keys are light.  The CM
+# sketch folds every batch into a fixed (depth, width) counter grid;
+# partials merge by elementwise ADD (commutative/associative, safe under
+# retries only with exactly-once semantics — Ray Data map_batches output
+# is consumed once, so partial rows are safe).  Estimates NEVER
+# undercount (point query = min over depth rows of non-negative adds),
+# so "estimate >= threshold" candidates have zero false negatives; an
+# exact second pass over candidates only removes the false positives.
+# Cormode & Muthukrishnan, "An improved data stream summary: the
+# count-min sketch and its applications" (J. Algorithms 55, 2005).
+
+CM_DEPTH = 4
+CM_WIDTH = 4096
+
+
+def cm_partial(hashes: np.ndarray, counts: np.ndarray,
+               depth: int = CM_DEPTH, width: int = CM_WIDTH) -> np.ndarray:
+    """Fold (key-hash, count) pairs into a fresh (depth, width) int64
+    grid.  Row r uses splitmix64(h + r) so the depth rows are
+    independent mixes of the same key."""
+    cm = np.zeros((depth, width), dtype=np.int64)
+    if len(hashes) == 0:
+        return cm
+    h = np.asarray(hashes, dtype=np.uint64)
+    c = np.asarray(counts, dtype=np.int64)
+    for r in range(depth):
+        idx = (splitmix64(h + _U(r)) % _U(width)).astype(np.int64)
+        np.add.at(cm[r], idx, c)
+    return cm
+
+
+def cm_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
+def cm_query(cm: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Upper-bound count estimates for each key hash (vectorized min
+    over the depth rows — never below the true count)."""
+    h = np.asarray(hashes, dtype=np.uint64)
+    depth, width = cm.shape
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(depth):
+        idx = (splitmix64(h + _U(r)) % _U(width)).astype(np.int64)
+        np.minimum(est, cm[r][idx], out=est)
+    return est

@@ -1161,6 +1161,70 @@ def top_trigrams(sf_dir: str, k: int = 100) -> "ray.data.Dataset":
             .sort(["n", "gram"], descending=[True, False]).limit(k))
 
 
+def heavy_tokens(sf_dir: str, min_count: int = 500) -> "ray.data.Dataset":
+    """Heavy-hitter tokens (EXACT output): every whitespace token whose
+    corpus-wide count is ``>= min_count``, found via the
+    sketch-candidate → exact-rescan idiom.
+
+    Pass 1 folds each batch's distinct-token counts into a Count-Min
+    partial (``functions/sketch.py``; fixed 4×4096 grid, merged by add
+    — a driver reduce of one tiny row per block, never a shuffle of the
+    token stream).  The merged sketch broadcasts once via ``ray.put``;
+    pass 2 re-tokenizes, keeps only tokens whose CM estimate reaches
+    the threshold (CM never undercounts → zero false negatives) and
+    emits per-batch partial counts for THOSE tokens only, so the final
+    exact groupby moves candidate partials, not the vocabulary.  The
+    closing ``>= min_count`` filter on exact sums removes CM's false
+    positives — output equals the plain SQL HAVING truth."""
+    import numpy as np
+    import pandas as pd
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from mail_deduplicate_ray.functions import sketch
+
+    docs = _docs(sf_dir, ["text"])
+
+    def _uniq_counts(t: pa.Table):
+        toks: list[str] = []
+        for v in t["text"].to_pylist():
+            toks.extend((v or "").split())
+        if not toks:
+            return (np.empty(0, object), np.empty(0, np.int64))
+        return np.unique(np.asarray(toks, dtype=object),
+                         return_counts=True)
+
+    def cm_stage(t: pa.Table) -> pa.Table:
+        uniq, cnt = _uniq_counts(t)
+        cm = sketch.cm_partial(pd.util.hash_array(uniq), cnt)
+        return pa.table({"cm": pa.array([cm.ravel()],
+                                        pa.list_(pa.int64()))})
+
+    merged = np.zeros((sketch.CM_DEPTH, sketch.CM_WIDTH), np.int64)
+    for b in docs.map_batches(cm_stage, batch_format="pyarrow") \
+                 .iter_batches(batch_format="pyarrow"):
+        for row in b["cm"].to_pylist():
+            merged += np.asarray(row, np.int64).reshape(merged.shape)
+    ref = _ray.put(merged)
+
+    def cand_partials(t: pa.Table, ref=ref) -> pa.Table:
+        cm = _ray.get(ref)
+        uniq, cnt = _uniq_counts(t)
+        if not len(uniq):
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        est = sketch.cm_query(cm, pd.util.hash_array(uniq))
+        keep = est >= min_count
+        return pa.table({"tok": pa.array(uniq[keep].tolist(), pa.string()),
+                         "n": pa.array(cnt[keep], pa.int64())})
+
+    summed = (docs.map_batches(cand_partials, batch_format="pyarrow")
+              .groupby("tok").aggregate(Sum("n", alias_name="n")))
+    return summed.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], min_count)),
+        batch_format="pyarrow")
+
+
 def sample_k_per_lang(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
     """Deterministic per-stratum k-sample: the first ``k`` docs of each
     lang in Knuth-hash order (reproducible reservoir — same subset at any

@@ -195,3 +195,47 @@ def test_ntile_parallelism_independent():
     with mock.patch.object(bucketing, "default_nbuckets", lambda: 3):
         alt = relational.order_quartiles_ntile(sf).to_pandas()
     assert base.equals(alt)
+
+
+class TestCountMin:
+    def test_never_undercounts_and_merge_order_free(self):
+        import numpy as np
+        from mail_deduplicate_ray.functions import sketch
+        rng = np.random.default_rng(3)
+        # zipf-ish stream split into 4 partials
+        keys = rng.zipf(1.5, size=20000).astype(np.uint64)
+        uniq, true_cnt = np.unique(keys, return_counts=True)
+        parts = np.array_split(keys, 4)
+        cms = []
+        for p in parts:
+            u, c = np.unique(p, return_counts=True)
+            cms.append(sketch.cm_partial(u, c))
+        m1 = sketch.cm_merge(sketch.cm_merge(cms[0], cms[1]),
+                             sketch.cm_merge(cms[2], cms[3]))
+        m2 = cms[3]
+        for x in cms[:3]:
+            m2 = sketch.cm_merge(m2, x)
+        assert (m1 == m2).all()
+        est = sketch.cm_query(m1, uniq)
+        assert (est >= true_cnt).all()          # CM upper bound
+        # heavy hitters have zero false negatives at any threshold
+        for thr in (10, 100, 1000):
+            cand = set(uniq[est >= thr].tolist())
+            assert set(uniq[true_cnt >= thr].tolist()) <= cand
+        # and the estimates are tight for a 20k stream in a 4x4096 grid
+        assert int((est - true_cnt).max()) <= 40
+
+    def test_heavy_tokens_matches_counter(self):
+        import collections
+
+        import pyarrow.parquet as pq
+        from mail_deduplicate_ray.pipelines import docs as docs_mod
+        d = "/root/testdata/sf0.001"
+        got = {r["tok"]: r["n"]
+               for r in docs_mod.heavy_tokens(d, min_count=500).take_all()}
+        cnt = collections.Counter()
+        t = pq.read_table(f"{d}/documents.parquet", columns=["text"])
+        for v in t["text"].to_pylist():
+            cnt.update((v or "").split())
+        want = {k: n for k, n in cnt.items() if n >= 500}
+        assert got == want and len(want) > 0
