@@ -43,16 +43,19 @@ def _dedup_by(ds: "ray.data.Dataset", key_fn) -> "ray.data.Dataset":
     the shuffle), groupby(key) -> (keeper_id, n_copies).
     Ref semantics: G1 group-by-hash (deduplicate.py:1009) + min-id winner
     (deduplicate.py:1168)."""
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
     keyed = ds.map_batches(key_fn, batch_format="pyarrow")
 
-    def per_group(g: pa.Table) -> pa.Table:
+    def part(df) -> "pa.Table":
+        g = (df.groupby("text_key", sort=False, as_index=False)
+             .agg(keeper_id=("doc_id", "min"),
+                  n_copies=("doc_id", "size")))
         return pa.table({
-            "keeper_id": pa.array([pc.min(g["doc_id"]).as_py()], pa.int64()),
-            "n_copies": pa.array([g.num_rows], pa.int64()),
-        })
+            "keeper_id": pa.array(g["keeper_id"].to_numpy(), pa.int64()),
+            "n_copies": pa.array(g["n_copies"].to_numpy(), pa.int64())})
 
-    return keyed.groupby("text_key").map_groups(per_group,
-                                                batch_format="pyarrow")
+    return grouped(keyed, "text_key", part)
 
 
 def exact_dedup_docs(sf_dir: str) -> "ray.data.Dataset":
@@ -1402,13 +1405,13 @@ def curate_docs(sf_dir: str, min_tokens: int = 10, max_tokens: int = 1000,
         t2 = _sha256_col(t, "text", "text_key")
         return t2.select(["doc_id", "text_key"])
 
-    winners = (_docs(sf_dir, ["doc_id", "text"])
-               .map_batches(keyed, batch_format="pyarrow")
-               .groupby("text_key").map_groups(
-                   lambda g: pa.table({
-                       "keep_id": pa.array([pc.min(g["doc_id"]).as_py()],
-                                           pa.int64())}),
-                   batch_format="pyarrow"))
+    winners = grouped(
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(keyed, batch_format="pyarrow"),
+        "text_key",
+        lambda df: pa.table({"keep_id": pa.array(
+            df.groupby("text_key", sort=False)["doc_id"].min()
+            .to_numpy(), pa.int64())}))
 
     def with_tokens(t: pa.Table) -> pa.Table:
         n = pc.cast(token_counts(t["text"]), pa.int64())

@@ -66,9 +66,9 @@ def events_window_5m(sf_dir: str) -> "ray.data.Dataset":
                          "n": pc.cast(g["user_id_count"], pa.int64())})
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    from ray.data.aggregate import Sum
-    out = partials.groupby(["user_id", "window_id"]).aggregate(
-        Sum("n", alias_name="n_events"))
+    from mail_deduplicate_ray.stages.bucketing import grouped_sum
+    out = grouped_sum(partials, ["user_id", "window_id"],
+                      {"n": "n_events"})
     return out.map_batches(
         lambda t: pa.table({"user_id": t["user_id"],
                             "window_id": t["window_id"],
@@ -605,7 +605,6 @@ def purchase_day_views(sf_dir: str) -> "ray.data.Dataset":
     count on the same day — shuffle_join on (user_id, day) with the view
     side pre-aggregated (partial counts per batch, bucketed sum), so the
     join input is one row per (user, day), never raw view events."""
-    from ray.data.aggregate import Sum
 
     from mail_deduplicate_ray.functions.normalize import normalize_date
     from mail_deduplicate_ray.stages.joins import shuffle_join
@@ -629,8 +628,9 @@ def purchase_day_views(sf_dir: str) -> "ray.data.Dataset":
 
     p = ev.map_batches(purchases, batch_format="pyarrow")
     vp = ev.map_batches(view_partial, batch_format="pyarrow")
-    views = vp.groupby(["user_id", "day"]).aggregate(
-        Sum("n", alias_name="n_views")).map_batches(
+    from mail_deduplicate_ray.stages.bucketing import grouped_sum
+    views = grouped_sum(vp, ["user_id", "day"],
+                        {"n": "n_views"}).map_batches(
             lambda t: pa.table({"user_id": t["user_id"], "day": t["day"],
                                 "n_views": pc.cast(t["n_views"],
                                                    pa.int64())}),
@@ -725,8 +725,6 @@ def nation_spend_rank(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
     broadcast dim, customer is not) -> per-nation vectorized rank."""
     import pyarrow.parquet as pq
 
-    from ray.data.aggregate import Sum
-
     from mail_deduplicate_ray.stages.bucketing import grouped
     from mail_deduplicate_ray.stages.joins import broadcast_join, shuffle_join
 
@@ -746,8 +744,10 @@ def nation_spend_rank(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
         return pa.table({"c_custkey": g["c_custkey"],
                          "cents": g["cents_sum"]})
 
-    totals = orders.map_batches(partial, batch_format="pyarrow").groupby(
-        "c_custkey").aggregate(Sum("cents", alias_name="total_cents"))
+    from mail_deduplicate_ray.stages.bucketing import grouped_sum
+    totals = grouped_sum(orders.map_batches(partial,
+                                            batch_format="pyarrow"),
+                         ["c_custkey"], {"cents": "total_cents"})
     totals = totals.map_batches(
         lambda t: pa.table({"c_custkey": t["c_custkey"],
                             "total_cents": pc.cast(t["total_cents"],
@@ -858,7 +858,6 @@ def orders_above_customer_avg(sf_dir: str) -> "ray.data.Dataset":
     avoids float averages entirely).  Per-batch partials -> per-custkey
     totals -> shuffle_join back onto the fact rows (the customer-side
     totals are NOT broadcastable at scale)."""
-    from ray.data.aggregate import Sum
 
     from mail_deduplicate_ray.stages.joins import shuffle_join
 
@@ -878,9 +877,10 @@ def orders_above_customer_avg(sf_dir: str) -> "ray.data.Dataset":
         return pa.table({"cust": g["o_custkey"], "s": g["cents_sum"],
                          "n": pc.cast(g["cents_count"], pa.int64())})
 
-    totals = fact.map_batches(partial, batch_format="pyarrow").groupby(
-        "cust").aggregate(Sum("s", alias_name="sum_cents"),
-                          Sum("n", alias_name="n_orders"))
+    from mail_deduplicate_ray.stages.bucketing import grouped_sum
+    totals = grouped_sum(fact.map_batches(partial,
+                                          batch_format="pyarrow"),
+                         ["cust"], {"s": "sum_cents", "n": "n_orders"})
     totals = totals.map_batches(
         lambda t: pa.table({"cust": t["cust"],
                             "sum_cents": pc.cast(t["sum_cents"], pa.int64()),
@@ -979,7 +979,6 @@ def priority_brand_revenue(sf_dir: str) -> "ray.data.Dataset":
     orderkey) |><| part (second shuffle on partkey), revenue per
     (priority, brand).  Each join input is pre-aggregated per batch to
     its join key granularity so the shuffles move near-distinct keys."""
-    from ray.data.aggregate import Sum
 
     from mail_deduplicate_ray.stages.joins import shuffle_join
 
@@ -1013,9 +1012,9 @@ def priority_brand_revenue(sf_dir: str) -> "ray.data.Dataset":
     parts = _read(sf_dir, "part", ["p_partkey", "p_brand"])
     with_brand = shuffle_join(mid, parts, "l_partkey", "p_partkey",
                               how="inner")
-    out = with_brand.groupby(["o_orderpriority", "p_brand"]).aggregate(
-        Sum("n", alias_name="n_items"),
-        Sum("cents", alias_name="revenue_cents"))
+    from mail_deduplicate_ray.stages.bucketing import grouped_sum
+    out = grouped_sum(with_brand, ["o_orderpriority", "p_brand"],
+                      {"n": "n_items", "cents": "revenue_cents"})
     return out.map_batches(
         lambda t: pa.table({
             "o_orderpriority": t["o_orderpriority"],
@@ -1055,7 +1054,6 @@ def user_day_purchase_error_full(sf_dir: str) -> "ray.data.Dataset":
     error count, keeping days where only one side has activity (the
     unmatched side 0-filled).  Both inputs are pre-aggregated per batch,
     so the full-outer shuffle moves one row per (batch, user, day)."""
-    from ray.data.aggregate import Sum
 
     from mail_deduplicate_ray.functions.normalize import normalize_date
     from mail_deduplicate_ray.stages.joins import shuffle_join
@@ -1072,9 +1070,11 @@ def user_day_purchase_error_full(sf_dir: str) -> "ray.data.Dataset":
                              out_col: pc.cast(g["day_count"], pa.int64())})
         return f
 
+    from mail_deduplicate_ray.stages.bucketing import grouped_sum
+
     def final(ds, out_col):
-        return ds.groupby(["user_id", "day"]).aggregate(
-            Sum(out_col, alias_name=out_col)).map_batches(
+        return grouped_sum(ds, ["user_id", "day"],
+                           {out_col: out_col}).map_batches(
                 lambda t: pa.table({
                     "user_id": t["user_id"], "day": t["day"],
                     out_col: pc.cast(t[out_col], pa.int64())}),
@@ -1401,8 +1401,6 @@ def events_hopping_window(sf_dir: str, size_min: int = 5,
     window) — the hopping analogue of events_window_5m."""
     import numpy as np
 
-    from ray.data.aggregate import Sum
-
     if size_min % hop_min:
         raise ValueError("hop must divide the window size (the fixed-k "
                          "replicate is only exact then)")
@@ -1418,17 +1416,32 @@ def events_hopping_window(sf_dir: str, size_min: int = 5,
         cell = us // hop_us
         win = (np.repeat(cell, k)
                - np.tile(np.arange(k, dtype=np.int64), len(cell)))
-        t2 = pa.table({"user_id": pa.array(np.repeat(users, k)),
+        ur = np.repeat(users, k)
+        # fused routing key: any deterministic function of the group
+        # columns is exact (the in-bucket pandas groupby does the real
+        # grouping; the key only co-locates a group's rows) — an int
+        # bucket shuffle beats the native sort-based composite groupby
+        # 11x here (8.9 s -> 0.8 s at sf0.1)
+        key = win * np.int64(1 << 16) + ur.astype(np.int64)
+        t2 = pa.table({"key": pa.array(key, pa.int64()),
+                       "user_id": pa.array(ur),
                        "window_id": pa.array(win, pa.int64())})
-        g = t2.group_by(["user_id", "window_id"]).aggregate(
-            [("window_id", "count")])
-        return pa.table({"user_id": g["user_id"],
+        g = t2.group_by(["key", "user_id", "window_id"]).aggregate(
+            [("key", "count")])
+        return pa.table({"key": g["key"],
+                         "user_id": g["user_id"],
                          "window_id": g["window_id"],
-                         "n": pc.cast(g["window_id_count"], pa.int64())})
+                         "n": pc.cast(g["key_count"], pa.int64())})
 
-    out = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby(["user_id", "window_id"])
-           .aggregate(Sum("n", alias_name="n_events")))
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    def merge_part(df):
+        g = df.groupby(["user_id", "window_id"], sort=False,
+                       as_index=False)["n"].sum()
+        return g.rename(columns={"n": "n_events"})
+
+    out = grouped(ds.map_batches(partial, batch_format="pyarrow"),
+                  "key", merge_part)
     return out.map_batches(
         lambda t: pa.table({"user_id": t["user_id"],
                             "window_id": t["window_id"],

@@ -107,3 +107,54 @@ def per_key_apply(key: str, fn: Callable[[pd.DataFrame], pd.DataFrame]):
         outs = [fn(g) for _, g in df.groupby(key, sort=True)]
         return pd.concat(outs, ignore_index=True) if outs else df.iloc[0:0]
     return part
+
+
+def grouped_multi(ds: "ray.data.Dataset", keys: list[str],
+                  part_fn: Callable,
+                  nbuckets: int | None = None) -> "ray.data.Dataset":
+    """``grouped`` for COMPOSITE keys: rows are routed by a fused u64
+    hash of the key columns (vectorized hash_array per column, mixed by
+    a rotate-xor — any deterministic function of the key tuple is an
+    exact router, since ``part_fn``'s own in-bucket groupby does the
+    real grouping).  Replaces ``ds.groupby([k1, k2]).aggregate(...)``,
+    whose sort-based shuffle measured ~11x slower than the int-bucket
+    hash shuffle on the hopping-window partials (8.9 s -> 0.8 s at
+    sf0.1, 32 CPUs).  ``part_fn(df)`` sees the original columns only."""
+    nb = nbuckets or default_nbuckets()
+
+    def add_key(t: pa.Table) -> pa.Table:
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        for k in keys:
+            hk = pd.util.hash_array(
+                t[k].combine_chunks().to_numpy(zero_copy_only=False))
+            h = ((h << np.uint64(13)) | (h >> np.uint64(51))) ^ hk
+        b = (h % np.uint64(nb)).astype(np.int32)
+        return t.append_column(BUCKET_COL, pa.array(b, pa.int32()))
+
+    bucketed = ds.map_batches(add_key, batch_format="pyarrow")
+
+    def runner(df: pd.DataFrame) -> pa.Table:
+        out = part_fn(df.drop(columns=[BUCKET_COL]))
+        if isinstance(out, pd.DataFrame):
+            return arrow_clean(out)
+        return out
+
+    return bucketed.groupby(BUCKET_COL).map_groups(
+        runner, batch_format="pandas")
+
+
+def grouped_sum(ds: "ray.data.Dataset", keys: list[str],
+                col_map: dict[str, str],
+                nbuckets: int | None = None) -> "ray.data.Dataset":
+    """Composite-key partial-sum merge: ``grouped_multi`` with a
+    vectorized in-bucket ``groupby(keys).sum()`` over the ``col_map``
+    input columns, renamed to the mapped output names — the drop-in
+    replacement for ``ds.groupby(keys).aggregate(Sum(...))`` on
+    pre-aggregated partials."""
+    cols = list(col_map)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, as_index=False)[cols].sum()
+        return g.rename(columns=col_map)
+
+    return grouped_multi(ds, keys, part, nbuckets)
