@@ -326,6 +326,19 @@ def substring_pairs(sf_dir: str, min_len: int = 64,
             "doc_id": t["doc_id"]}),
         batch_format="pyarrow")
 
+    if pairs.count() <= _SS_PAIR_BROADCAST_LIMIT:
+        # small-pair regime: two zero-shuffle broadcast-filtered corpus
+        # scans replace the class groupby + bloom semi-join + two
+        # expansion shuffle joins (measured ~10 s -> ~5 s at sf0.1 —
+        # the join chain was all fixed stage cost at this pair count).
+        # Everything collected is output-bounded: one (rep -> cls) row
+        # per pair endpoint, then one member row per doc that appears
+        # in the expanded output.  ORIENTATION is preserved (big-side
+        # members contain; small-side members are contained).
+        out = _substring_expand_broadcast(pairs, mem_rows)
+        if out is not None:
+            return out.union(empty)
+
     def rep_expand(df) -> pa.Table:
         rep = df.groupby("cls", sort=False)["doc_id"].transform("min")
         return pa.table({
@@ -354,6 +367,86 @@ def substring_pairs(sf_dir: str, min_len: int = 64,
     return e2.map_batches(
         lambda t: t.select(["a_id", "b_id"]), batch_format="pyarrow") \
         .union(empty)
+
+
+# substring expansion regime caps (patchable in tests to force the
+# shuffle-join fallback, mirroring the verify-side switches)
+_SS_PAIR_BROADCAST_LIMIT = 200_000
+_SS_MEMBER_BROADCAST_LIMIT = 5_000_000
+
+
+def _substring_expand_broadcast(pairs: "ray.data.Dataset",
+                                mem_rows: "ray.data.Dataset"):
+    """Oriented class→member expansion for the small-pair regime.
+
+    Phase 1: broadcast the pair-endpoint rep-id set; a zero-shuffle scan
+    of the member rows yields each participating rep's class key (one
+    row per endpoint — reps ARE members of their class, so filtering
+    ``doc_id ∈ reps`` finds exactly the (cls, rep) rows).  Phase 2:
+    broadcast the participating class keys; a second zero-shuffle scan
+    collects those classes' full member lists (every collected row
+    appears in the output, so the driver share is output-bounded; above
+    ``_SS_MEMBER_BROADCAST_LIMIT`` we return None and the caller falls
+    back to the shuffle-join path).  Expansion itself is one
+    ``map_batches`` over the pair table."""
+    import numpy as np
+    import ray as _ray
+
+    reps: set[int] = set()
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        reps.update(b["big"].to_pylist())
+        reps.update(b["small"].to_pylist())
+    rep_ref = _ray.put(np.fromiter(reps, np.int64, len(reps)))
+
+    def rep_cls(t: pa.Table, ref=rep_ref) -> pa.Table:
+        want = _ray.get(ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.isin(ids, want)
+        return pa.table({"cls": t["cls"].filter(pa.array(m)),
+                         "rep_id": pa.array(ids[m], pa.int64())})
+
+    cls_of_rep: dict[str, int] = {}
+    for b in mem_rows.map_batches(rep_cls, batch_format="pyarrow") \
+                     .iter_batches(batch_format="pyarrow"):
+        for c, r in zip(b["cls"].to_pylist(), b["rep_id"].to_pylist()):
+            cls_of_rep[c] = r
+    cls_ref = _ray.put(set(cls_of_rep))
+
+    def cls_members(t: pa.Table, ref=cls_ref) -> pa.Table:
+        want = _ray.get(ref)
+        cl = t["cls"].to_pylist()
+        m = pa.array([c in want for c in cl])
+        return pa.table({"cls": t["cls"].filter(m),
+                         "doc_id": t["doc_id"].filter(m)})
+
+    members_of: dict[int, list[int]] = {}
+    n_member_rows = 0
+    for b in mem_rows.map_batches(cls_members, batch_format="pyarrow") \
+                     .iter_batches(batch_format="pyarrow"):
+        n_member_rows += b.num_rows
+        if n_member_rows > _SS_MEMBER_BROADCAST_LIMIT:
+            return None
+        for c, d in zip(b["cls"].to_pylist(), b["doc_id"].to_pylist()):
+            members_of.setdefault(cls_of_rep[c], []).append(d)
+    mref = _ray.put({k: np.asarray(v, np.int64)
+                     for k, v in members_of.items()})
+
+    def expand(t: pa.Table, ref=mref) -> pa.Table:
+        m = _ray.get(ref)
+        big = t["big"].to_pylist()
+        small = t["small"].to_pylist()
+        a_out, b_out = [], []
+        for bg, sm in zip(big, small):
+            ma, mb = m[bg], m[sm]
+            a_out.append(np.repeat(ma, len(mb)))
+            b_out.append(np.tile(mb, len(ma)))
+        a = np.concatenate(a_out) if a_out else np.empty(0, np.int64)
+        b = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
+        return pa.table({"a_id": pa.array(a, pa.int64()),
+                         "b_id": pa.array(b, pa.int64())})
+
+    return pairs.map_batches(expand, batch_format="pyarrow",
+                             batch_size=65536)
 
 
 # verify-regime caps for the ngram-Jaccard join (patchable in tests to

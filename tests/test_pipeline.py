@@ -656,3 +656,21 @@ def test_levenshtein_neardup_tiny_strings(tmp_path):
     want = {(i, j) for i, j in itertools.combinations(range(len(texts)), 2)
             if lev_bruteforce(texts[i], texts[j]) <= 3}
     assert got == want and len(want) > 0
+
+
+def test_substring_expand_broadcast_fallback_parity(monkeypatch):
+    # the broadcast class-expansion and the shuffle-join fallback must
+    # produce the identical oriented pair set (incl. the member-cap
+    # mid-collect bailout path)
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+    d = "/root/testdata/sf0.001"
+    fast = {(r["a_id"], r["b_id"])
+            for r in docs_mod.substring_pairs(d).take_all()}
+    monkeypatch.setattr(docs_mod, "_SS_PAIR_BROADCAST_LIMIT", 0)
+    slow = {(r["a_id"], r["b_id"])
+            for r in docs_mod.substring_pairs(d).take_all()}
+    monkeypatch.setattr(docs_mod, "_SS_PAIR_BROADCAST_LIMIT", 200_000)
+    monkeypatch.setattr(docs_mod, "_SS_MEMBER_BROADCAST_LIMIT", 0)
+    capped = {(r["a_id"], r["b_id"])
+              for r in docs_mod.substring_pairs(d).take_all()}
+    assert fast == slow == capped and len(fast) > 0
