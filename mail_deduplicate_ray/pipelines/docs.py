@@ -369,6 +369,10 @@ def substring_pairs(sf_dir: str, min_len: int = 64,
         .union(empty)
 
 
+# edit-distance verify regime cap (patchable in tests to force the
+# dedup-shuffle + text-join fallback)
+_LEV_PAIR_BROADCAST_LIMIT = 200_000
+
 # substring expansion regime caps (patchable in tests to force the
 # shuffle-join fallback, mirroring the verify-side switches)
 _SS_PAIR_BROADCAST_LIMIT = 200_000
@@ -1061,9 +1065,12 @@ def levenshtein_neardup_pairs(sf_dir: str,
     of any pair is the indexed one), the substrings that could align
     with ``L``'s segments (start within ``±d`` of the segment start).
     Keys are 8-byte blake2b digests, so the ONE bucketed shuffle moves
-    ~17-byte rows; per-bucket bipartite pair-gen, global pair dedup,
-    then texts join back BY ID (bucketed shuffle join — never a driver
-    broadcast) for the banded-DP verify with common prefix/suffix trim.
+    ~17-byte rows; per-bucket bipartite pair-gen, then the banded-DP
+    verify (common prefix/suffix trim): below the pair cap the
+    candidate set dedups on the driver and only PARTICIPATING texts are
+    collected via a zero-shuffle broadcast-filtered scan (both
+    output-bounded); above it, a dedup shuffle + two bucketed text
+    joins (never driver-bound).
     Strings of ``len <= 2d`` meet in a single 'tiny' bucket (the
     pigeonhole needs ``d+1`` non-empty segments); that bucket is bounded
     by the corpus length histogram, every other stage is O(rows).
@@ -1154,14 +1161,58 @@ def levenshtein_neardup_pairs(sf_dir: str,
             "a_id": pa.array(np.concatenate(a_out), pa.int64()),
             "b_id": pa.array(np.concatenate(b_out), pa.int64())})
 
-    cand = grouped(rows, "key", part)
+    cand = grouped(rows, "key", part).materialize()
+
+    # fast path: collect the candidate pair set on the driver (dedup is
+    # a set add — this also replaces the cross-bucket dedup shuffle),
+    # broadcast the participating ids, one zero-shuffle scan collects
+    # only THOSE docs' texts (bounded by 2x candidates), and one
+    # map_batches verifies.  Above the cap: dedup shuffle + two
+    # bucketed text joins (never driver-bound), parity-tested.
+    import ray as _ray
+
+    if cand.count() <= _LEV_PAIR_BROADCAST_LIMIT:
+        pair_set: set[tuple[int, int]] = set()
+        for b in cand.iter_batches(batch_format="pyarrow"):
+            pair_set.update(zip(b["a_id"].to_pylist(),
+                                b["b_id"].to_pylist()))
+        if not pair_set:
+            return cand  # empty, schema already (a_id, b_id)
+        ids = np.unique(np.array(list(pair_set), np.int64))
+        id_ref = _ray.put(ids)
+
+        def pick_texts(t: pa.Table, ref=id_ref) -> pa.Table:
+            want = _ray.get(ref)
+            di = t["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            m = np.isin(di, want)
+            return pa.table({"doc_id": pa.array(di[m], pa.int64()),
+                             "text": t["text"].filter(pa.array(m))})
+
+        texts: dict[int, str] = {}
+        for b in docs.map_batches(pick_texts, batch_format="pyarrow") \
+                     .iter_batches(batch_format="pyarrow"):
+            texts.update(zip(b["doc_id"].to_pylist(),
+                             b["text"].to_pylist()))
+        tref = _ray.put(texts)
+        arr = np.array(sorted(pair_set), np.int64)
+        pairs_ds = ray.data.from_arrow(pa.table({
+            "a_id": pa.array(arr[:, 0], pa.int64()),
+            "b_id": pa.array(arr[:, 1], pa.int64())}))
+
+        def bverify(t: pa.Table, ref=tref) -> pa.Table:
+            tx = _ray.get(ref)
+            ok = [editdist.lev_within(tx.get(x) or "", tx.get(y) or "", d)
+                  for x, y in zip(t["a_id"].to_pylist(),
+                                  t["b_id"].to_pylist())]
+            return t.filter(pa.array(ok, pa.bool_()))
+
+        return pairs_ds.map_batches(bverify, batch_format="pyarrow",
+                                    batch_size=8192)
+
     cand = grouped(cand, "a_id",
                    lambda df: df.drop_duplicates(subset=["a_id", "b_id"]))
-    # the deduped candidate table is output-bounded (pairs ARE the
-    # result); materializing it keeps the two downstream shuffle_joins'
-    # schema probes from re-executing the whole candidate pipeline
     cand = cand.materialize()
-
     ta = docs.map_batches(
         lambda t: pa.table({"a_id": t["doc_id"], "text_a": t["text"]}),
         batch_format="pyarrow")
@@ -1482,37 +1533,30 @@ def curate_docs(sf_dir: str, min_tokens: int = 10, max_tokens: int = 1000,
     """Composed training-data curation — the pipeline a corpus team
     actually runs, as ONE streaming plan: exact dedup (keep min doc_id
     per byte-identical text) -> token-count quality gate -> deterministic
-    per-lang k-sample.  Stage wiring: the dedup winner set is a
-    (text_key -> min id) groupby whose output is ids only; winners
-    semi-join back onto the token-counted rows (payload text never
-    re-shuffles); the final sample reuses the Knuth-hash order so the
-    subset is parallelism-independent."""
+    per-lang k-sample.  Stage wiring: (lang, n_tokens) travel WITH the
+    28-byte dedup key through the one groupby shuffle, so the winner
+    rows come out carrying every column the gate needs — no second
+    corpus scan, no semi-join back (payload text never shuffles at
+    all); the final sample reuses the Knuth-hash order so the subset is
+    parallelism-independent."""
     import numpy as np
 
     from mail_deduplicate_ray.stages.bucketing import grouped
-    from mail_deduplicate_ray.stages.joins import semi_anti_join
 
     ds = _docs(sf_dir, ["doc_id", "lang", "text"])
 
     def keyed(t: pa.Table) -> pa.Table:
         t2 = _sha256_col(t, "text", "text_key")
-        return t2.select(["doc_id", "text_key"])
-
-    winners = grouped(
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(keyed, batch_format="pyarrow"),
-        "text_key",
-        lambda df: pa.table({"keep_id": pa.array(
-            df.groupby("text_key", sort=False)["doc_id"].min()
-            .to_numpy(), pa.int64())}))
-
-    def with_tokens(t: pa.Table) -> pa.Table:
         n = pc.cast(token_counts(t["text"]), pa.int64())
-        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
-                         "n_tokens": n})
+        return pa.table({"doc_id": t2["doc_id"], "lang": t2["lang"],
+                         "n_tokens": n, "text_key": t2["text_key"]})
 
-    tokened = ds.map_batches(with_tokens, batch_format="pyarrow")
-    kept = semi_anti_join(tokened, winners, "doc_id", "keep_id")
+    def win_part(df):
+        idx = df.groupby("text_key", sort=False)["doc_id"].idxmin()
+        return df.loc[idx, ["doc_id", "lang", "n_tokens"]]
+
+    kept = grouped(ds.map_batches(keyed, batch_format="pyarrow"),
+                   "text_key", win_part)
 
     def quality(t: pa.Table) -> pa.Table:
         m = pc.and_(pc.greater_equal(t["n_tokens"],

@@ -674,3 +674,15 @@ def test_substring_expand_broadcast_fallback_parity(monkeypatch):
     capped = {(r["a_id"], r["b_id"])
               for r in docs_mod.substring_pairs(d).take_all()}
     assert fast == slow == capped and len(fast) > 0
+
+
+def test_levenshtein_fallback_parity(monkeypatch):
+    # broadcast-verify fast path == dedup-shuffle + text-join fallback
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+    d = "/root/testdata/sf0.001"
+    fast = {(r["a_id"], r["b_id"])
+            for r in docs_mod.levenshtein_neardup_pairs(d).take_all()}
+    monkeypatch.setattr(docs_mod, "_LEV_PAIR_BROADCAST_LIMIT", 0)
+    slow = {(r["a_id"], r["b_id"])
+            for r in docs_mod.levenshtein_neardup_pairs(d).take_all()}
+    assert fast == slow and len(fast) > 0
