@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters_docs": docs.minhash_clusters_docs,  # rows-only
         "ngram_jaccard_pairs": docs.ngram_jaccard_pairs,
         "levenshtein_neardup_pairs": docs.levenshtein_neardup_pairs,
+        "levenshtein_clusters": docs.levenshtein_clusters,
         "stratified_sample_docs": docs.stratified_sample_docs,
         "length_weighted_sample_docs": docs.length_weighted_sample_docs,
         "sample_k_per_lang": docs.sample_k_per_lang,
@@ -235,6 +236,38 @@ def oracle_sql() -> dict[str, str]:
                    OR position(substr(b.text, 1 + 4 * ((length(b.text) + 4) // 5),
                                ((length(b.text) + 4) // 5)) IN a.text) > 0))
             SELECT a_id, b_id FROM c WHERE levenshtein(ta, tb) <= 4
+        """,
+        # connected components over the lev<=4 pair graph, replayed in
+        # SQL as a recursive-CTE closure (min reachable label) — the
+        # independent truth for the distributed CC engine
+        "levenshtein_clusters": """
+            WITH RECURSIVE
+             c AS MATERIALIZED (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       a.text AS ta, b.text AS tb
+                FROM documents a JOIN documents b
+                  ON a.doc_id < b.doc_id
+                 AND abs(length(a.text) - length(b.text)) <= 4
+                 AND (position(substr(b.text, 1 + 0 * ((length(b.text) + 4) // 5),
+                               ((length(b.text) + 4) // 5)) IN a.text) > 0
+                   OR position(substr(b.text, 1 + 1 * ((length(b.text) + 4) // 5),
+                               ((length(b.text) + 4) // 5)) IN a.text) > 0
+                   OR position(substr(b.text, 1 + 2 * ((length(b.text) + 4) // 5),
+                               ((length(b.text) + 4) // 5)) IN a.text) > 0
+                   OR position(substr(b.text, 1 + 3 * ((length(b.text) + 4) // 5),
+                               ((length(b.text) + 4) // 5)) IN a.text) > 0
+                   OR position(substr(b.text, 1 + 4 * ((length(b.text) + 4) // 5),
+                               ((length(b.text) + 4) // 5)) IN a.text) > 0)),
+             p AS MATERIALIZED (SELECT a_id, b_id FROM c
+                                WHERE levenshtein(ta, tb) <= 4),
+             e AS (SELECT a_id AS u, b_id AS v FROM p
+                   UNION ALL SELECT b_id, a_id FROM p),
+             walk(node, label) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.u, walk.label FROM walk JOIN e ON e.v = walk.node)
+            SELECT node AS doc_id, min(label) AS cluster_id
+            FROM walk GROUP BY node ORDER BY doc_id
         """,
         # exact-substring containment (suffix-array detector): contained
         # text strictly shorter, at least 64 chars (ASCII corpus: byte and

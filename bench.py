@@ -46,7 +46,8 @@ BENCH_QUERIES = [
     "vocab_coverage_docs",
     "clips_audio_stats", "images_dhash_neardup", "videos_frame_neardup",
     # round-3 continuation additions
-    "levenshtein_neardup_pairs", "bag_dedup_docs", "heavy_tokens",
+    "levenshtein_neardup_pairs", "levenshtein_clusters",
+    "bag_dedup_docs", "heavy_tokens",
     "clips_silence_segments", "clips_loudness",
 ]
 

@@ -1232,6 +1232,41 @@ def levenshtein_neardup_pairs(sf_dir: str,
     return joined.map_batches(verify, batch_format="pyarrow")
 
 
+def levenshtein_clusters(sf_dir: str,
+                         max_dist: int = 4) -> "ray.data.Dataset":
+    """Edit-distance near-dup CLUSTERING: connected components over the
+    ``levenshtein <= max_dist`` pair graph; ``cluster_id`` = min doc_id
+    in the component, singletons label themselves.
+
+    This is the first SQL-ORACLED connected-components query: DuckDB
+    replays the transitive closure with a recursive CTE over the same
+    pair predicate, so the distributed CC engine (hashmin
+    pointer-jumping / star contraction, ``stages/components.py``) is
+    value-checked against an independent truth — previously it carried
+    only driver-vs-distributed parity evidence.  Ids travel zero-padded
+    so the engine's min-label (string order) equals the numeric min."""
+    from mail_deduplicate_ray.stages import components
+
+    pairs = levenshtein_neardup_pairs(sf_dir, max_dist)
+
+    def pad(col):
+        return pc.utf8_lpad(pc.cast(col, pa.string()), 20, "0")
+
+    edges = pairs.map_batches(
+        lambda t: pa.table({"src": pad(t["a_id"]), "dst": pad(t["b_id"])}),
+        batch_format="pyarrow")
+    labels = components.connected_components(edges)
+    ids = _docs(sf_dir, ["doc_id"]).map_batches(
+        lambda t: pa.table({"clip_id": pad(t["doc_id"])}),
+        batch_format="pyarrow")
+    out = components.attach_cluster_ids(ids, labels)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["clip_id"], pa.int64()),
+            "cluster_id": pc.cast(t["cluster_id"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 def stratified_sample_docs(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic stratified sampling — the reproducible-subset
     operator a training-data pipeline needs (same sample at ANY

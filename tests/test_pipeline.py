@@ -686,3 +686,34 @@ def test_levenshtein_fallback_parity(monkeypatch):
     slow = {(r["a_id"], r["b_id"])
             for r in docs_mod.levenshtein_neardup_pairs(d).take_all()}
     assert fast == slow and len(fast) > 0
+
+
+def test_levenshtein_clusters_closure():
+    # CC over the lev-pair graph == python union-find over the same pairs
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+    d = "/root/testdata/sf0.001"
+    pairs = [(r["a_id"], r["b_id"])
+             for r in docs_mod.levenshtein_neardup_pairs(d).take_all()]
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in docs_mod.levenshtein_clusters(d).take_all()}
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # union-by-min keeps each tree rooted at the component's min id, so
+    # find(doc) IS the expected label; singletons label themselves
+    for doc, lab in got.items():
+        if doc in parent:
+            assert lab == find(doc)
+        else:
+            assert lab == doc
+    assert len(got) == 500 and len(pairs) > 0
