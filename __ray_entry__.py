@@ -59,6 +59,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_repetition_docs": docs.token_repetition_docs,
         "curate_docs": docs.curate_docs,
         "vocab_coverage_docs": docs.vocab_coverage_docs,
+        "pack_sequences_docs": docs.pack_sequences_docs,
+        "rare_bigram_docs": docs.rare_bigram_docs,
+        "temperature_sample_docs": docs.temperature_sample_docs,
         # --- events / relational ---
         "events_window_5m": relational.events_window_5m,
         "events_hopping_window": relational.events_hopping_window,
@@ -315,6 +318,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (tok IN (SELECT tok FROM vocab))
                         AS BIGINT) AS n_in_vocab
             FROM toks GROUP BY doc_id
+        """,
+        # sequence packing: doc_id-ordered exclusive prefix sum of token
+        # counts -> capacity-2048 chunk assignment (window replay)
+        "pack_sequences_docs": """
+            WITH t AS (SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                END AS n_tokens
+                FROM documents)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS start_offset,
+                   CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) // 2048 AS BIGINT) AS chunk_id
+            FROM t
+        """,
+        # corpus-trained bigram-LM rarity scoring: bigram counts over
+        # the whole corpus, per-doc count of occurrences with corpus
+        # count < 5
+        "rare_bigram_docs": """
+            WITH tok AS (SELECT doc_id,
+                    regexp_split_to_array(trim(text), '\\s+') AS ts
+                FROM documents),
+            b AS (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(ts)-1),
+                        i -> ts[i] || ' ' || ts[i+1])) AS bg
+                  FROM tok WHERE len(ts) >= 2),
+            cnt AS (SELECT bg, count(*) AS n FROM b GROUP BY bg),
+            r AS (SELECT b.doc_id, count(*) FILTER (cnt.n < 5) AS n_rare,
+                         count(*) AS n_bigrams
+                  FROM b JOIN cnt USING (bg) GROUP BY b.doc_id)
+            SELECT tok.doc_id,
+                   CAST(COALESCE(r.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(r.n_rare, 0) AS BIGINT) AS n_rare
+            FROM tok LEFT JOIN r ON tok.doc_id = r.doc_id
+        """,
+        # alpha=0.5 temperature mixture resampling; isqrt replayed
+        # exactly via floor(sqrt)+/-1 correction, decision is pure
+        # HUGEINT arithmetic so it is bit-identical to the engine
+        "temperature_sample_docs": """
+            WITH c AS (SELECT lang, count(*) AS n FROM documents
+                       GROUP BY lang),
+            s AS (SELECT lang, n,
+                  CAST(floor(sqrt(CAST(n AS DOUBLE))) AS HUGEINT) AS s0
+                  FROM c),
+            w AS (SELECT lang, CASE
+                    WHEN (s0+1)*(s0+1) <= n THEN s0+1
+                    WHEN s0*s0 > n THEN s0-1 ELSE s0 END AS w FROM s),
+            mx AS (SELECT max(w) AS wmax FROM w)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN w USING (lang), mx
+            WHERE (CAST(d.doc_id AS HUGEINT) * 2654435761) % 4294967296
+                  * w.w < 2147483648 * mx.wmax
+            ORDER BY doc_id
         """,
         # composed curation: exact-dedup winners -> token-count gate ->
         # deterministic per-lang k-sample (same Knuth hash as the

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "levenshtein_neardup_pairs", "levenshtein_clusters",
     "bag_dedup_docs", "heavy_tokens",
     "clips_silence_segments", "clips_loudness",
+    "pack_sequences_docs", "rare_bigram_docs", "temperature_sample_docs",
 ]
 
 

@@ -1692,6 +1692,206 @@ def length_weighted_sample_docs(sf_dir: str,
     return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
 
 
+def pack_sequences_docs(sf_dir: str, capacity: int = 2048,
+                        bucket_width: int = 4096) -> "ray.data.Dataset":
+    """Sequence packing — assign every document its token offset in the
+    doc_id-ordered corpus concatenation and the ``capacity``-token
+    training chunk that offset lands in (the batch-construction step of
+    an LLM data pipeline).  Output: (doc_id, n_tokens, start_offset,
+    chunk_id).
+
+    The global prefix sum is computed WITHOUT a global sort: doc_ids
+    are range-bucketed (``doc_id // bucket_width`` — contiguous ranges,
+    so bucket totals are tiny and skew-free), per-bucket token totals
+    come back from a partial-agg groupby small enough to collect, the
+    driver scans them into exclusive per-bucket base offsets (one int
+    per bucket), broadcasts the map, and a second pass computes the
+    within-bucket cumulative sum per partition.  Two scalar-column
+    passes, one bucket-count-sized driver table — no stage ever holds
+    more than a bucket of rows."""
+    import numpy as np
+
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    def keyed(t: pa.Table) -> pa.Table:
+        n = pc.cast(token_counts(t["text"]), pa.int64())
+        return pa.table({
+            "doc_id": t["doc_id"], "n_tokens": n,
+            "__rb": pc.cast(
+                pc.floor(pc.divide(pc.cast(t["doc_id"], pa.float64()),
+                                   float(bucket_width))), pa.int64())})
+
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        keyed, batch_format="pyarrow")
+
+    totals = rows.groupby("__rb").aggregate(
+        Sum("n_tokens", alias_name="tot")).take_all()
+    totals.sort(key=lambda r: r["__rb"])
+    base, acc = {}, 0
+    for r in totals:
+        base[r["__rb"]] = acc
+        acc += r["tot"]
+    base_ref = _ray.put(base)
+
+    def part(df, base_ref=base_ref):
+        bases = _ray.get(base_ref)
+        out = []
+        for rb, g in df.groupby("__rb", sort=False):
+            g = g.sort_values("doc_id")
+            toks = g["n_tokens"].to_numpy()
+            start = bases[rb] + np.concatenate(
+                ([0], np.cumsum(toks[:-1], dtype=np.int64)))
+            out.append(pa.table({
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "n_tokens": pa.array(toks, pa.int64()),
+                "start_offset": pa.array(start, pa.int64()),
+                "chunk_id": pa.array(start // capacity, pa.int64())}))
+        if not out:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "start_offset": pa.array([], pa.int64()),
+                             "chunk_id": pa.array([], pa.int64())})
+        return pa.concat_tables(out)
+
+    return grouped(rows, "__rb", part)
+
+
+def rare_bigram_docs(sf_dir: str, min_count: int = 5) -> "ray.data.Dataset":
+    """Corpus-LM rarity scoring (the integer-exact core of a CCNet-style
+    perplexity filter): train the "language model" — token-bigram
+    counts — on the corpus itself, then score every document by how
+    many of its bigram occurrences are RARE (corpus count <
+    ``min_count``).  Output: (doc_id, n_bigrams, n_rare); high
+    n_rare/n_bigrams flags incoherent or out-of-domain text.
+
+    Scale shape is the sketch-candidate → exact-rescan idiom of
+    ``heavy_tokens``, inverted: the COMMON bigram set (count >=
+    min_count) is the small side at web scale (heavy hitters), so it is
+    what gets materialized exactly (Count-Min partials folded on the
+    driver -> candidate rescan groupby -> exact >= min_count filter)
+    and broadcast once; the per-doc pass then counts occurrences
+    falling OUTSIDE it.  The unbounded rare tail is never collected
+    anywhere."""
+    import numpy as np
+    import pandas as pd
+
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    from mail_deduplicate_ray.functions import sketch
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _doc_bigrams(v: str) -> list[str]:
+        ts = (v or "").split()
+        return [ts[i] + " " + ts[i + 1] for i in range(len(ts) - 1)]
+
+    def _uniq_counts(t: pa.Table):
+        bgs: list[str] = []
+        for v in t["text"].to_pylist():
+            bgs.extend(_doc_bigrams(v))
+        if not bgs:
+            return (np.empty(0, object), np.empty(0, np.int64))
+        return np.unique(np.asarray(bgs, dtype=object), return_counts=True)
+
+    def cm_stage(t: pa.Table) -> pa.Table:
+        uniq, cnt = _uniq_counts(t)
+        cm = sketch.cm_partial(pd.util.hash_array(uniq), cnt)
+        return pa.table({"cm": pa.array([cm.ravel()], pa.list_(pa.int64()))})
+
+    merged = np.zeros((sketch.CM_DEPTH, sketch.CM_WIDTH), np.int64)
+    for b in docs.map_batches(cm_stage, batch_format="pyarrow") \
+                 .iter_batches(batch_format="pyarrow"):
+        for row in b["cm"].to_pylist():
+            merged += np.asarray(row, np.int64).reshape(merged.shape)
+    cm_ref = _ray.put(merged)
+
+    def cand_partials(t: pa.Table, cm_ref=cm_ref) -> pa.Table:
+        cm = _ray.get(cm_ref)
+        uniq, cnt = _uniq_counts(t)
+        if not len(uniq):
+            return pa.table({"bg": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        keep = sketch.cm_query(cm, pd.util.hash_array(uniq)) >= min_count
+        return pa.table({"bg": pa.array(uniq[keep].tolist(), pa.string()),
+                         "n": pa.array(cnt[keep], pa.int64())})
+
+    common = (docs.map_batches(cand_partials, batch_format="pyarrow")
+              .groupby("bg").aggregate(Sum("n", alias_name="n"))
+              .map_batches(
+                  lambda t: t.filter(pc.greater_equal(t["n"], min_count))
+                             .select(["bg"]),
+                  batch_format="pyarrow"))
+    common_ref = _ray.put(frozenset(
+        v for b in common.iter_batches(batch_format="pyarrow")
+        for v in b["bg"].to_pylist()))
+
+    def score(t: pa.Table, common_ref=common_ref) -> pa.Table:
+        cset = _ray.get(common_ref)
+        n_bg, n_rare = [], []
+        for v in t["text"].to_pylist():
+            bgs = _doc_bigrams(v)
+            n_bg.append(len(bgs))
+            n_rare.append(sum(1 for b in bgs if b not in cset))
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_bigrams": pa.array(n_bg, pa.int64()),
+                         "n_rare": pa.array(n_rare, pa.int64())})
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def _isqrt_u64(x: "np.ndarray") -> "np.ndarray":
+    """Exact integer sqrt of a uint64 array (float sqrt + correction —
+    the same adjustment the SQL oracle replays)."""
+    import numpy as np
+
+    s = np.sqrt(x.astype(np.float64)).astype(np.uint64)
+    s = s - (s * s > x).astype(np.uint64)
+    s = s + ((s + 1) * (s + 1) <= x).astype(np.uint64)
+    return s
+
+
+def temperature_sample_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Temperature-based data-mixture resampling (alpha = 0.5): keep
+    each document with probability proportional to 1/sqrt(n_lang), so
+    expected kept counts per language go as sqrt(n_lang) — the
+    square-root temperature reweighting used to upweight low-resource
+    languages in multilingual training mixes.  The dominant language is
+    pinned at a 1/2 keep rate; rarer ones scale up, capped at 1.
+
+    Deterministic and integer-exact end to end: the per-language keep
+    test is ``knuth_hash(doc_id) * isqrt(n_lang) < 2^31 *
+    isqrt(n_max)`` — no floats cross the decision boundary, so the SQL
+    oracle replays it bit-for-bit.  Scale shape: one tiny lang-count
+    aggregate, thresholds broadcast, one filter pass (zero shuffles of
+    the corpus)."""
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    counts = {r["lang"]: r["count()"] for r in
+              ds.groupby("lang").aggregate(Count()).take_all()}
+    n_max = max(counts.values())
+    rhs = np.uint64((1 << 31)) * _isqrt_u64(
+        np.array([n_max], np.uint64))[0]
+    mult = {lang: _isqrt_u64(np.array([n], np.uint64))[0]
+            for lang, n in counts.items()}
+
+    def f(t: pa.Table, mult=mult, rhs=rhs) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        m = np.array([mult[v] for v in t["lang"].to_pylist()], np.uint64)
+        return t.filter(pa.array(h * m < rhs))
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
 def dup_group_size_histogram(sf_dir: str) -> "ray.data.Dataset":
     """Duplicate-multiplicity distribution: how many exact-dup groups
     have 1, 2, ... copies — the dedup run-report statistic (ref stats

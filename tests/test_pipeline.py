@@ -717,3 +717,77 @@ def test_levenshtein_clusters_closure():
         else:
             assert lab == doc
     assert len(got) == 500 and len(pairs) > 0
+
+
+def test_pack_sequences_prefix_sum():
+    # distributed two-pass prefix sum == sequential cumsum over the
+    # doc_id-sorted corpus; chunk_id is a pure function of the offset
+    import pyarrow.parquet as pq
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+    d = "/root/testdata/sf0.001"
+    got = sorted(docs_mod.pack_sequences_docs(d, capacity=512,
+                                              bucket_width=64).take_all(),
+                 key=lambda r: r["doc_id"])
+    texts = pq.read_table(f"{d}/documents.parquet",
+                          columns=["doc_id", "text"]).to_pylist()
+    texts.sort(key=lambda r: r["doc_id"])
+    off = 0
+    assert len(got) == len(texts) > 0
+    for row, ref in zip(got, texts):
+        n = len((ref["text"] or "").split())
+        assert row["doc_id"] == ref["doc_id"]
+        assert row["n_tokens"] == n
+        assert row["start_offset"] == off
+        assert row["chunk_id"] == off // 512
+        off += n
+
+
+def test_rare_bigram_bruteforce_parity():
+    # sketch-candidate -> exact-rescan path == plain python counting
+    import collections
+
+    import pyarrow.parquet as pq
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+    d = "/root/testdata/sf0.001"
+    rows = pq.read_table(f"{d}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    cnt: collections.Counter = collections.Counter()
+    per_doc = {}
+    for r in rows:
+        ts = (r["text"] or "").split()
+        bgs = [ts[i] + " " + ts[i + 1] for i in range(len(ts) - 1)]
+        per_doc[r["doc_id"]] = bgs
+        cnt.update(bgs)
+    got = {r["doc_id"]: (r["n_bigrams"], r["n_rare"])
+           for r in docs_mod.rare_bigram_docs(d, min_count=3).take_all()}
+    assert len(got) == len(rows)
+    some_rare = False
+    for doc_id, bgs in per_doc.items():
+        rare = sum(1 for b in bgs if cnt[b] < 3)
+        assert got[doc_id] == (len(bgs), rare)
+        some_rare = some_rare or rare > 0
+    assert some_rare
+
+
+def test_temperature_sample_deterministic_and_shaped():
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+    d = "/root/testdata/sf0.001"
+    a = [(r["doc_id"], r["lang"])
+         for r in docs_mod.temperature_sample_docs(d).take_all()]
+    b = [(r["doc_id"], r["lang"])
+         for r in docs_mod.temperature_sample_docs(d).take_all()]
+    assert a == b and len(a) > 0
+    # dominant language lands near its pinned 1/2 keep rate; every
+    # language's keep rate is >= the dominant one's (upweighting)
+    import collections
+
+    import pyarrow.parquet as pq
+    langs = pq.read_table(f"{d}/documents.parquet",
+                          columns=["lang"])["lang"].to_pylist()
+    tot = collections.Counter(langs)
+    kept = collections.Counter(lang for _, lang in a)
+    dom = max(tot, key=lambda k: tot[k])
+    dom_rate = kept[dom] / tot[dom]
+    assert 0.3 < dom_rate < 0.7
+    for lang in tot:
+        assert kept[lang] / tot[lang] >= dom_rate - 0.15
