@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_pairs_lsh": ann.embedding_neardup_pairs_lsh,
         "ann_lsh_buckets": ann.ann_lsh_buckets,     # rows-only
         "ann_ivf_top10": ann.ann_ivf_topk,          # rows-only (recall-gated)
+        "semdedup_embeddings": ann.semdedup_embeddings,  # rows-only (brute-force parity-tested)
         # --- clips flagship (non-SQL: synthesized audio corpus) ---
         "clips_flagship": clips.flagship_clusters,          # rows-only
         "clips_exact_dedup": clips.clips_exact_dedup,       # rows-only

@@ -405,3 +405,78 @@ def ann_lsh_buckets(sf_dir: str, bits: int = 12) -> "ray.data.Dataset":
         _SRPBucketer, fn_constructor_args=(dims, bits),
         batch_format="pyarrow", batch_size=4096, concurrency=_pool()
     ).select_columns(["bucket", "vec_id"])
+
+
+def _ivf_sample_centroids(sf_dir: str, n_cells: int) -> np.ndarray:
+    """Bounded-sample k-means centroids (the shared IVF quantizer
+    recipe: first <=65,536 rows, seeded k-means — deterministic, the
+    corpus never lands on the driver whole)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    batches, got = [], 0
+    for b in pf.iter_batches(batch_size=8192,
+                             columns=["vec_id", "embedding"]):
+        batches.append(b)
+        got += b.num_rows
+        if got >= 65_536:
+            break
+    _, x = _to_matrix(pa.Table.from_batches(batches))
+    return _kmeans(x, n_cells)
+
+
+def semdedup_embeddings(sf_dir: str, n_cells: int = 16,
+                        threshold: float = 0.35) -> "ray.data.Dataset":
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 —
+    public arXiv:2303.09540 recipe): k-means-cluster the embedding
+    space, then WITHIN each cluster greedily drop every vector whose
+    cosine similarity to an already-kept, lower-id vector reaches
+    ``threshold``.  Output: (vec_id, cell, keep) for every row —
+    keep=false rows are the semantic duplicates a curation pipeline
+    removes.
+
+    Scale shape: centroids train on a bounded sample and broadcast
+    once; assignment is an actor-pool matmul; the greedy pass runs
+    per-cluster inside one bucketed shuffle of (vec_id, embedding,
+    cell).  Cluster populations — not the corpus — bound the per-task
+    quadratic work; at scale ``n_cells`` grows with the corpus so cell
+    sizes stay O(corpus / n_cells), exactly the IVF balance argument.
+    Deterministic at any parallelism: the greedy order is vec_id
+    ascending and the quantizer is seeded.  Greedy transitive closure
+    is not SQL-expressible -> rows-only query with a brute-force
+    parity test."""
+    from mail_deduplicate_ray.stages import bucketing
+
+    cent_ref = ray.put(_ivf_sample_centroids(sf_dir, n_cells))
+    assigned = _read(sf_dir).map_batches(
+        _CellAssigner, fn_constructor_args=(cent_ref,),
+        batch_format="pyarrow", batch_size=4096, concurrency=_pool())
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cell": pa.array([], pa.int64()),
+                             "keep": pa.array([], pa.bool_())})
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("cell", "ascending"), ("vec_id", "ascending")]))
+        ids, emb = _to_matrix(t.select(["vec_id", "embedding"]))
+        cells = t["cell"].to_numpy(zero_copy_only=False)
+        en = _norm(emb)
+        keep = np.ones(len(ids), bool)
+        bounds = np.flatnonzero(np.diff(cells)) + 1
+        for s, e in zip(np.concatenate(([0], bounds)),
+                        np.concatenate((bounds, [len(ids)]))):
+            kept_rows: list[int] = []
+            for i in range(s, e):
+                if kept_rows and float(
+                        (en[kept_rows] @ en[i]).max()) >= threshold:
+                    keep[i] = False
+                else:
+                    kept_rows.append(i)
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "cell": pa.array(cells.astype(np.int64), pa.int64()),
+            "keep": pa.array(keep, pa.bool_())})
+
+    return bucketing.grouped(assigned, "cell", part,
+                             batch_format="pyarrow")

@@ -791,3 +791,41 @@ def test_temperature_sample_deterministic_and_shaped():
     assert 0.3 < dom_rate < 0.7
     for lang in tot:
         assert kept[lang] / tot[lang] >= dom_rate - 0.15
+
+
+def test_semdedup_parity_and_invariants():
+    # distributed assign + per-cell greedy == single-process replay with
+    # the same quantizer; kept set is maximal (every dropped row has a
+    # kept lower-id neighbor at >= threshold in its cell)
+    import numpy as np
+    import pyarrow.parquet as pq
+    from mail_deduplicate_ray.pipelines import ann as ann_mod
+    d = "/root/testdata/sf0.001"
+    thr = 0.35
+    got = sorted(ann_mod.semdedup_embeddings(d, threshold=thr).take_all(),
+                 key=lambda r: r["vec_id"])
+
+    tbl = pq.read_table(f"{d}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids, emb = ann_mod._to_matrix(tbl)
+    order = np.argsort(ids)
+    ids, emb = ids[order], emb[order]
+    cent = ann_mod._ivf_sample_centroids(d, 16)
+    cells = ann_mod._sq_dists(emb, cent).argmin(axis=1)
+    en = ann_mod._norm(emb)
+    want_keep = {}
+    for c in np.unique(cells):
+        rows = np.flatnonzero(cells == c)
+        kept: list[int] = []
+        for i in rows:
+            if kept and float((en[kept] @ en[i]).max()) >= thr:
+                want_keep[int(ids[i])] = False
+            else:
+                kept.append(i)
+                want_keep[int(ids[i])] = True
+    assert len(got) == len(ids)
+    for r in got:
+        assert r["keep"] == want_keep[r["vec_id"]], r
+        assert r["cell"] == int(cells[np.searchsorted(ids, r["vec_id"])])
+    n_dropped = sum(1 for r in got if not r["keep"])
+    assert 0 < n_dropped < len(ids)
