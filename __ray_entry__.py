@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_docs": docs.curate_docs,
         "vocab_coverage_docs": docs.vocab_coverage_docs,
         "pack_sequences_docs": docs.pack_sequences_docs,
+        "dup_ngram_fraction_docs": docs.dup_ngram_fraction_docs,
         "rare_bigram_docs": docs.rare_bigram_docs,
         "temperature_sample_docs": docs.temperature_sample_docs,
         # --- events / relational ---
@@ -336,6 +337,29 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                        0) // 2048 AS BIGINT) AS chunk_id
             FROM t
+        """,
+        # cross-document duplicate 5-gram fraction: gram occurrence is
+        # dup when its gram spans >= 2 distinct docs
+        "dup_ngram_fraction_docs": """
+            WITH tok AS (SELECT doc_id,
+                    regexp_split_to_array(trim(text), '\\s+') AS ts
+                FROM documents),
+            g AS (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(ts)-4),
+                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                             || ' ' || ts[i+3] || ' ' || ts[i+4])) AS gram
+                  FROM tok WHERE len(ts) >= 5),
+            nd AS (SELECT gram FROM g GROUP BY gram
+                   HAVING count(DISTINCT doc_id) >= 2),
+            dup AS (SELECT g.doc_id, count(*) AS n_dup FROM g
+                    JOIN nd USING (gram) GROUP BY g.doc_id)
+            SELECT tok.doc_id,
+                   CAST(greatest(CASE WHEN trim(text) = '' THEN 0
+                                      ELSE len(ts) END - 4, 0)
+                        AS BIGINT) AS n_grams,
+                   CAST(COALESCE(dup.n_dup, 0) AS BIGINT) AS n_dup_grams
+            FROM tok JOIN documents USING (doc_id)
+            LEFT JOIN dup ON tok.doc_id = dup.doc_id
         """,
         # corpus-trained bigram-LM rarity scoring: bigram counts over
         # the whole corpus, per-doc count of occurrences with corpus

@@ -50,7 +50,7 @@ BENCH_QUERIES = [
     "bag_dedup_docs", "heavy_tokens",
     "clips_silence_segments", "clips_loudness",
     "pack_sequences_docs", "rare_bigram_docs", "temperature_sample_docs",
-    "semdedup_embeddings",
+    "semdedup_embeddings", "dup_ngram_fraction_docs",
 ]
 
 

@@ -1845,6 +1845,79 @@ def rare_bigram_docs(sf_dir: str, min_count: int = 5) -> "ray.data.Dataset":
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def dup_ngram_fraction_docs(sf_dir: str, k: int = 5,
+                            min_docs: int = 2) -> "ray.data.Dataset":
+    """Cross-document duplicate n-gram fraction — the "what share of
+    this document's k-grams also appear in OTHER documents" signal the
+    train-data-dedup literature uses to quantify residual duplication
+    after document-level dedup.  Output: (doc_id, n_grams,
+    n_dup_grams) where a gram occurrence counts as dup when its gram
+    occurs in >= ``min_docs`` distinct documents.
+
+    Scale shape: explode emits one (gram, doc_id, n_occ) row per
+    DISTINCT gram per doc (within-doc multiplicity pre-folded in the
+    map, so the shuffle never carries occurrence-level rows), one
+    bucketed groupby(gram) filters to cross-doc grams and re-keys the
+    survivors by doc, a doc_id groupby sums them, and a left shuffle
+    join attaches the per-doc totals.  Gram strings cross the wire
+    exactly once; nothing lands on the driver."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from mail_deduplicate_ray.stages import joins
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def totals(t: pa.Table) -> pa.Table:
+        n = pc.cast(token_counts(t["text"]), pa.int64())
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_grams": pc.max_element_wise(
+                pc.subtract(n, pa.scalar(k - 1, pa.int64())),
+                pa.scalar(0, pa.int64()))})
+
+    def explode(t: pa.Table) -> pa.Table:
+        out_g, out_d, out_n = [], [], []
+        for did, v in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ts = (v or "").split()
+            cnt: dict[str, int] = {}
+            for i in range(max(len(ts) - k + 1, 0)):
+                g = " ".join(ts[i:i + k])
+                cnt[g] = cnt.get(g, 0) + 1
+            out_g.extend(cnt.keys())
+            out_d.extend([did] * len(cnt))
+            out_n.extend(cnt.values())
+        return pa.table({"gram": pa.array(out_g, pa.string()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "n_occ": pa.array(np.asarray(out_n, np.int64),
+                                           pa.int64())})
+
+    grams = docs.map_batches(explode, batch_format="pyarrow")
+
+    def cross_doc(df):
+        # one row per (gram, doc) -> group size IS the distinct-doc count
+        keep = df.groupby("gram", sort=False)["doc_id"].transform("size")
+        return df[keep >= min_docs][["doc_id", "n_occ"]]
+
+    dup_sums = (grouped(grams, "gram", cross_doc)
+                .groupby("doc_id")
+                .aggregate(Sum("n_occ", alias_name="n_dup_grams")))
+
+    joined = joins.shuffle_join(
+        docs.map_batches(totals, batch_format="pyarrow"), dup_sums,
+        "doc_id", "doc_id", how="left")
+    return joined.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "n_grams": t["n_grams"],
+            "n_dup_grams": pc.coalesce(
+                pc.cast(t["n_dup_grams"], pa.int64()),
+                pa.scalar(0, pa.int64()))}),
+        batch_format="pyarrow")
+
+
 def _isqrt_u64(x: "np.ndarray") -> "np.ndarray":
     """Exact integer sqrt of a uint64 array (float sqrt + correction —
     the same adjustment the SQL oracle replays)."""

@@ -829,3 +829,31 @@ def test_semdedup_parity_and_invariants():
         assert r["cell"] == int(cells[np.searchsorted(ids, r["vec_id"])])
     n_dropped = sum(1 for r in got if not r["keep"])
     assert 0 < n_dropped < len(ids)
+
+
+def test_dup_ngram_fraction_bruteforce_parity():
+    import collections
+
+    import pyarrow.parquet as pq
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+    d = "/root/testdata/sf0.001"
+    k = 5
+    rows = pq.read_table(f"{d}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    gram_docs: dict[str, set] = collections.defaultdict(set)
+    per_doc = {}
+    for r in rows:
+        ts = (r["text"] or "").split()
+        gs = [" ".join(ts[i:i + k]) for i in range(max(len(ts) - k + 1, 0))]
+        per_doc[r["doc_id"]] = gs
+        for g in gs:
+            gram_docs[g].add(r["doc_id"])
+    got = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+           for r in docs_mod.dup_ngram_fraction_docs(d).take_all()}
+    assert len(got) == len(rows)
+    some_dup = False
+    for doc_id, gs in per_doc.items():
+        dup = sum(1 for g in gs if len(gram_docs[g]) >= 2)
+        assert got[doc_id] == (len(gs), dup)
+        some_dup = some_dup or dup > 0
+    assert some_dup
