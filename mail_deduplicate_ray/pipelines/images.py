@@ -107,11 +107,13 @@ def images_path(sf_dir: str, n_base: int | None = None,
 def image_hashes(sf_dir: str) -> "ray.data.Dataset":
     """(img_id, dhash, decode_ok) via the REAL decode actor pool —
     payload-bearing rows in small batches, bytes dropped on exit."""
+    from mail_deduplicate_ray.sources.clips_io import payload_batch_size
+
     path = images_path(sf_dir)
     ds = ray.data.read_parquet(str(path))
     return ds.map_batches(
         ImageDecodeStage, fn_constructor_args=(64, True),
-        batch_format="pyarrow", batch_size=32,
+        batch_format="pyarrow", batch_size=payload_batch_size(path),
         concurrency=bucketing.pool_size()) \
         .select_columns(["img_id", "dhash", "decode_ok"])
 

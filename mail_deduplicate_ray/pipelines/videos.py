@@ -140,11 +140,14 @@ class _PooledSRP:
 
 
 def video_signatures(sf_dir: str) -> "ray.data.Dataset":
+    from mail_deduplicate_ray.sources.clips_io import payload_batch_size
+
     path = videos_path(sf_dir)
     ds = ray.data.read_parquet(str(path))
     sampled = ds.map_batches(
         VideoFrameSampleStage, fn_constructor_args=(8, _DIMS, True),
-        batch_format="pyarrow", batch_size=16,
+        batch_format="pyarrow",
+        batch_size=payload_batch_size(path, target_bytes=16 << 20),
         concurrency=bucketing.pool_size())
     return sampled.map_batches(
         _PooledSRP, batch_format="pyarrow", batch_size=1024,

@@ -331,3 +331,37 @@ def read_clips(paths: str | list[str]) -> "ray.data.Dataset":
     for other in parts[1:]:
         ds = ds.union(other)
     return ds
+
+
+def payload_batch_size(path, col: str = "bytes",
+                       target_bytes: int = 8 << 20,
+                       lo: int = 16, hi: int = 1024) -> int:
+    """Rows-per-batch sized so one batch's PAYLOAD bytes land near
+    ``target_bytes`` — tiny thumbnails batch by the hundreds, multi-MB
+    masters batch in the teens.  Reads only parquet footer metadata
+    (first part file of a dataset dir), so the decision costs nothing
+    and adapts per corpus instead of hard-coding a row count that is
+    only right for one payload size."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    p = Path(path)
+    if p.is_dir():
+        parts = sorted(p.glob("*.parquet"))
+        if not parts:
+            return lo
+        p = parts[0]
+    md = pq.ParquetFile(p).metadata
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    if col not in names:
+        return lo
+    idx = names.index(col)
+    tot = rows = 0
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        tot += g.column(idx).total_uncompressed_size
+        rows += g.num_rows
+    if rows == 0 or tot == 0:
+        return lo
+    return int(min(hi, max(lo, target_bytes * rows // tot)))
