@@ -1858,14 +1858,14 @@ def dup_ngram_fraction_docs(sf_dir: str, k: int = 5,
     DISTINCT gram per doc (within-doc multiplicity pre-folded in the
     map, so the shuffle never carries occurrence-level rows), one
     bucketed groupby(gram) filters to cross-doc grams and re-keys the
-    survivors by doc, a doc_id groupby sums them, and a left shuffle
-    join attaches the per-doc totals.  Gram strings cross the wire
-    exactly once; nothing lands on the driver."""
+    survivors by doc, then ONE doc_id-bucketed shuffle both sums the
+    dup occurrences and attaches the per-doc totals (totals ride as
+    (doc_id, n_grams, 0) rows unioned with the (doc_id, 0, n_occ)
+    survivors — a column-sum per doc replaces a groupby PLUS a join).
+    Gram strings cross the wire exactly once; nothing lands on the
+    driver."""
     import numpy as np
 
-    from ray.data.aggregate import Sum
-
-    from mail_deduplicate_ray.stages import joins
     from mail_deduplicate_ray.stages.bucketing import grouped
 
     docs = _docs(sf_dir, ["doc_id", "text"])
@@ -1876,7 +1876,8 @@ def dup_ngram_fraction_docs(sf_dir: str, k: int = 5,
             "doc_id": t["doc_id"],
             "n_grams": pc.max_element_wise(
                 pc.subtract(n, pa.scalar(k - 1, pa.int64())),
-                pa.scalar(0, pa.int64()))})
+                pa.scalar(0, pa.int64())),
+            "n_dup_grams": pa.nulls(t.num_rows, pa.int64()).fill_null(0)})
 
     def explode(t: pa.Table) -> pa.Table:
         out_g, out_d, out_n = [], [], []
@@ -1899,22 +1900,24 @@ def dup_ngram_fraction_docs(sf_dir: str, k: int = 5,
     def cross_doc(df):
         # one row per (gram, doc) -> group size IS the distinct-doc count
         keep = df.groupby("gram", sort=False)["doc_id"].transform("size")
-        return df[keep >= min_docs][["doc_id", "n_occ"]]
+        out = df[keep >= min_docs][["doc_id", "n_occ"]].rename(
+            columns={"n_occ": "n_dup_grams"})
+        out.insert(1, "n_grams", np.int64(0))
+        return out
 
-    dup_sums = (grouped(grams, "gram", cross_doc)
-                .groupby("doc_id")
-                .aggregate(Sum("n_occ", alias_name="n_dup_grams")))
+    dup_rows = grouped(grams, "gram", cross_doc)
 
-    joined = joins.shuffle_join(
-        docs.map_batches(totals, batch_format="pyarrow"), dup_sums,
-        "doc_id", "doc_id", how="left")
-    return joined.map_batches(
+    def per_doc(df):
+        return (df.groupby("doc_id", sort=False, as_index=False)
+                [["n_grams", "n_dup_grams"]].sum())
+
+    unioned = docs.map_batches(totals, batch_format="pyarrow") \
+                  .union(dup_rows)
+    return grouped(unioned, "doc_id", per_doc).map_batches(
         lambda t: pa.table({
-            "doc_id": t["doc_id"],
-            "n_grams": t["n_grams"],
-            "n_dup_grams": pc.coalesce(
-                pc.cast(t["n_dup_grams"], pa.int64()),
-                pa.scalar(0, pa.int64()))}),
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_grams": pc.cast(t["n_grams"], pa.int64()),
+            "n_dup_grams": pc.cast(t["n_dup_grams"], pa.int64())}),
         batch_format="pyarrow")
 
 
