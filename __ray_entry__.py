@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": docs.ngram_jaccard_pairs,
         "levenshtein_neardup_pairs": docs.levenshtein_neardup_pairs,
         "levenshtein_clusters": docs.levenshtein_clusters,
+        "incremental_neardup_docs": docs.incremental_neardup_docs,
+        "distinctive_terms_docs": docs.distinctive_terms_docs,
         "stratified_sample_docs": docs.stratified_sample_docs,
         "length_weighted_sample_docs": docs.length_weighted_sample_docs,
         "sample_k_per_lang": docs.sample_k_per_lang,
@@ -241,6 +243,50 @@ def oracle_sql() -> dict[str, str]:
                    OR position(substr(b.text, 1 + 4 * ((length(b.text) + 4) // 5),
                                ((length(b.text) + 4) // 5)) IN a.text) > 0))
             SELECT a_id, b_id FROM c WHERE levenshtein(ta, tb) <= 4
+        """,
+        # incremental-snapshot screen: NEW docs (doc_id%7=0) within
+        # lev<=4 of any BASE doc, min matching base (same exact
+        # pigeonhole-pruned predicate as levenshtein_neardup_pairs)
+        "incremental_neardup_docs": """
+            WITH c AS MATERIALIZED (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       a.text AS ta, b.text AS tb
+                FROM documents a JOIN documents b
+                  ON a.doc_id < b.doc_id
+                 AND abs(length(a.text) - length(b.text)) <= 4
+                 AND (position(substr(b.text, 1 + 0 * ((length(b.text) + 4) // 5),
+                               ((length(b.text) + 4) // 5)) IN a.text) > 0
+                   OR position(substr(b.text, 1 + 1 * ((length(b.text) + 4) // 5),
+                               ((length(b.text) + 4) // 5)) IN a.text) > 0
+                   OR position(substr(b.text, 1 + 2 * ((length(b.text) + 4) // 5),
+                               ((length(b.text) + 4) // 5)) IN a.text) > 0
+                   OR position(substr(b.text, 1 + 3 * ((length(b.text) + 4) // 5),
+                               ((length(b.text) + 4) // 5)) IN a.text) > 0
+                   OR position(substr(b.text, 1 + 4 * ((length(b.text) + 4) // 5),
+                               ((length(b.text) + 4) // 5)) IN a.text) > 0)),
+             p AS (SELECT a_id, b_id FROM c WHERE levenshtein(ta, tb) <= 4),
+             e AS (SELECT a_id AS u, b_id AS v FROM p
+                   UNION ALL SELECT b_id, a_id FROM p)
+            SELECT u AS doc_id, min(v) AS base_id FROM e
+            WHERE u % 7 = 0 AND v % 7 <> 0 GROUP BY u ORDER BY doc_id
+        """,
+        # per-doc distinctive terms: top-3 tokens by (tf DESC, df ASC,
+        # token ASC) — the integer-exact tf-idf ranking core
+        "distinctive_terms_docs": """
+            WITH tok AS (SELECT doc_id,
+                    unnest(regexp_split_to_array(trim(text), '\\s+'))
+                        AS token
+                FROM documents WHERE trim(text) <> ''),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+                   GROUP BY doc_id, token),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            r AS (SELECT tf.doc_id, tf.token, row_number() OVER (
+                      PARTITION BY tf.doc_id
+                      ORDER BY tf.tf DESC, df.df ASC, tf.token ASC)
+                      AS rank
+                  FROM tf JOIN df USING (token))
+            SELECT doc_id, token, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 3 ORDER BY doc_id, rank
         """,
         # connected components over the lev<=4 pair graph, replayed in
         # SQL as a recursive-CTE closure (min reachable label) — the

@@ -1267,6 +1267,105 @@ def levenshtein_clusters(sf_dir: str,
         batch_format="pyarrow")
 
 
+def incremental_neardup_docs(sf_dir: str, max_dist: int = 4,
+                             mod: int = 7) -> "ray.data.Dataset":
+    """Incremental-snapshot near-dup screening: which NEW documents
+    (``doc_id % mod == 0`` plays the fresh ingest batch) are within
+    edit distance ``max_dist`` of any BASE document (the already-curated
+    corpus)?  Output: (doc_id, base_id) with base_id = the smallest
+    matching base doc — the anti-join feed of an incremental ingestion
+    pipeline (ref cache-resume analogue: J1 anti-join,
+    state/checkpoint.py; here the index is content similarity, not an
+    exact key, so the screen must run the near-dup machinery).
+
+    Scale shape: composes the distributed edit-distance pair engine
+    (length-banded pigeonhole candidates, banded-DP verify) with one
+    scalar-pair orientation filter and a bucketed min-reduce — no new
+    shuffle of text."""
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    pairs = levenshtein_neardup_pairs(sf_dir, max_dist)
+
+    def orient(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        a = t["a_id"].to_numpy(zero_copy_only=False)
+        b = t["b_id"].to_numpy(zero_copy_only=False)
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        keep = (u % mod == 0) & (v % mod != 0)
+        return pa.table({"u": pa.array(u[keep], pa.int64()),
+                         "v": pa.array(v[keep], pa.int64())})
+
+    oriented = pairs.map_batches(orient, batch_format="pyarrow")
+
+    def min_base(df):
+        g = (df.groupby("u", sort=False, as_index=False)
+             .agg(base_id=("v", "min")))
+        return pa.table({
+            "doc_id": pa.array(g["u"].to_numpy(), pa.int64()),
+            "base_id": pa.array(g["base_id"].to_numpy(), pa.int64())})
+
+    return grouped(oriented, "u", min_base)
+
+
+def distinctive_terms_docs(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Per-document DISTINCTIVE terms — the integer-exact core of
+    tf-idf term weighting: each doc's top-``k`` tokens ranked by term
+    frequency descending, document frequency ascending (rarer across
+    the corpus = more distinctive), token ascending as the
+    deterministic tiebreak.  Output: (doc_id, token, rank).  No float
+    idf crosses the ranking, so the SQL oracle replays the order
+    bit-for-bit.
+
+    Scale shape: explode (token, doc_id, tf) with within-doc counts
+    pre-folded; ONE token-bucketed shuffle attaches df (= group size,
+    since rows are distinct per (token, doc)); ONE doc-bucketed
+    shuffle ranks and takes the head — no driver table, no broadcast
+    (the df side would be vocabulary-sized)."""
+    import numpy as np
+
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        out_t, out_d, out_n = [], [], []
+        for did, v in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            cnt: dict[str, int] = {}
+            for tok in (v or "").split():
+                cnt[tok] = cnt.get(tok, 0) + 1
+            out_t.extend(cnt.keys())
+            out_d.extend([did] * len(cnt))
+            out_n.extend(cnt.values())
+        return pa.table({"token": pa.array(out_t, pa.string()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "tf": pa.array(np.asarray(out_n, np.int64),
+                                        pa.int64())})
+
+    tf = docs.map_batches(explode, batch_format="pyarrow")
+
+    def attach_df(df):
+        df = df.copy()
+        df["df"] = df.groupby("token", sort=False)["token"] \
+                     .transform("size").astype("int64")
+        return df
+
+    with_df = grouped(tf, "token", attach_df)
+
+    def rank_part(df):
+        df = df.sort_values(["doc_id", "tf", "df", "token"],
+                            ascending=[True, False, True, True])
+        df["rank"] = df.groupby("doc_id", sort=False).cumcount() + 1
+        out = df[df["rank"] <= k]
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+            "token": pa.array(out["token"].tolist(), pa.string()),
+            "rank": pa.array(out["rank"].to_numpy(), pa.int64())})
+
+    return grouped(with_df, "doc_id", rank_part)
+
+
 def stratified_sample_docs(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic stratified sampling — the reproducible-subset
     operator a training-data pipeline needs (same sample at ANY
