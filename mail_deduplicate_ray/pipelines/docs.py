@@ -1807,7 +1807,10 @@ def pack_sequences_docs(sf_dir: str, capacity: int = 2048,
     per bucket), broadcasts the map, and a second pass computes the
     within-bucket cumulative sum per partition.  Two scalar-column
     passes, one bucket-count-sized driver table — no stage ever holds
-    more than a bucket of rows."""
+    more than a bucket of rows.  ``bucket_width`` sets the driver
+    table's size (n_docs / width entries): size it so that table stays
+    ~1e6 rows (width 1e6 at 10^12 docs) — the per-bucket cumsum cost
+    is unchanged, only the base map granularity moves."""
     import numpy as np
 
     import ray as _ray
