@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_buckets": ann.ann_lsh_buckets,     # rows-only
         "ann_ivf_top10": ann.ann_ivf_topk,          # rows-only (recall-gated)
         "semdedup_embeddings": ann.semdedup_embeddings,  # rows-only (brute-force parity-tested)
+        "knn_graph_embeddings": ann.knn_graph_embeddings,
         # --- clips flagship (non-SQL: synthesized audio corpus) ---
         "clips_flagship": clips.flagship_clusters,          # rows-only
         "clips_exact_dedup": clips.clips_exact_dedup,       # rows-only
@@ -996,6 +997,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS a_id, b.vec_id AS b_id
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """,
+        # exact kNN graph: every vector's top-5 neighbors (cosine desc,
+        # id asc) — the all-rows generalization of ann_bruteforce_top10
+        "knn_graph_embeddings": """
+            SELECT vec_id, neighbor_id, rank FROM (
+                SELECT q.vec_id AS vec_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.embedding,
+                                                           e.embedding)
+                                    DESC,
+                                    e.vec_id ASC) AS rank
+                FROM embeddings q, embeddings e
+                WHERE q.vec_id <> e.vec_id)
+            WHERE rank <= 5
         """,
         # the LSH-bucketed scale path must produce the SAME pair set as
         # the all-pairs truth (banded SRP, recall 1.0 at these scales)

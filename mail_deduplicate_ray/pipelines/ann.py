@@ -480,3 +480,122 @@ def semdedup_embeddings(sf_dir: str, n_cells: int = 16,
 
     return bucketing.grouped(assigned, "cell", part,
                              batch_format="pyarrow")
+
+
+def knn_graph_embeddings(sf_dir: str, k: int = 5,
+                         n_blocks: int = 8) -> "ray.data.Dataset":
+    """EXACT k-nearest-neighbor similarity GRAPH over the embedding
+    corpus — every vector's top-``k`` neighbors by cosine (ties broken
+    by neighbor id ascending), the input artifact for graph-based
+    dedup/cluster curation.  Output: (vec_id, neighbor_id, rank).
+
+    Same distributed block self-join as ``embedding_neardup_pairs``
+    (no whole-corpus broadcast; every unordered block pair scored by
+    exactly one task), but each block-pair task emits per-row PARTIAL
+    top-k in both directions, so the final vec_id-bucketed merge sees
+    <= k x n_blocks candidate rows per vector, never the n^2 pair
+    matrix.  Partial selection is exact under the global order (cosine
+    desc, id asc): candidates are scanned id-ascending and selected by
+    a stable argsort, so boundary ties keep the lowest ids — the same
+    rule the merge and the SQL oracle apply."""
+    from mail_deduplicate_ray.stages import bucketing
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        n = len(ids)
+        dims = len(flat) // n if n else 0
+        emb = np.ascontiguousarray(flat.reshape(n, dims))
+        blk = (ids % n_blocks).astype(np.int64)
+        emb_bin = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(emb.dtype.itemsize * dims), n,
+            [None, pa.py_buffer(emb.tobytes())])
+        base = pa.table({"vec_id": pa.array(ids.astype(np.int64)),
+                         "blk": pa.array(blk),
+                         "emb": emb_bin})
+        reps = np.repeat(np.arange(n), n_blocks)
+        other = np.tile(np.arange(n_blocks, dtype=np.int64), n)
+        mine = blk[reps]
+        lo = np.minimum(mine, other)
+        hi = np.maximum(mine, other)
+        return base.take(pa.array(reps)).append_column(
+            "pk", pa.array(lo * n_blocks + hi, pa.int64()))
+
+    exploded = _read(sf_dir).map_batches(explode, batch_format="pyarrow",
+                                         batch_size=4096)
+
+    def _partial_topk(sims: np.ndarray, row_ids, col_ids):
+        """Per-row top-k of a sims matrix whose COLUMNS are id-ascending;
+        stable argsort keeps the lowest-id winner on exact ties."""
+        kk = min(k, sims.shape[1])
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(row_ids, kk)
+        cols = col_ids[order].ravel()
+        vals = np.take_along_axis(sims, order, axis=1).ravel()
+        return rows, cols, vals
+
+    def part(df) -> "pa.Table":
+        ids_all = df["vec_id"].to_numpy()
+        blk_all = df["blk"].to_numpy()
+        raw = np.frombuffer(b"".join(df["emb"]), dtype=np.float32)
+        emb_all = _norm(raw.reshape(len(df), -1).astype(np.float64))
+        pks = df["pk"].to_numpy()
+        out_v, out_n, out_c = [], [], []
+        order = np.argsort(pks, kind="stable")
+        p_sorted = pks[order]
+        bounds = np.flatnonzero(np.concatenate(
+            ([True], p_sorted[1:] != p_sorted[:-1], [True])))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            idx = order[s:e]
+            pk = int(p_sorted[s])
+            i, j = pk // n_blocks, pk % n_blocks
+            if i == j:
+                sub = idx[blk_all[idx] == i]
+                sub = sub[np.argsort(ids_all[sub])]
+                if len(sub) < 2:
+                    continue
+                m = emb_all[sub]
+                sims = m @ m.T
+                np.fill_diagonal(sims, -2.0)  # exclude self
+                r, c, v = _partial_topk(sims, ids_all[sub], ids_all[sub])
+                out_v.append(r); out_n.append(c); out_c.append(v)
+            else:
+                sa = idx[blk_all[idx] == i]
+                sb = idx[blk_all[idx] == j]
+                if not len(sa) or not len(sb):
+                    continue
+                sa = sa[np.argsort(ids_all[sa])]
+                sb = sb[np.argsort(ids_all[sb])]
+                sims = emb_all[sa] @ emb_all[sb].T
+                r, c, v = _partial_topk(sims, ids_all[sa], ids_all[sb])
+                out_v.append(r); out_n.append(c); out_c.append(v)
+                r, c, v = _partial_topk(
+                    np.ascontiguousarray(sims.T), ids_all[sb], ids_all[sa])
+                out_v.append(r); out_n.append(c); out_c.append(v)
+        if not out_v:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({
+            "vec_id": pa.array(np.concatenate(out_v).astype(np.int64)),
+            "neighbor_id": pa.array(np.concatenate(out_n).astype(np.int64)),
+            "cosine": pa.array(np.concatenate(out_c), pa.float64())})
+
+    nb = max(8, (n_blocks * (n_blocks + 1)) // 2)
+    partials = bucketing.grouped(exploded, "pk", part, nbuckets=nb,
+                                 batch_format="pandas")
+
+    def merge(df) -> "pa.Table":
+        df = df.sort_values(["vec_id", "cosine", "neighbor_id"],
+                            ascending=[True, False, True])
+        df = df.drop_duplicates(subset=["vec_id", "neighbor_id"])
+        df["rank"] = df.groupby("vec_id", sort=False).cumcount() + 1
+        out = df[df["rank"] <= k]
+        return pa.table({
+            "vec_id": pa.array(out["vec_id"].to_numpy(), pa.int64()),
+            "neighbor_id": pa.array(out["neighbor_id"].to_numpy(),
+                                    pa.int64()),
+            "rank": pa.array(out["rank"].to_numpy(), pa.int64())})
+
+    return bucketing.grouped(partials, "vec_id", merge)
