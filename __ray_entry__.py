@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "levenshtein_neardup_pairs": docs.levenshtein_neardup_pairs,
         "levenshtein_clusters": docs.levenshtein_clusters,
         "incremental_neardup_docs": docs.incremental_neardup_docs,
+        "cluster_best_docs": docs.cluster_best_docs,
         "distinctive_terms_docs": docs.distinctive_terms_docs,
         "stratified_sample_docs": docs.stratified_sample_docs,
         "length_weighted_sample_docs": docs.length_weighted_sample_docs,
@@ -320,6 +321,44 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.u, walk.label FROM walk JOIN e ON e.v = walk.node)
             SELECT node AS doc_id, min(label) AS cluster_id
             FROM walk GROUP BY node ORDER BY doc_id
+        """,
+        # per-cluster best representative: the closure above + keep the
+        # longest doc per component (n_chars desc, doc_id asc) — the
+        # settle-winner selection, fully SQL-replayed
+        "cluster_best_docs": """
+            WITH RECURSIVE
+             c AS MATERIALIZED (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       a.text AS ta, b.text AS tb
+                FROM documents a JOIN documents b
+                  ON a.doc_id < b.doc_id
+                 AND abs(length(a.text) - length(b.text)) <= 4
+                 AND (position(substr(b.text, 1 + 0 * ((length(b.text) + 4) // 5),
+                               ((length(b.text) + 4) // 5)) IN a.text) > 0
+                   OR position(substr(b.text, 1 + 1 * ((length(b.text) + 4) // 5),
+                               ((length(b.text) + 4) // 5)) IN a.text) > 0
+                   OR position(substr(b.text, 1 + 2 * ((length(b.text) + 4) // 5),
+                               ((length(b.text) + 4) // 5)) IN a.text) > 0
+                   OR position(substr(b.text, 1 + 3 * ((length(b.text) + 4) // 5),
+                               ((length(b.text) + 4) // 5)) IN a.text) > 0
+                   OR position(substr(b.text, 1 + 4 * ((length(b.text) + 4) // 5),
+                               ((length(b.text) + 4) // 5)) IN a.text) > 0)),
+             p AS MATERIALIZED (SELECT a_id, b_id FROM c
+                                WHERE levenshtein(ta, tb) <= 4),
+             e AS (SELECT a_id AS u, b_id AS v FROM p
+                   UNION ALL SELECT b_id, a_id FROM p),
+             walk(node, label) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.u, walk.label FROM walk JOIN e ON e.v = walk.node),
+             lab AS (SELECT node AS doc_id, min(label) AS cluster_id
+                     FROM walk GROUP BY node)
+            SELECT cluster_id, doc_id, n_chars FROM (
+                SELECT lab.cluster_id, lab.doc_id, d.n_chars,
+                       row_number() OVER (PARTITION BY lab.cluster_id
+                           ORDER BY d.n_chars DESC, lab.doc_id ASC) AS rn
+                FROM lab JOIN documents d USING (doc_id))
+            WHERE rn = 1 ORDER BY cluster_id
         """,
         # exact-substring containment (suffix-array detector): contained
         # text strictly shorter, at least 64 chars (ASCII corpus: byte and

@@ -52,7 +52,7 @@ BENCH_QUERIES = [
     "pack_sequences_docs", "rare_bigram_docs", "temperature_sample_docs",
     "semdedup_embeddings", "dup_ngram_fraction_docs",
     "incremental_neardup_docs", "distinctive_terms_docs",
-    "knn_graph_embeddings",
+    "knn_graph_embeddings", "cluster_best_docs",
 ]
 
 

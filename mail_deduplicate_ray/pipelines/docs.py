@@ -1267,6 +1267,38 @@ def levenshtein_clusters(sf_dir: str,
         batch_format="pyarrow")
 
 
+def cluster_best_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Per-cluster best-representative selection — the docs-table
+    analogue of the flagship's settle winner (ref: select-biggest X8 +
+    min-id tiebreak applied per near-dup cluster): over the
+    ``levenshtein_clusters`` components, keep each cluster's longest
+    document (n_chars desc, doc_id asc tiebreak).  Output: (cluster_id,
+    doc_id, n_chars) — one row per cluster.
+
+    Scale shape: the CC labels (scalar rows) join n_chars via one
+    doc_id-bucketed shuffle, then one cluster-bucketed argmax.  The
+    oracle replays the full closure + argmax in SQL, making this the
+    first fully-SQL-checked dedup SELECTION (not just clustering)."""
+    from mail_deduplicate_ray.stages import joins
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    labels = levenshtein_clusters(sf_dir)
+    meta = _docs(sf_dir, ["doc_id", "n_chars"])
+    joined = joins.shuffle_join(labels, meta, "doc_id", "doc_id",
+                                how="inner")
+
+    def argmax(df):
+        df = df.sort_values(["cluster_id", "n_chars", "doc_id"],
+                            ascending=[True, False, True])
+        out = df.groupby("cluster_id", sort=False).head(1)
+        return pa.table({
+            "cluster_id": pa.array(out["cluster_id"].to_numpy(), pa.int64()),
+            "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+            "n_chars": pa.array(out["n_chars"].to_numpy(), pa.int64())})
+
+    return grouped(joined, "cluster_id", argmax)
+
+
 def incremental_neardup_docs(sf_dir: str, max_dist: int = 4,
                              mod: int = 7) -> "ray.data.Dataset":
     """Incremental-snapshot near-dup screening: which NEW documents

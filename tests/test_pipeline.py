@@ -857,3 +857,47 @@ def test_dup_ngram_fraction_bruteforce_parity():
         assert got[doc_id] == (len(gs), dup)
         some_dup = some_dup or dup > 0
     assert some_dup
+
+
+def test_incremental_neardup_matches_pairs():
+    # composition invariant: output == orientation-filtered min-reduce of
+    # the pair engine's own output
+    import collections
+
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+    d = "/root/testdata/sf0.001"
+    pairs = [(r["a_id"], r["b_id"])
+             for r in docs_mod.levenshtein_neardup_pairs(d).take_all()]
+    want: dict[int, int] = {}
+    for a, b in pairs:
+        for u, v in ((a, b), (b, a)):
+            if u % 7 == 0 and v % 7 != 0:
+                want[u] = min(want.get(u, v), v)
+    got = {r["doc_id"]: r["base_id"]
+           for r in docs_mod.incremental_neardup_docs(d).take_all()}
+    assert got == want
+
+
+def test_distinctive_terms_bruteforce_parity():
+    import collections
+
+    import pyarrow.parquet as pq
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+    d = "/root/testdata/sf0.001"
+    rows = pq.read_table(f"{d}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    tf: dict[int, collections.Counter] = {}
+    df: collections.Counter = collections.Counter()
+    for r in rows:
+        c = collections.Counter((r["text"] or "").split())
+        if c:
+            tf[r["doc_id"]] = c
+            df.update(c.keys())
+    want = set()
+    for did, c in tf.items():
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], df[kv[0]], kv[0]))
+        for rk, (tok, _) in enumerate(ranked[:3], 1):
+            want.add((did, tok, rk))
+    got = {(r["doc_id"], r["token"], r["rank"])
+           for r in docs_mod.distinctive_terms_docs(d).take_all()}
+    assert got == want and len(got) > 0

@@ -225,3 +225,29 @@ def test_csv_roundtrip_preserves_nulls(tmp_path, ray_session):
     assert got.loc[0, "transcript"] is None
     assert got.loc[1, "bytes"] == b"xy"
     assert got.loc[1, "transcript"] == ""
+
+
+def test_payload_batch_size_scales_inverse_to_payload(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mail_deduplicate_ray.sources.clips_io import payload_batch_size
+
+    small = tmp_path / "small.parquet"
+    big = tmp_path / "big.parquet"
+    # distinct payloads per row — identical values would dictionary-encode
+    # and shrink the footer's uncompressed size to a single value's worth
+    pq.write_table(pa.table({"id": list(range(64)),
+                             "bytes": [bytes([i]) * 1_000
+                                       for i in range(64)]}), small)
+    pq.write_table(pa.table({"id": list(range(64)),
+                             "bytes": [bytes([i]) * 1_000_000
+                                       for i in range(64)]}), big)
+    bs_small = payload_batch_size(small, target_bytes=8 << 20)
+    bs_big = payload_batch_size(big, target_bytes=8 << 20)
+    assert bs_small == 1024          # tiny payloads -> hi cap
+    assert bs_big < bs_small         # big payloads -> smaller batches
+    assert 8 <= bs_big <= 16         # ~8MB / 1MB, floored at lo
+    # missing column and empty file fall back to lo
+    pq.write_table(pa.table({"id": [1]}), tmp_path / "nocol.parquet")
+    assert payload_batch_size(tmp_path / "nocol.parquet") == 16
