@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "levenshtein_clusters": docs.levenshtein_clusters,
         "incremental_neardup_docs": docs.incremental_neardup_docs,
         "cluster_best_docs": docs.cluster_best_docs,
+        "chunk_dedup_docs": docs.chunk_dedup_docs,
+        "dup_span_intervals_docs": docs.dup_span_intervals_docs,
         "distinctive_terms_docs": docs.distinctive_terms_docs,
         "stratified_sample_docs": docs.stratified_sample_docs,
         "length_weighted_sample_docs": docs.length_weighted_sample_docs,
@@ -359,6 +361,61 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY d.n_chars DESC, lab.doc_id ASC) AS rn
                 FROM lab JOIN documents d USING (doc_id))
             WHERE rn = 1 ORDER BY cluster_id
+        """,
+        # paragraph(=10-token-chunk)-granularity dedup with document
+        # reconstruction: every chunk keeps its globally-first
+        # occurrence (doc_id, chunk_idx order), survivors reassemble
+        "chunk_dedup_docs": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            chunks AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                       array_to_string(ts[CAST(i*10+1 AS BIGINT)
+                                          :CAST(i*10+10 AS BIGINT)],
+                                       ' ') AS chunk
+                FROM toks,
+                     UNNEST(range(CAST(ceil(len(ts)/10.0) AS BIGINT))) u(i)),
+            keep AS (
+                SELECT doc_id, chunk_idx, chunk,
+                       row_number() OVER (PARTITION BY chunk
+                           ORDER BY doc_id, chunk_idx) AS rn
+                FROM chunks)
+            SELECT doc_id,
+                   string_agg(chunk, ' ' ORDER BY chunk_idx) AS dedup_text,
+                   count(*) AS n_kept
+            FROM keep WHERE rn = 1
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        # duplicate-span detection (Lee et al. 2022 exact-substring
+        # dedup): positions covered by a 50-gram seen in >1 doc, merged
+        # into maximal intervals via gaps-and-islands
+        "dup_span_intervals_docs": """
+            WITH grams AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                       substr(text, CAST(i+1 AS INT), 50) AS g
+                FROM documents,
+                     UNNEST(range(GREATEST(length(text) - 49, 0))) u(i)),
+            dup AS (
+                SELECT g FROM grams
+                GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+            m AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+            isl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos > coalesce(
+                                max(pos) OVER (PARTITION BY doc_id
+                                    ORDER BY pos ROWS BETWEEN UNBOUNDED
+                                    PRECEDING AND 1 PRECEDING),
+                                -100) + 50
+                            THEN 1 ELSE 0 END AS brk
+                FROM m),
+            grp AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id
+                           ORDER BY pos) AS gid
+                FROM isl)
+            SELECT doc_id, min(pos) AS start_pos, max(pos) + 49 AS end_pos
+            FROM grp GROUP BY doc_id, gid
+            ORDER BY doc_id, start_pos
         """,
         # exact-substring containment (suffix-array detector): contained
         # text strictly shorter, at least 64 chars (ASCII corpus: byte and

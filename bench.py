@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "semdedup_embeddings", "dup_ngram_fraction_docs",
     "incremental_neardup_docs", "distinctive_terms_docs",
     "knn_graph_embeddings", "cluster_best_docs",
+    "chunk_dedup_docs", "dup_span_intervals_docs",
 ]
 
 

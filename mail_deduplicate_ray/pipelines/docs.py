@@ -1341,6 +1341,145 @@ def incremental_neardup_docs(sf_dir: str, max_dist: int = 4,
     return grouped(oriented, "u", min_base)
 
 
+def chunk_dedup_docs(sf_dir: str, w: int = 10) -> "ray.data.Dataset":
+    """Paragraph-granularity dedup WITH document reconstruction — the
+    MassiveText/Dolma-style operator that dedups below document level:
+    each document splits into consecutive ``w``-token chunks (the
+    "paragraphs" of this single-line corpus), every chunk keeps only
+    its globally-FIRST occurrence (ordered by doc_id, chunk_idx), and
+    surviving chunks reassemble into the deduplicated document.
+    Output: (doc_id, dedup_text, n_kept) — docs whose every chunk was
+    seen earlier vanish, exactly as SQL GROUP BY over kept rows does.
+
+    Scale shape: one chunk-keyed bucketed shuffle picks winners (the
+    chunk STRING is the in-bucket group key, so equality is exact —
+    the bucket router may hash), one doc-keyed bucketed shuffle
+    reassembles.  Chunk text moves through both shuffles; that traffic
+    is inherent (reassembly needs the bytes).  Ref analogue: M12 body
+    hashing at sub-document granularity + G1 group-by-hash keep-first."""
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        out_c, out_d, out_i = [], [], []
+        for did, v in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            # split on single spaces to match SQL string_split(text, ' ')
+            toks = (v or "").split(" ")
+            for i in range(0, (len(toks) + w - 1) // w):
+                out_c.append(" ".join(toks[i * w:(i + 1) * w]))
+                out_d.append(did)
+                out_i.append(i)
+        return pa.table({"chunk": pa.array(out_c, pa.string()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "chunk_idx": pa.array(out_i, pa.int64())})
+
+    chunks = docs.map_batches(explode, batch_format="pyarrow")
+
+    def keep_first(df):
+        df = df.sort_values(["chunk", "doc_id", "chunk_idx"])
+        out = df.groupby("chunk", sort=False).head(1)
+        return pa.table({
+            "chunk": pa.array(out["chunk"].tolist(), pa.string()),
+            "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+            "chunk_idx": pa.array(out["chunk_idx"].to_numpy(), pa.int64())})
+
+    kept = grouped(chunks, "chunk", keep_first)
+
+    def reassemble(df):
+        df = df.sort_values(["doc_id", "chunk_idx"])
+        g = (df.groupby("doc_id", sort=False)
+             .agg(dedup_text=("chunk", " ".join), n_kept=("chunk", "size")))
+        g = g.reset_index()
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+            "dedup_text": pa.array(g["dedup_text"].tolist(), pa.string()),
+            "n_kept": pa.array(g["n_kept"].to_numpy(), pa.int64())})
+
+    return grouped(kept, "doc_id", reassemble)
+
+
+def dup_span_intervals_docs(sf_dir: str, L: int = 50) -> "ray.data.Dataset":
+    """Duplicate-span detection — the exact-substring training-data
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499): mark every character
+    position covered by a length-``L`` gram that also occurs in
+    ANOTHER document, and merge the marked positions into maximal
+    removal intervals.  Output: (doc_id, start_pos, end_pos) per
+    merged interval, 0-based inclusive — the cut list a span-removal
+    pass would apply.
+
+    Scale shape: gram explode (zero-copy numpy sliding window over the
+    batch's concatenated bytes; ASCII corpus assumption as documented
+    for top_trigrams) → ONE gram-keyed bucketed shuffle computes
+    cross-doc distinct counts (the gram STRING is the in-bucket group
+    key — exact equality; at 10^12 scale swap the carried string for a
+    128-bit fingerprint) → ONE doc-keyed bucketed shuffle merges
+    intervals (vectorized gaps-and-islands).  No driver state, no
+    broadcast.  Ref analogue: G3/G4 pairwise content diff, here
+    inverted into a corpus-wide positional index."""
+    import numpy as np
+
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        out_g: list[str] = []
+        out_d: list[np.ndarray] = []
+        out_p: list[np.ndarray] = []
+        for did, v in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            v = v or ""
+            n = len(v) - L + 1
+            if n <= 0:
+                continue
+            out_g.extend(v[i:i + L] for i in range(n))
+            out_d.append(np.full(n, did, np.int64))
+            out_p.append(np.arange(n, dtype=np.int64))
+        if not out_g:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        return pa.table({"gram": pa.array(out_g, pa.string()),
+                         "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                         "pos": pa.array(np.concatenate(out_p), pa.int64())})
+
+    grams = docs.map_batches(explode, batch_format="pyarrow")
+
+    def cross_doc_marks(df):
+        nd = df.groupby("gram", sort=False)["doc_id"].transform("nunique")
+        out = df[nd >= 2]
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+            "pos": pa.array(out["pos"].to_numpy(), pa.int64())})
+
+    marks = grouped(grams, "gram", cross_doc_marks)
+
+    def merge_intervals(df):
+        df = df.sort_values(["doc_id", "pos"])
+        d = df["doc_id"].to_numpy()
+        p = df["pos"].to_numpy()
+        # island break: new doc, or gap > L (coverage [pos, pos+L-1]
+        # unions are contiguous iff next_pos <= prev_pos + L)
+        brk = np.ones(len(d), bool)
+        if len(d) > 1:
+            brk[1:] = (d[1:] != d[:-1]) | (p[1:] > p[:-1] + L)
+        gid = np.cumsum(brk) - 1
+        n = gid[-1] + 1 if len(gid) else 0
+        # positions are sorted within each island, so first/last suffice
+        first = np.flatnonzero(brk)
+        last = np.append(first[1:] - 1, len(p) - 1) if n else first
+        starts = p[first] if n else np.zeros(0, np.int64)
+        ends = p[last] if n else np.zeros(0, np.int64)
+        docs_out = d[first] if n else np.zeros(0, np.int64)
+        return pa.table({
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "start_pos": pa.array(starts, pa.int64()),
+            "end_pos": pa.array(ends + L - 1, pa.int64())})
+
+    return grouped(marks, "doc_id", merge_intervals)
+
+
 def distinctive_terms_docs(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     """Per-document DISTINCTIVE terms — the integer-exact core of
     tf-idf term weighting: each doc's top-``k`` tokens ranked by term

@@ -901,3 +901,64 @@ def test_distinctive_terms_bruteforce_parity():
     got = {(r["doc_id"], r["token"], r["rank"])
            for r in docs_mod.distinctive_terms_docs(d).take_all()}
     assert got == want and len(got) > 0
+
+
+def test_chunk_dedup_bruteforce_parity():
+    import pyarrow.parquet as pq
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+    d = "/root/testdata/sf0.001"
+    rows = pq.read_table(f"{d}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    rows.sort(key=lambda r: r["doc_id"])
+    seen: set[str] = set()
+    want: dict[int, tuple[str, int]] = {}
+    for r in rows:
+        toks = (r["text"] or "").split(" ")
+        kept = []
+        for i in range(0, (len(toks) + 9) // 10):
+            ck = " ".join(toks[i * 10:(i + 1) * 10])
+            if ck not in seen:
+                seen.add(ck)
+                kept.append(ck)
+        if kept:
+            want[r["doc_id"]] = (" ".join(kept), len(kept))
+    got = {r["doc_id"]: (r["dedup_text"], r["n_kept"])
+           for r in docs_mod.chunk_dedup_docs(d).take_all()}
+    assert got == want
+    # the corpus actually exercises dedup: some doc lost a chunk
+    assert any(n < (len((r["text"] or "").split(" ")) + 9) // 10
+               for r in rows for (_, n) in [got.get(r["doc_id"], ("", 0))]
+               if r["doc_id"] in got)
+
+
+def test_dup_span_intervals_bruteforce_parity():
+    import collections
+
+    import pyarrow.parquet as pq
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+    d = "/root/testdata/sf0.001"
+    L = 50
+    rows = pq.read_table(f"{d}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    owners: dict[str, set[int]] = collections.defaultdict(set)
+    for r in rows:
+        v = r["text"] or ""
+        for i in range(len(v) - L + 1):
+            owners[v[i:i + L]].add(r["doc_id"])
+    want = set()
+    for r in rows:
+        v = r["text"] or ""
+        marked = [i for i in range(len(v) - L + 1)
+                  if len(owners[v[i:i + L]]) >= 2]
+        if not marked:
+            continue
+        start = prev = marked[0]
+        for p in marked[1:]:
+            if p > prev + L:
+                want.add((r["doc_id"], start, prev + L - 1))
+                start = p
+            prev = p
+        want.add((r["doc_id"], start, prev + L - 1))
+    got = {(r["doc_id"], r["start_pos"], r["end_pos"])
+           for r in docs_mod.dup_span_intervals_docs(d).take_all()}
+    assert got == want and len(got) > 0
