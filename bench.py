@@ -44,7 +44,8 @@ BENCH_QUERIES = [
     "event_transitions", "day_retention_matrix",
     "scrub_docs", "token_repetition_docs", "curate_docs",
     "vocab_coverage_docs",
-    "clips_audio_stats", "images_dhash_neardup", "videos_frame_neardup",
+    "clips_audio_stats", "clips_landmark_pairs",
+    "images_dhash_neardup", "videos_frame_neardup",
     # round-3 continuation additions
     "levenshtein_neardup_pairs", "levenshtein_clusters",
     "bag_dedup_docs", "heavy_tokens",

@@ -153,3 +153,15 @@ def clips_loudness(sf_dir: str) -> "ray.data.Dataset":
         concurrency=(max(1, hi // 2), max(1, hi - 1)), num_cpus=1)
     return out.select_columns(["clip_id", "audio_ok", "rms_mdb",
                                "peak_mdb", "gain_mdb", "limited"])
+
+
+def clips_landmark_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """Constellation-matched audio pairs (rows-only query): Shazam-style
+    spectral-peak landmark hashes -> offset-consistent pair scoring
+    (stages/landmarks.py).  Finds same-recording pairs across lossy
+    re-encodes AND clips embedded inside longer ones (the substring
+    duplicates), the two cases whole-clip signatures can't align.
+    Output: (a_clip, b_clip, n_aligned) sorted for stable hashing."""
+    from mail_deduplicate_ray.stages.landmarks import landmark_pairs
+
+    return landmark_pairs(read_clips(sf_dir)).sort(["a_clip", "b_clip"])

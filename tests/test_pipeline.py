@@ -962,3 +962,45 @@ def test_dup_span_intervals_bruteforce_parity():
     got = {(r["doc_id"], r["start_pos"], r["end_pos"])
            for r in docs_mod.dup_span_intervals_docs(d).take_all()}
     assert got == want and len(got) > 0
+
+
+def test_landmark_pairs_recall_on_planted_truth(small_corpus):
+    import ray.data
+
+    from mail_deduplicate_ray.stages.landmarks import landmark_pairs
+    tbl, truth = small_corpus
+    got = {(r["a_clip"], r["b_clip"])
+           for r in landmark_pairs(
+               ray.data.from_arrow(tbl)).take_all()}
+    sym = got | {(b, a) for a, b in got}
+    # same-waveform pairs (exact copies + lossy re-encodes) MUST match;
+    # "contained" = the slice-inside-longer-clip case the offset
+    # histogram exists for
+    same_wave = [(a, c) for a, c, k in truth["pairs"]
+                 if k in ("exact", "reencode")]
+    contained = [(a, c) for a, c, k in truth["pairs"] if k == "contained"]
+    assert same_wave and contained
+    r_same = sum((p in sym) for p in same_wave) / len(same_wave)
+    r_cont = sum((p in sym) for p in contained) / len(contained)
+    assert r_same >= 0.95, (r_same, len(same_wave))
+    assert r_cont >= 0.95, (r_cont, len(contained))
+    # output orientation + determinism of the score column
+    assert all(a < b for a, b in got)
+
+
+def test_landmark_pairs_recall_holds_at_500_bases():
+    # pins the band_hz=15.625 default's scale behavior (62.5 Hz bands
+    # saturate the hash vocabulary here and recall collapses to ~0.55)
+    import ray.data
+
+    from mail_deduplicate_ray import synth
+    from mail_deduplicate_ray.stages.landmarks import landmark_pairs
+    tbl, truth = synth.generate_clips(500, seed=42)
+    got = {(r["a_clip"], r["b_clip"])
+           for r in landmark_pairs(ray.data.from_arrow(tbl)).take_all()}
+    sym = got | {(b, a) for a, b in got}
+    for kind in ("exact", "reencode", "contained"):
+        ps = [(a, c) for a, c, k in truth["pairs"] if k == kind]
+        assert ps
+        r = sum(p in sym for p in ps) / len(ps)
+        assert r >= 0.98, (kind, r, len(ps))
