@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "levenshtein_neardup_pairs": docs.levenshtein_neardup_pairs,
         "levenshtein_clusters": docs.levenshtein_clusters,
         "incremental_neardup_docs": docs.incremental_neardup_docs,
+        "bloom_incremental_dedup_docs": docs.bloom_incremental_dedup_docs,  # rows-only (soundness+FP parity test)
         "cluster_best_docs": docs.cluster_best_docs,
         "chunk_dedup_docs": docs.chunk_dedup_docs,
         "dup_span_intervals_docs": docs.dup_span_intervals_docs,

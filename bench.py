@@ -52,7 +52,8 @@ BENCH_QUERIES = [
     "clips_silence_segments", "clips_loudness",
     "pack_sequences_docs", "rare_bigram_docs", "temperature_sample_docs",
     "semdedup_embeddings", "dup_ngram_fraction_docs",
-    "incremental_neardup_docs", "distinctive_terms_docs",
+    "incremental_neardup_docs", "bloom_incremental_dedup_docs",
+    "distinctive_terms_docs",
     "knn_graph_embeddings", "cluster_best_docs",
     "chunk_dedup_docs", "dup_span_intervals_docs",
 ]

@@ -123,3 +123,62 @@ def cm_query(cm: np.ndarray, hashes: np.ndarray) -> np.ndarray:
         idx = (splitmix64(h + _U(r)) % _U(width)).astype(np.int64)
         np.minimum(est, cm[r][idx], out=est)
     return est
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the BFF-style (Dolma "bloom filter file") membership sketch
+# for incremental exact dedup: mergeable by OR, NO false negatives (a seen
+# key always tests positive, so no duplicate ever slips past the screen),
+# false positives bounded by (set bits / m)^k and spent on wrongly-dropping
+# a unique row — the standard constant-memory dedup trade-off.  At corpus
+# scale the filter shards by key hash range (one bloom per range, each
+# built from and probed by that range's rows) — the partials here are the
+# per-shard unit.
+
+BLOOM_BITS = 1 << 20   # 128 KiB packed; ~10 bits/key at 100k keys -> ~0.8% FP
+BLOOM_K = 4
+
+
+def _bloom_positions(hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(k, n) probe positions via k independent SplitMix64 streams."""
+    h = hashes.astype(np.uint64)
+    pos = np.empty((k, len(h)), np.uint64)
+    for i in range(k):
+        h = splitmix64(h + _U(i))
+        pos[i] = h % _U(m_bits)
+    return pos
+
+
+def bloom_partial(hashes: np.ndarray, m_bits: int = BLOOM_BITS,
+                  k: int = BLOOM_K) -> np.ndarray:
+    """Packed uint64 bit array (length m_bits/64) with ``k`` bits set per
+    key — merge partials with ``|``."""
+    bits = np.zeros(m_bits >> 6, np.uint64)
+    if len(hashes):
+        for pos in _bloom_positions(hashes, m_bits, k):
+            np.bitwise_or.at(bits, (pos >> _U(6)).astype(np.int64),
+                             _U(1) << (pos & _U(63)))
+    return bits
+
+
+def bloom_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a | b
+
+
+def bloom_contains(bits: np.ndarray, hashes: np.ndarray,
+                   k: int = BLOOM_K) -> np.ndarray:
+    """Vectorized membership test -> bool mask (True = maybe-seen; False
+    is definite)."""
+    m_bits = len(bits) << 6
+    out = np.ones(len(hashes), bool)
+    if len(hashes):
+        for pos in _bloom_positions(hashes, m_bits, k):
+            word = bits[(pos >> _U(6)).astype(np.int64)]
+            out &= (word >> (pos & _U(63))) & _U(1) != 0
+    return out
+
+
+def bloom_fp_rate(bits: np.ndarray) -> float:
+    """Current false-positive probability estimate: (fill ratio)^k."""
+    ones = int(np.unpackbits(bits.view(np.uint8)).sum())
+    return (ones / (len(bits) << 6)) ** BLOOM_K

@@ -1480,6 +1480,68 @@ def dup_span_intervals_docs(sf_dir: str, L: int = 50) -> "ray.data.Dataset":
     return grouped(marks, "doc_id", merge_intervals)
 
 
+def bloom_incremental_dedup_docs(sf_dir: str,
+                                 mod: int = 7) -> "ray.data.Dataset":
+    """BFF-style incremental exact dedup (the Dolma "bloom filter file"
+    screen): the BASE corpus (``doc_id % mod != 0``) folds into a
+    mergeable Bloom sketch; the NEW ingest batch (``doc_id % mod == 0``)
+    keeps only docs whose text hash tests NEGATIVE.  The bloom has no
+    false negatives, so no duplicate of a base text ever survives; its
+    false positives wrongly drop a bounded fraction of unique new docs —
+    the constant-memory trade-off this operator exists for (the
+    checkpoint anti-join in state/checkpoint.py is the exact-key
+    alternative; this one costs 128 KiB per 100k keys, period).
+    Output: (doc_id, n_chars) of kept new docs.
+
+    Scale shape: per-batch bloom partials (one 128 KiB row each) reduce
+    on the driver by OR — a tiny fixed-size reduce, never a shuffle of
+    the keys — then ONE ``ray.put`` broadcast feeds a zero-shuffle
+    streaming filter of the new split.  At 10^12 rows the filter shards
+    by key hash range (one partial per range, probed by that range's
+    rows); the partial/merge API in functions/sketch.py is the unit.
+
+    Rows-only query (SplitMix64 probes aren't SQL-replayable); the
+    parity test asserts soundness (kept ∩ base-texts = ∅) and the FP
+    bound."""
+    import numpy as np
+    import pandas as pd
+
+    import ray as _ray
+
+    from mail_deduplicate_ray.functions import sketch
+
+    docs = _docs(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def base_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = np.asarray(t["text"].to_pylist(), dtype=object)
+        h = pd.util.hash_array(texts[ids % mod != 0])
+        bits = sketch.bloom_partial(h)
+        return pa.table({"bits": pa.array([bits], pa.list_(pa.uint64()))})
+
+    merged = np.zeros(sketch.BLOOM_BITS >> 6, np.uint64)
+    for b in docs.map_batches(base_partial, batch_format="pyarrow") \
+                 .iter_batches(batch_format="pyarrow"):
+        for row in b["bits"].to_pylist():
+            merged |= np.asarray(row, np.uint64)
+    ref = _ray.put(merged)
+
+    def screen(t: pa.Table) -> pa.Table:
+        bits = _ray.get(ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        new = t.filter(pa.array(ids % mod == 0))
+        texts = np.asarray(new["text"].to_pylist(), dtype=object)
+        if not len(texts):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_chars": pa.array([], pa.int64())})
+        keep = ~sketch.bloom_contains(bits, pd.util.hash_array(texts))
+        kept = new.filter(pa.array(keep))
+        return pa.table({"doc_id": pc.cast(kept["doc_id"], pa.int64()),
+                         "n_chars": pc.cast(kept["n_chars"], pa.int64())})
+
+    return docs.map_batches(screen, batch_format="pyarrow").sort("doc_id")
+
+
 def distinctive_terms_docs(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     """Per-document DISTINCTIVE terms — the integer-exact core of
     tf-idf term weighting: each doc's top-``k`` tokens ranked by term

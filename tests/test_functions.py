@@ -354,3 +354,28 @@ class TestAdpcm:
         y, sr = codecs.decode(codecs.encode(
             np.empty(0, np.float32), 8000, "adpcm_ima"))
         assert sr == 8000 and len(y) == 0
+
+
+def test_bloom_sketch_properties():
+    import numpy as np
+    import pandas as pd
+
+    from mail_deduplicate_ray.functions import sketch
+    rng = np.random.default_rng(3)
+    keys = pd.util.hash_array(
+        np.asarray([f"key-{i}" for i in range(50_000)], dtype=object))
+    other = pd.util.hash_array(
+        np.asarray([f"other-{i}" for i in range(50_000)], dtype=object))
+    # merge of two halves == partial of the union
+    half = sketch.bloom_partial(keys[:25_000])
+    full = sketch.bloom_merge(half, sketch.bloom_partial(keys[25_000:]))
+    assert np.array_equal(full, sketch.bloom_partial(keys))
+    # no false negatives
+    assert sketch.bloom_contains(full, keys).all()
+    # FP rate on disjoint keys near the analytic estimate
+    fp = sketch.bloom_contains(full, other).mean()
+    est = sketch.bloom_fp_rate(full)
+    assert fp <= 2 * est + 1e-4 and fp < 0.02, (fp, est)
+    # empty filter rejects everything
+    empty = sketch.bloom_partial(np.empty(0, np.uint64))
+    assert not sketch.bloom_contains(empty, keys).any()

@@ -1004,3 +1004,24 @@ def test_landmark_pairs_recall_holds_at_500_bases():
         assert ps
         r = sum(p in sym for p in ps) / len(ps)
         assert r >= 0.98, (kind, r, len(ps))
+
+
+def test_bloom_incremental_dedup_sound_and_bounded():
+    import pyarrow.parquet as pq
+
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+    d = "/root/testdata/sf0.001"
+    rows = pq.read_table(f"{d}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    base_texts = {r["text"] for r in rows if r["doc_id"] % 7 != 0}
+    new = [r for r in rows if r["doc_id"] % 7 == 0]
+    exact_new = {r["doc_id"] for r in new if r["text"] not in base_texts}
+    kept = {r["doc_id"]
+            for r in docs_mod.bloom_incremental_dedup_docs(d).take_all()}
+    # soundness: the bloom has no false negatives, so every kept doc is
+    # genuinely absent from the base corpus
+    assert kept <= exact_new
+    # FP bound: wrongly-dropped unique docs are a small fraction
+    assert len(exact_new - kept) <= max(2, len(exact_new) // 50), \
+        (len(exact_new), len(kept))
+    assert len(kept) > 0
