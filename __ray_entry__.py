@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "levenshtein_clusters": docs.levenshtein_clusters,
         "incremental_neardup_docs": docs.incremental_neardup_docs,
         "bloom_incremental_dedup_docs": docs.bloom_incremental_dedup_docs,  # rows-only (soundness+FP parity test)
+        "leakage_free_splits_docs": docs.leakage_free_splits_docs,
+        "lang_adaptive_length_filter_docs": docs.lang_adaptive_length_filter_docs,
         "cluster_best_docs": docs.cluster_best_docs,
         "chunk_dedup_docs": docs.chunk_dedup_docs,
         "dup_span_intervals_docs": docs.dup_span_intervals_docs,
@@ -363,6 +365,56 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY d.n_chars DESC, lab.doc_id ASC) AS rn
                 FROM lab JOIN documents d USING (doc_id))
             WHERE rn = 1 ORDER BY cluster_id
+        """,
+        # leakage-free split: the levenshtein closure + Knuth-hash split
+        # of the CLUSTER id (all near-dup members share a split)
+        "leakage_free_splits_docs": """
+            WITH RECURSIVE
+             c AS MATERIALIZED (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       a.text AS ta, b.text AS tb
+                FROM documents a JOIN documents b
+                  ON a.doc_id < b.doc_id
+                 AND abs(length(a.text) - length(b.text)) <= 4
+                 AND (position(substr(b.text, 1 + 0 * ((length(b.text) + 4) // 5),
+                               ((length(b.text) + 4) // 5)) IN a.text) > 0
+                   OR position(substr(b.text, 1 + 1 * ((length(b.text) + 4) // 5),
+                               ((length(b.text) + 4) // 5)) IN a.text) > 0
+                   OR position(substr(b.text, 1 + 2 * ((length(b.text) + 4) // 5),
+                               ((length(b.text) + 4) // 5)) IN a.text) > 0
+                   OR position(substr(b.text, 1 + 3 * ((length(b.text) + 4) // 5),
+                               ((length(b.text) + 4) // 5)) IN a.text) > 0
+                   OR position(substr(b.text, 1 + 4 * ((length(b.text) + 4) // 5),
+                               ((length(b.text) + 4) // 5)) IN a.text) > 0)),
+             p AS MATERIALIZED (SELECT a_id, b_id FROM c
+                                WHERE levenshtein(ta, tb) <= 4),
+             e AS (SELECT a_id AS u, b_id AS v FROM p
+                   UNION ALL SELECT b_id, a_id FROM p),
+             walk(node, label) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.u, walk.label FROM walk JOIN e ON e.v = walk.node),
+             lab AS (SELECT node AS doc_id, min(label) AS cluster_id
+                     FROM walk GROUP BY node)
+            SELECT doc_id, cluster_id,
+                   CASE WHEN (CAST(cluster_id AS HUGEINT) * 2654435761)
+                             % 4294967296 % 100 < 10 THEN 'test'
+                        WHEN (CAST(cluster_id AS HUGEINT) * 2654435761)
+                             % 4294967296 % 100 < 20 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM lab ORDER BY doc_id
+        """,
+        # per-language adaptive length gate: keep docs inside their own
+        # language's [p5, p95] discrete quantiles
+        "lang_adaptive_length_filter_docs": """
+            WITH b AS (
+                SELECT lang, quantile_disc(n_chars, 0.05) AS lo,
+                       quantile_disc(n_chars, 0.95) AS hi
+                FROM documents GROUP BY lang)
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN b USING (lang)
+            WHERE d.n_chars BETWEEN b.lo AND b.hi
+            ORDER BY d.doc_id
         """,
         # paragraph(=10-token-chunk)-granularity dedup with document
         # reconstruction: every chunk keeps its globally-first

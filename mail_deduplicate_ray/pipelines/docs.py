@@ -1480,6 +1480,104 @@ def dup_span_intervals_docs(sf_dir: str, L: int = 50) -> "ray.data.Dataset":
     return grouped(marks, "doc_id", merge_intervals)
 
 
+def leakage_free_splits_docs(sf_dir: str, test_pct: int = 10,
+                             val_pct: int = 10) -> "ray.data.Dataset":
+    """Cluster-aware train/val/test assignment — the LEAKAGE-FREE split
+    a training pipeline needs: every member of a near-dup cluster lands
+    in the SAME split (splitting by raw doc hash would put a document
+    in train and its near-duplicate in test, silently inflating eval).
+    Split = Knuth multiplicative hash of the CLUSTER id, so assignment
+    is deterministic at any parallelism and replayed exactly by the SQL
+    oracle.  Output: (doc_id, cluster_id, split).
+
+    Scale shape: the CC labels are scalar rows; the split is a pure
+    vectorized map over them — no shuffle beyond what the clustering
+    already did."""
+    import numpy as np
+
+    labels = levenshtein_clusters(sf_dir)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cid = t["cluster_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = (cid * np.uint64(2654435761)) % np.uint64(1 << 32) \
+            % np.uint64(100)
+        split = np.where(h < test_pct, "test",
+                         np.where(h < test_pct + val_pct, "val", "train"))
+        return t.append_column("split", pa.array(split.tolist(),
+                                                 pa.string()))
+
+    return labels.map_batches(assign, batch_format="pyarrow")
+
+
+def lang_adaptive_length_filter_docs(sf_dir: str, lo_q: float = 0.05,
+                                     hi_q: float = 0.95
+                                     ) -> "ray.data.Dataset":
+    """Per-language ADAPTIVE length gate (the Gopher-rules shape, made
+    distribution-aware): keep docs whose n_chars lies within their OWN
+    language's [p5, p95] discrete quantiles — a fixed global threshold
+    over- or under-prunes languages with different length profiles.
+    Output: (doc_id, lang, n_chars) kept rows.
+
+    Scale shape: value-count compression (one (lang, n_chars, n) row
+    per distinct pair per batch) -> one tiny lang-bucketed shuffle for
+    thresholds (distinct lengths are bounded, rows are not) -> the
+    thresholds table is languages-sized, so it broadcasts into a
+    zero-shuffle filter scan.  quantile_disc convention: 0-based index
+    ceil(q*n)-1, clamped at 0 (matches DuckDB, like
+    order_price_quantiles)."""
+    import math
+
+    import numpy as np
+    import ray as _ray
+
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "n_chars"]).aggregate([("n_chars", "count")])
+        return pa.table({"lang": g["lang"], "n_chars": g["n_chars"],
+                         "n": pc.cast(g["n_chars_count"], pa.int64())})
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+
+    def thresholds(df):
+        rows = []
+        for lang, g in df.groupby("lang", sort=True, dropna=False):
+            vc = g.groupby("n_chars")["n"].sum().sort_index()
+            vals = vc.index.to_numpy()
+            cum = vc.to_numpy().cumsum()
+            total = int(cum[-1])
+            out = []
+            for q in (lo_q, hi_q):
+                r = max(math.ceil(q * total), 1) - 1
+                out.append(int(vals[int(np.searchsorted(cum, r + 1))]))
+            rows.append((lang, out[0], out[1]))
+        import pandas as pd
+        return pd.DataFrame(rows, columns=["lang", "lo", "hi"])
+
+    th = pa.concat_tables(
+        grouped(partials, "lang", thresholds, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow"))
+    bounds = {lang: (lo, hi)
+              for lang, lo, hi in zip(th["lang"].to_pylist(),
+                                      th["lo"].to_pylist(),
+                                      th["hi"].to_pylist())}
+    ref = _ray.put(bounds)
+
+    def gate(t: pa.Table) -> pa.Table:
+        b = _ray.get(ref)
+        langs = t["lang"].to_pylist()
+        nc = t["n_chars"].to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (lang in b and b[lang][0] <= c <= b[lang][1]
+             for lang, c in zip(langs, nc)), bool, len(langs))
+        return t.filter(pa.array(keep))
+
+    return docs.map_batches(gate, batch_format="pyarrow").sort("doc_id")
+
+
 def bloom_incremental_dedup_docs(sf_dir: str,
                                  mod: int = 7) -> "ray.data.Dataset":
     """BFF-style incremental exact dedup (the Dolma "bloom filter file"

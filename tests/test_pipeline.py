@@ -1025,3 +1025,40 @@ def test_bloom_incremental_dedup_sound_and_bounded():
     assert len(exact_new - kept) <= max(2, len(exact_new) // 50), \
         (len(exact_new), len(kept))
     assert len(kept) > 0
+
+
+def test_leakage_free_splits_cluster_invariant():
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+    d = "/root/testdata/sf0.001"
+    rows = docs_mod.leakage_free_splits_docs(d).take_all()
+    by_cluster: dict[int, set[str]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    # the defining invariant: one split per cluster, no leakage
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    # a real multi-doc cluster exists (the invariant is exercised)
+    assert any(len([r for r in rows if r["cluster_id"] == c]) > 1
+               for c in by_cluster)
+
+
+def test_lang_adaptive_length_filter_bruteforce_parity():
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+    d = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{d}/documents.parquet",
+                      columns=["doc_id", "lang", "n_chars"]).to_pylist()
+    want = set()
+    langs = {r["lang"] for r in t}
+    for lang in langs:
+        vals = np.sort([r["n_chars"] for r in t if r["lang"] == lang])
+        lo = vals[max(math.ceil(0.05 * len(vals)), 1) - 1]
+        hi = vals[max(math.ceil(0.95 * len(vals)), 1) - 1]
+        want |= {r["doc_id"] for r in t
+                 if r["lang"] == lang and lo <= r["n_chars"] <= hi}
+    got = {r["doc_id"]
+           for r in docs_mod.lang_adaptive_length_filter_docs(d).take_all()}
+    assert got == want and 0 < len(got) < len(t)
