@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_incremental_dedup_docs": docs.bloom_incremental_dedup_docs,  # rows-only (soundness+FP parity test)
         "leakage_free_splits_docs": docs.leakage_free_splits_docs,
         "lang_adaptive_length_filter_docs": docs.lang_adaptive_length_filter_docs,
+        "mixture_rebalance_docs": docs.mixture_rebalance_docs,
+        "global_shuffle_order_docs": docs.global_shuffle_order_docs,
         "cluster_best_docs": docs.cluster_best_docs,
         "chunk_dedup_docs": docs.chunk_dedup_docs,
         "dup_span_intervals_docs": docs.dup_span_intervals_docs,
@@ -403,6 +405,28 @@ def oracle_sql() -> dict[str, str]:
                              % 4294967296 % 100 < 20 THEN 'val'
                         ELSE 'train' END AS split
             FROM lab ORDER BY doc_id
+        """,
+        # mixture rebalancing: downsample every language to the minority
+        # language's mass via integer per-mille acceptance rates
+        "mixture_rebalance_docs": """
+            WITH c AS (SELECT lang, count(*) AS n FROM documents
+                       GROUP BY lang),
+            m AS (SELECT min(n) AS mn FROM c),
+            r AS (SELECT lang, (1000 * mn) // n AS permille FROM c, m)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN r USING (lang)
+            WHERE (CAST(d.doc_id AS HUGEINT) * 2654435761)
+                  % 4294967296 % 1000 < r.permille
+            ORDER BY d.doc_id
+        """,
+        # deterministic global shuffle order: rank under the Knuth-hash
+        # permutation (hash ties broken by doc_id)
+        "global_shuffle_order_docs": """
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761)
+                                % 4294967296, doc_id) - 1 AS position
+            FROM documents ORDER BY doc_id
         """,
         # per-language adaptive length gate: keep docs inside their own
         # language's [p5, p95] discrete quantiles

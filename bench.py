@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "knn_graph_embeddings", "cluster_best_docs",
     "chunk_dedup_docs", "dup_span_intervals_docs",
     "leakage_free_splits_docs", "lang_adaptive_length_filter_docs",
+    "mixture_rebalance_docs", "global_shuffle_order_docs",
 ]
 
 

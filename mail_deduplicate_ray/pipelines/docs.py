@@ -1578,6 +1578,97 @@ def lang_adaptive_length_filter_docs(sf_dir: str, lo_q: float = 0.05,
     return docs.map_batches(gate, batch_format="pyarrow").sort("doc_id")
 
 
+def mixture_rebalance_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Mixture REBALANCING — downsample every language to the minority
+    language's mass so the corpus mixture is uniform (the
+    sampling-weights step of training-data assembly, integer-exact):
+    keep a doc iff its Knuth hash lands under its language's per-mille
+    acceptance rate ``floor(1000 * min_count / count_lang)``.
+    Output: (doc_id, lang) kept rows.
+
+    Scale shape: one languages-sized count aggregate (collected — it is
+    #languages rows regardless of corpus size), rates broadcast in the
+    task closure, then a pure vectorized zero-shuffle filter.  The
+    hash arithmetic replays exactly in SQL (HUGEINT), like
+    stratified_sample_docs."""
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+    counts = {r["lang"]: r["count()"] for r in
+              docs.groupby("lang").aggregate(Count()).take_all()}
+    mn = min(counts.values())
+    permille = {lang: 1000 * mn // n for lang, n in counts.items()}
+
+    def gate(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32) \
+            % np.uint64(1000)
+        rate = np.fromiter((permille[v] for v in t["lang"].to_pylist()),
+                           np.uint64, t.num_rows)
+        return t.filter(pa.array(h < rate))
+
+    return docs.map_batches(gate, batch_format="pyarrow").sort("doc_id")
+
+
+def global_shuffle_order_docs(sf_dir: str,
+                              nbuckets: int = 256) -> "ray.data.Dataset":
+    """Deterministic GLOBAL SHUFFLE ORDER — every doc's position in the
+    hash-permuted corpus (the reproducible training-order operator: the
+    same permutation at any parallelism, any cluster size, any re-run).
+    Output: (doc_id, position) with position = rank under
+    ``ORDER BY knuth_hash(doc_id), doc_id``.
+
+    Scale shape (the pack_sequences prefix-sum idiom on the HASH axis):
+    hash-RANGE buckets are contiguous in the permuted order, so
+    per-bucket counts (one tiny aggregate) scan into exclusive base
+    offsets on the driver, broadcast, and each bucket ranks locally —
+    a global total order with NO global sort."""
+    import numpy as np
+
+    import ray as _ray
+
+    from ray.data.aggregate import Count
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    docs = _docs(sf_dir, ["doc_id"])
+    shift = np.uint64(32 - int(np.log2(nbuckets)))
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "h": pa.array(h.astype(np.int64), pa.int64()),
+            "__hb": pa.array((h >> shift).astype(np.int64), pa.int64())})
+
+    rows = docs.map_batches(keyed, batch_format="pyarrow")
+
+    totals = rows.groupby("__hb").aggregate(Count()).take_all()
+    totals.sort(key=lambda r: r["__hb"])
+    base, acc = {}, 0
+    for r in totals:
+        base[r["__hb"]] = acc
+        acc += r["count()"]
+    base_ref = _ray.put(base)
+
+    def part(df, base_ref=base_ref):
+        bases = _ray.get(base_ref)
+        out = []
+        for hb, g in df.groupby("__hb", sort=False):
+            g = g.sort_values(["h", "doc_id"])
+            pos = bases[hb] + np.arange(len(g), dtype=np.int64)
+            out.append(pa.table({
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "position": pa.array(pos, pa.int64())}))
+        return pa.concat_tables(out) if out else pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "position": pa.array([], pa.int64())})
+
+    return grouped(rows, "__hb", part)
+
+
 def bloom_incremental_dedup_docs(sf_dir: str,
                                  mod: int = 7) -> "ray.data.Dataset":
     """BFF-style incremental exact dedup (the Dolma "bloom filter file"

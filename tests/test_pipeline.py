@@ -1062,3 +1062,46 @@ def test_lang_adaptive_length_filter_bruteforce_parity():
     got = {r["doc_id"]
            for r in docs_mod.lang_adaptive_length_filter_docs(d).take_all()}
     assert got == want and 0 < len(got) < len(t)
+
+
+def test_global_shuffle_order_is_permutation_and_parallelism_free():
+    import numpy as np
+
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+    d = "/root/testdata/sf0.001"
+    rows = docs_mod.global_shuffle_order_docs(d).take_all()
+    pos = sorted(r["position"] for r in rows)
+    assert pos == list(range(len(rows)))          # exact permutation
+    # independent of bucket count (the parallelism knob)
+    rows2 = docs_mod.global_shuffle_order_docs(d, nbuckets=16).take_all()
+    assert {(r["doc_id"], r["position"]) for r in rows} \
+        == {(r["doc_id"], r["position"]) for r in rows2}
+    # genuinely shuffled: not the identity order
+    by_doc = {r["doc_id"]: r["position"] for r in rows}
+    ids = sorted(by_doc)
+    assert any(by_doc[a] > by_doc[b]
+               for a, b in zip(ids, ids[1:]))
+
+
+def test_mixture_rebalance_masses_near_uniform():
+    import collections
+
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+    d = "/root/testdata/sf0.001"
+    kept = collections.Counter(
+        r["lang"] for r in docs_mod.mixture_rebalance_docs(d).take_all())
+    import pyarrow.parquet as pq
+    src = collections.Counter(
+        pq.read_table(f"{d}/documents.parquet",
+                      columns=["lang"])["lang"].to_pylist())
+    mn = min(src.values())
+    # every language downsampled toward the minority mass: the expected
+    # kept count is permille/1000 * n; hash noise is binomial
+    for lang, n in src.items():
+        pm = 1000 * mn // n
+        exp = pm * n / 1000
+        assert abs(kept[lang] - exp) <= max(8, 3 * (exp ** 0.5)), \
+            (lang, kept[lang], exp)
+    # the minority language keeps (nearly) everything
+    lang_min = min(src, key=lambda k: src[k])
+    assert kept[lang_min] == src[lang_min]
