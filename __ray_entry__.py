@@ -14,8 +14,7 @@ from collections.abc import Callable
 from typing import Any
 
 from mail_deduplicate_ray.functions.textstats import STOPWORDS
-from mail_deduplicate_ray.pipelines import (ann, clips, docs, images,
-                                             relational, videos)
+from mail_deduplicate_ray.pipelines import clips
 from mail_deduplicate_ray.pipelines.docs import REGEXP_PATTERN
 
 
@@ -27,124 +26,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    return {
-        # --- dedup family over documents (SQL-checkable) ---
-        "exact_dedup_docs": docs.exact_dedup_docs,
-        "normalized_dedup_docs": docs.normalized_dedup_docs,
-        "dup_group_size_histogram": docs.dup_group_size_histogram,
-        "bag_dedup_docs": docs.bag_dedup_docs,
-        "doc_hashes": docs.doc_hashes,
-        "keep_biggest_per_lang": docs.keep_biggest_per_lang,
-        "regexp_filter_docs": docs.regexp_filter_docs,
-        # --- text analysis ---
-        "token_stats_per_lang": docs.token_stats_per_lang,
-        "quality_scores": docs.quality_scores,
-        "bpe_token_counts": docs.bpe_token_counts,
-        "lang_id_docs": docs.lang_id_docs,          # rows-only
-        "doc_fingerprints": docs.doc_fingerprints,  # rows-only
-        "simhash_docs": docs.simhash_docs,          # rows-only
-        "simhash_neardup_pairs": docs.simhash_neardup_pairs,  # rows-only (exact-banding parity-tested)
-        "minhash_clusters_docs": docs.minhash_clusters_docs,  # rows-only
-        "ngram_jaccard_pairs": docs.ngram_jaccard_pairs,
-        "levenshtein_neardup_pairs": docs.levenshtein_neardup_pairs,
-        "levenshtein_clusters": docs.levenshtein_clusters,
-        "incremental_neardup_docs": docs.incremental_neardup_docs,
-        "bloom_incremental_dedup_docs": docs.bloom_incremental_dedup_docs,  # rows-only (soundness+FP parity test)
-        "leakage_free_splits_docs": docs.leakage_free_splits_docs,
-        "lang_adaptive_length_filter_docs": docs.lang_adaptive_length_filter_docs,
-        "mixture_rebalance_docs": docs.mixture_rebalance_docs,
-        "global_shuffle_order_docs": docs.global_shuffle_order_docs,
-        "cluster_best_docs": docs.cluster_best_docs,
-        "chunk_dedup_docs": docs.chunk_dedup_docs,
-        "dup_span_intervals_docs": docs.dup_span_intervals_docs,
-        "distinctive_terms_docs": docs.distinctive_terms_docs,
-        "stratified_sample_docs": docs.stratified_sample_docs,
-        "length_weighted_sample_docs": docs.length_weighted_sample_docs,
-        "sample_k_per_lang": docs.sample_k_per_lang,
-        "top_trigrams": docs.top_trigrams,
-        "heavy_tokens": docs.heavy_tokens,
-        "decontaminate_docs": docs.decontaminate_docs,
-        "substring_pairs": docs.substring_pairs,
-        "scrub_docs": docs.scrub_docs,
-        "token_repetition_docs": docs.token_repetition_docs,
-        "curate_docs": docs.curate_docs,
-        "vocab_coverage_docs": docs.vocab_coverage_docs,
-        "pack_sequences_docs": docs.pack_sequences_docs,
-        "dup_ngram_fraction_docs": docs.dup_ngram_fraction_docs,
-        "rare_bigram_docs": docs.rare_bigram_docs,
-        "temperature_sample_docs": docs.temperature_sample_docs,
-        # --- events / relational ---
-        "events_window_5m": relational.events_window_5m,
-        "events_hopping_window": relational.events_hopping_window,
-        "events_per_day": relational.events_per_day,
-        "events_day_over_day": relational.events_day_over_day,
-        "events_hour_heatmap": relational.events_hour_heatmap,
-        "daily_conversion": relational.daily_conversion,
-        "busiest_user_per_day": relational.busiest_user_per_day,
-        "events_sessions": relational.events_sessions,
-        "keep_oldest_per_user": relational.keep_oldest_per_user,
-        "lineitem_pricing_summary": relational.lineitem_pricing_summary,
-        "orders_by_status": relational.orders_by_status,
-        "top_spenders": relational.top_spenders,
-        # --- joins (stages/joins.py: broadcast / shuffle / semi / anti) ---
-        "revenue_by_nation": relational.revenue_by_nation,
-        "region_revenue": relational.region_revenue,
-        "supplier_nation_balance": relational.supplier_nation_balance,
-        "part_brand_revenue": relational.part_brand_revenue,
-        "customers_without_orders": relational.customers_without_orders,
-        "priority_orders_semi": relational.priority_orders_semi,
-        "priority_orders_semi_bloom": relational.priority_orders_semi_bloom,
-        "purchase_after_signup": relational.purchase_after_signup,
-        "error_after_purchase": relational.error_after_purchase,
-        "purchase_day_views": relational.purchase_day_views,
-        "user_day_purchase_error_full": relational.user_day_purchase_error_full,
-        "views_before_purchase_1h": relational.views_before_purchase_1h,
-        "user_event_pivot": relational.user_event_pivot,
-        "user_event_long": relational.user_event_long,
-        "cap_events_per_user_type": relational.cap_events_per_user_type,
-        "distinct_users_per_day": relational.distinct_users_per_day,
-        "cumulative_new_users": relational.cumulative_new_users,
-        "approx_distinct_users": relational.approx_distinct_users,  # rows-only (HLL sketch, error-bound-tested)
-        "purchase_and_error_users": relational.purchase_and_error_users,
-        "view_days_no_purchase": relational.view_days_no_purchase,
-        "nation_spend_rank": relational.nation_spend_rank,
-        "status_priority_rollup": relational.status_priority_rollup,
-        "status_priority_cube": relational.status_priority_cube,
-        "user_event_sequence": relational.user_event_sequence,
-        "orders_above_customer_avg": relational.orders_above_customer_avg,
-        "order_price_median": relational.order_price_median,
-        "props_k_stats": relational.props_k_stats,
-        "priority_brand_revenue": relational.priority_brand_revenue,
-        "order_price_histogram": relational.order_price_histogram,
-        "top3_orders_per_customer": relational.top3_orders_per_customer,
-        "user_cumulative_value": relational.user_cumulative_value,
-        "user_max_event_gap": relational.user_max_event_gap,
-        "event_transitions": relational.event_transitions,
-        "value_k_stats": relational.value_k_stats,
-        "day_retention_matrix": relational.day_retention_matrix,
-        "order_price_quantiles": relational.order_price_quantiles,
-        "order_quartiles_ntile": relational.order_quartiles_ntile,
-        # --- similarity search ---
-        "ann_bruteforce_top10": ann.ann_bruteforce_topk,
-        "embedding_neardup_pairs": ann.embedding_neardup_pairs,
-        "embedding_neardup_pairs_lsh": ann.embedding_neardup_pairs_lsh,
-        "ann_lsh_buckets": ann.ann_lsh_buckets,     # rows-only
-        "ann_ivf_top10": ann.ann_ivf_topk,          # rows-only (recall-gated)
-        "semdedup_embeddings": ann.semdedup_embeddings,  # rows-only (brute-force parity-tested)
-        "knn_graph_embeddings": ann.knn_graph_embeddings,
-        # --- clips flagship (non-SQL: synthesized audio corpus) ---
-        "clips_flagship": clips.flagship_clusters,          # rows-only
-        "clips_exact_dedup": clips.clips_exact_dedup,       # rows-only
-        "clips_audio_stats": clips.clips_audio_stats,       # rows-only (dBFS kernels unit-tested)
-        "clips_silence_segments": clips.clips_silence_segments,  # rows-only (segmentation kernel unit-tested)
-        "clips_loudness": clips.clips_loudness,             # rows-only (gain kernel unit-tested)
-        # --- images (real BMP decode -> dhash -> exact Hamming pairs;
-        #     non-SQL: binary pixel decode) ---
-        "images_dhash_neardup": images.images_dhash_neardup,  # rows-only (planted-truth recall test)
-        "videos_frame_neardup": videos.videos_frame_neardup,  # rows-only (planted-truth recall test)
-        "clips_signatures": clips.clips_signature_table,    # rows-only
-        "clips_landmark_pairs": clips.clips_landmark_pairs,  # rows-only (planted-truth recall test)
-    }
+    from mail_deduplicate_ray.registry import queries as _q
+    return _q()
 
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)

@@ -91,6 +91,24 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--config", default=None,
                    help="TOML config file ([dedup] table, strict keys; "
                         "CLI flags override — ref: cli.py:299-318)")
+    q = sub.add_parser(
+        "query", help="run any registered pipeline/operator by name over "
+                      "a directory of parquet tables (the full operator "
+                      "inventory: dedup, near-dup, sampling, curation, "
+                      "joins, windows, audio/image/video analysis)")
+    q.add_argument("name", nargs="?", default=None,
+                   help="operator name; omit (or pass 'list') to print "
+                        "the registry")
+    q.add_argument("--sf-dir", default=None,
+                   help="directory holding the parquet tables the "
+                        "operator reads (documents/embeddings/events/...)")
+    q.add_argument("--out", default=None,
+                   help="write the result as parquet to this dir; "
+                        "default prints the first --limit rows")
+    q.add_argument("--limit", type=int, default=20,
+                   help="rows to print when --out is not given")
+    q.add_argument("--num-cpus", type=int, default=None)
+    q.add_argument("--ray-address", default=None)
     f = sub.add_parser(
         "diff", help="verbose labeled diff of two clips' normalized "
                      "transcripts (≙ pretty_diff, ref: deduplicate.py:384-401)")
@@ -133,6 +151,43 @@ def run_diff(args) -> int:
     return 0
 
 
+def run_query(args) -> int:
+    from mail_deduplicate_ray.registry import queries
+    reg = queries()
+    if args.name in (None, "list"):
+        for name in sorted(reg):
+            print(name)
+        return 0
+    if args.name not in reg:
+        import difflib
+        near = difflib.get_close_matches(args.name, reg, n=3)
+        hint = f"; did you mean {', '.join(near)}?" if near else ""
+        raise ValueError(f"unknown query {args.name!r}{hint} "
+                         "(run `query list` for the registry)")
+    if not args.sf_dir:
+        raise ValueError("--sf-dir is required to run a query")
+    res = reg[args.name](args.sf_dir)
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    if args.out:
+        if isinstance(res, pd.DataFrame):
+            res = pa.Table.from_pandas(res, preserve_index=False)
+        if isinstance(res, pa.Table):
+            res = ray.data.from_arrow(res)
+        res.write_parquet(args.out)
+        print(f"wrote {args.name} -> {args.out}", file=sys.stderr)
+        return 0
+    if isinstance(res, ray.data.Dataset):
+        head = res.limit(args.limit).to_pandas()
+    elif isinstance(res, pa.Table):
+        head = res.slice(0, args.limit).to_pandas()
+    else:
+        head = res.head(args.limit)
+    print(head.to_string(index=False))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     import os
@@ -151,6 +206,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "diff":
         rc = run_diff(args)
+        if owns_session:
+            ray.shutdown()
+        return rc
+
+    if args.cmd == "query":
+        rc = run_query(args)
         if owns_session:
             ray.shutdown()
         return rc

@@ -298,3 +298,27 @@ def test_cli_cc_method_star(clips_file, capsys):
     with pytest.raises(SystemExit):  # argparse rejects unknown engines
         main(["dedup", "--input", clips_file, "--dry-run",
               "--cc-method", "bogus"])
+
+
+def test_cli_query_runs_registry_ops(tmp_path, capsys):
+    import pyarrow.parquet as pq
+    sf = "/root/testdata/sf0.001"
+    # list mode prints the full registry
+    assert main(["query", "list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "exact_dedup_docs" in names and len(names) >= 100
+    # print mode: head rows of any operator
+    assert main(["query", "lang_adaptive_length_filter_docs",
+                 "--sf-dir", sf, "--limit", "3"]) == 0
+    assert "doc_id" in capsys.readouterr().out
+    # parquet export mode
+    out = tmp_path / "q"
+    assert main(["query", "exact_dedup_docs", "--sf-dir", sf,
+                 "--out", str(out)]) == 0
+    t = pq.read_table(out)
+    assert t.num_rows > 0 and "keeper_id" in t.schema.names
+    # errors: unknown name suggests, missing --sf-dir explains
+    with pytest.raises(ValueError, match="unknown query"):
+        main(["query", "exact_dedup_doc", "--sf-dir", sf])
+    with pytest.raises(ValueError, match="sf-dir"):
+        main(["query", "exact_dedup_docs"])
