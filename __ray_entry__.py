@@ -311,6 +311,41 @@ def oracle_sql() -> dict[str, str]:
                                 % 4294967296, doc_id) - 1 AS position
             FROM documents ORDER BY doc_id
         """,
+        # duplicate-span REMOVAL: delete every char covered by a
+        # cross-doc 50-gram, reconcatenate the survivors (char-level
+        # replay: covered set -> anti-join -> ordered string_agg)
+        "dup_span_removal_docs": """
+            WITH grams AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                       substr(text, CAST(i+1 AS INT), 50) AS g
+                FROM documents,
+                     UNNEST(range(GREATEST(length(text) - 49, 0))) u(i)),
+            dup AS (
+                SELECT g FROM grams
+                GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+            m AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+            cov AS (
+                SELECT DISTINCT doc_id, pos + j AS c
+                FROM m, UNNEST(range(50)) u(j)),
+            chars AS (
+                SELECT d.doc_id, CAST(i AS BIGINT) AS c,
+                       substr(d.text, CAST(i+1 AS INT), 1) AS ch
+                FROM documents d, UNNEST(range(length(d.text))) u(i)),
+            kept AS (
+                SELECT ch.doc_id, ch.c, ch.ch
+                FROM chars ch LEFT JOIN cov
+                  ON cov.doc_id = ch.doc_id AND cov.c = ch.c
+                WHERE cov.c IS NULL),
+            agg AS (
+                SELECT doc_id, string_agg(ch, '' ORDER BY c) AS clean_text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   length(d.text) - coalesce(a.n_kept, 0) AS n_removed
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         # per-language adaptive length gate: keep docs inside their own
         # language's [p5, p95] discrete quantiles
         "lang_adaptive_length_filter_docs": """

@@ -1731,6 +1731,94 @@ def bloom_incremental_dedup_docs(sf_dir: str,
     return docs.map_batches(screen, batch_format="pyarrow").sort("doc_id")
 
 
+def dup_span_removal_docs(sf_dir: str, L: int = 50) -> "ray.data.Dataset":
+    """Duplicate-span REMOVAL — the actual cut pass of Lee et al. 2022
+    exact-substring dedup: every char position covered by a cross-doc
+    ``L``-gram is deleted and the surviving segments re-concatenate.
+    Output: one row per document — (doc_id, clean_text, n_removed);
+    docs with no duplicated span pass through verbatim (n_removed=0),
+    fully-covered docs survive as empty text (the caller's min-length
+    gate drops them, as in the paper's pipeline).
+
+    Scale shape: the cross-doc gram marks come from the same gram-keyed
+    shuffle as ``dup_span_intervals_docs``; the TEXT joins the marks in
+    the SAME doc-keyed shuffle as union rows (pos = -1 carries the
+    text; the dup_ngram_fraction idiom) — two shuffles total, no join
+    stage, no broadcast."""
+    import numpy as np
+
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        out_g: list[str] = []
+        out_d: list[np.ndarray] = []
+        out_p: list[np.ndarray] = []
+        for did, v in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            v = v or ""
+            n = len(v) - L + 1
+            if n <= 0:
+                continue
+            out_g.extend(v[i:i + L] for i in range(n))
+            out_d.append(np.full(n, did, np.int64))
+            out_p.append(np.arange(n, dtype=np.int64))
+        if not out_g:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        return pa.table({"gram": pa.array(out_g, pa.string()),
+                         "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                         "pos": pa.array(np.concatenate(out_p), pa.int64())})
+
+    grams = docs.map_batches(explode, batch_format="pyarrow")
+
+    def cross_doc_marks(df):
+        nd = df.groupby("gram", sort=False)["doc_id"].transform("nunique")
+        out = df[nd >= 2]
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+            "pos": pa.array(out["pos"].to_numpy(), pa.int64()),
+            "text": pa.array([None] * len(out), pa.string())})
+
+    marks = grouped(grams, "gram", cross_doc_marks)
+
+    def carrier(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "pos": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+            "text": t["text"]})
+
+    carriers = docs.map_batches(carrier, batch_format="pyarrow")
+
+    def cut(df):
+        out_id, out_text, out_rm = [], [], []
+        for did, g in df.groupby("doc_id", sort=False):
+            tx = g.loc[g["pos"] == -1, "text"]
+            if tx.empty:        # marks hashed here but carrier elsewhere
+                continue        # cannot happen: same key, same bucket
+            text = tx.iloc[0] or ""
+            pos = np.sort(g.loc[g["pos"] >= 0, "pos"].to_numpy())
+            keep = np.ones(len(text), bool)
+            if len(pos):
+                # covered chars: union of [p, p+L-1] — mark via diff array
+                delta = np.zeros(len(text) + 1, np.int64)
+                np.add.at(delta, pos, 1)
+                np.add.at(delta, np.minimum(pos + L, len(text)), -1)
+                keep = np.cumsum(delta[:-1]) == 0
+            arr = np.frombuffer(text.encode(), np.uint8)
+            clean = arr[keep[:len(arr)]].tobytes().decode()
+            out_id.append(did)
+            out_text.append(clean)
+            out_rm.append(int((~keep).sum()))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "clean_text": pa.array(out_text, pa.string()),
+            "n_removed": pa.array(out_rm, pa.int64())})
+
+    return grouped(marks.union(carriers), "doc_id", cut)
+
+
 def distinctive_terms_docs(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     """Per-document DISTINCTIVE terms — the integer-exact core of
     tf-idf term weighting: each doc's top-``k`` tokens ranked by term

@@ -1105,3 +1105,34 @@ def test_mixture_rebalance_masses_near_uniform():
     # the minority language keeps (nearly) everything
     lang_min = min(src, key=lambda k: src[k])
     assert kept[lang_min] == src[lang_min]
+
+
+def test_dup_span_removal_bruteforce_parity():
+    import collections
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+    d = "/root/testdata/sf0.001"
+    L = 50
+    rows = pq.read_table(f"{d}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    owners: dict[str, set[int]] = collections.defaultdict(set)
+    for r in rows:
+        v = r["text"] or ""
+        for i in range(len(v) - L + 1):
+            owners[v[i:i + L]].add(r["doc_id"])
+    want = {}
+    for r in rows:
+        v = r["text"] or ""
+        keep = np.ones(len(v), bool)
+        for i in range(len(v) - L + 1):
+            if len(owners[v[i:i + L]]) >= 2:
+                keep[i:i + L] = False
+        want[r["doc_id"]] = ("".join(c for c, k in zip(v, keep) if k),
+                             int((~keep).sum()))
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in docs_mod.dup_span_removal_docs(d).take_all()}
+    assert got == want
+    assert any(n > 0 for _, n in got.values())      # removal exercised
+    assert any(n == 0 for _, n in got.values())     # pass-through exercised
