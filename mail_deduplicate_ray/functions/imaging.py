@@ -7,10 +7,15 @@ enough to parse with numpy alone —
 - **BMP** (Windows bitmap, uncompressed 24-bit BGR, bottom-up or top-down,
   4-byte row padding) — the worked image format.
 - **PPM/PGM** (Netpbm P6/P5, binary, maxval <= 255).
+- **PNG** (8-bit gray / RGB / gray+alpha / RGBA / palette, non-interlaced)
+  — the deflate stream is stdlib ``zlib``; chunk walk, CRC verification
+  and scanline unfiltering (None/Sub/Up/Average/Paeth) are numpy. Sub is
+  a per-lane cumsum, Up a previous-row add; only Average/Paeth rows pay a
+  serial byte loop (their recurrence is inherently sequential).
 - **Y4M** (YUV4MPEG2, C420 8-bit) — the worked VIDEO container; frames are
   parsed lazily by offset so frame-sampling never touches unsampled bytes.
 
-JPEG/PNG/H.264 genuinely need external codecs and stay out of scope; the
+JPEG/H.264 genuinely need external codecs and stay out of scope; the
 decode stages turn those into rejection rows (the resilience contract,
 ref: deduplicate.py:563-576), never exceptions.
 
@@ -27,6 +32,7 @@ Features:
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -121,6 +127,163 @@ def decode_netpbm(data: bytes) -> np.ndarray:
     return buf.reshape((h, w) if ch == 1 else (h, w, 3)).copy()
 
 
+# ---------------- PNG (8-bit, non-interlaced; stdlib zlib) ----------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> channels (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body)))
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 image -> PNG.  (H, W) -> gray, (H, W, 3) -> RGB,
+    (H, W, 4) -> RGBA; ``filter_type`` 0-4 is applied to every scanline
+    (real encoders pick per-row; a fixed choice keeps the encoder a pure
+    function and lets tests cover each filter's decode path)."""
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("encode_png expects a uint8 (H,W[,C]) array")
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    color = {1: 0, 3: 2, 4: 6}.get(ch)
+    if color is None or not 0 <= filter_type <= 4:
+        raise ValueError(f"unsupported channels={ch} or filter={filter_type}")
+    rows = img.reshape(h, w * ch).astype(np.int64)
+    prev = np.zeros(w * ch, np.int64)
+    out = bytearray()
+    for y in range(h):
+        cur = rows[y]
+        left = np.zeros_like(cur)
+        left[ch:] = cur[:-ch]
+        if filter_type == 0:
+            flt = cur
+        elif filter_type == 1:
+            flt = cur - left
+        elif filter_type == 2:
+            flt = cur - prev
+        elif filter_type == 3:
+            flt = cur - (left + prev) // 2
+        else:  # Paeth
+            up_left = np.zeros_like(prev)
+            up_left[ch:] = prev[:-ch]
+            p = left + prev - up_left
+            pa_, pb, pc_ = (np.abs(p - left), np.abs(p - prev),
+                            np.abs(p - up_left))
+            pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                            np.where(pb <= pc_, prev, up_left))
+            flt = cur - pred
+        out.append(filter_type)
+        out.extend((flt % 256).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Filtered scanlines -> reconstructed (h, stride) uint8 matrix."""
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw, np.uint8, count=stride,
+                             offset=pos + 1).astype(np.int64)
+        pos += stride + 1
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub: per-lane prefix sum
+            rec = line.copy()
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(line[lane::bpp]) % 256
+        elif ft == 2:  # Up
+            rec = (line + prev) % 256
+        elif ft == 3:  # Average: serial recurrence along the row
+            rec = np.zeros(stride, np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (line[x] + (a + prev[x]) // 2) % 256
+        elif ft == 4:  # Paeth: serial recurrence along the row
+            rec = np.zeros(stride, np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                p = a + b - c
+                da, db, dc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (da <= db and da <= dc) else (b if db <= dc else c)
+                rec[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG -> uint8 array: gray (H, W), gray+alpha (H, W, 2), RGB
+    (H, W, 3), RGBA (H, W, 4); palette images resolve through PLTE to
+    RGB.  Scope: bit depth 8, non-interlaced (the overwhelmingly common
+    case); chunk CRCs are verified so corruption -> ValueError ->
+    rejection rows, never wrong pixels."""
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    w = h = color = -1
+    plte: np.ndarray | None = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(data):
+        length, tag = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8:pos + 8 + length]
+        if len(body) < length or pos + 12 + length > len(data):
+            raise ValueError("truncated PNG chunk")
+        crc = struct.unpack_from(">I", data, pos + 8 + length)[0]
+        if zlib.crc32(tag + body) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color, comp, flt, interlace = struct.unpack(
+                ">IIBBBBB", body)
+            if depth != 8 or comp != 0 or flt != 0:
+                raise ValueError(f"unsupported PNG (depth={depth})")
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"bad PNG color type {color}")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            saw_end = True
+            break
+    else:
+        saw_end = False
+    if not saw_end:
+        raise ValueError("truncated PNG (no complete IEND)")
+    if w <= 0 or h <= 0 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG deflate stream corrupt: {e}") from e
+    ch = _PNG_CHANNELS[color]
+    mat = _png_unfilter(raw, h, w * ch, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        if int(mat.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[mat.reshape(h, w)]
+    return mat.reshape(h, w) if ch == 1 else mat.reshape(h, w, ch)
+
+
 # ---------------- Y4M (YUV4MPEG2 C420) ----------------
 
 def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
@@ -184,9 +347,12 @@ def decode_y4m_frame(data: bytes, k: int) -> np.ndarray:
 # ---------------- features ----------------
 
 def to_gray(img: np.ndarray) -> np.ndarray:
-    """uint8 RGB (or already-gray) -> float32 luma in [0, 255]."""
+    """uint8 RGB/RGBA/gray+alpha (or already-gray) -> float32 luma in
+    [0, 255].  Alpha channels are ignored (fingerprints compare color)."""
     if img.ndim == 2:
         return img.astype(np.float32)
+    if img.shape[2] == 2:  # gray + alpha (PNG color type 4)
+        return img[:, :, 0].astype(np.float32)
     f = img.astype(np.float32)
     return 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
 
@@ -232,6 +398,7 @@ _IMAGE_DECODERS = {
     "bmp": decode_bmp,
     "ppm": decode_netpbm,
     "pgm": decode_netpbm,
+    "png": decode_png,
 }
 
 
@@ -246,6 +413,8 @@ def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
         return decode_bmp(data)
     if data[:2] in (b"P5", b"P6"):
         return decode_netpbm(data)
+    if data.startswith(_PNG_SIG):
+        return decode_png(data)
     head = data[:4].hex() if data else "empty"
     raise ValueError(f"unsupported image format (fmt={fmt!r}, head={head}) "
-                     "— JPEG/PNG need external codecs")
+                     "— JPEG/H.264 need external codecs")

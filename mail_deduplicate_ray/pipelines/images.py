@@ -1,21 +1,25 @@
 """Image near-dup pipeline: REAL pixel decode -> dHash -> exact pairs.
 
 The image analogue of the clips flagship's fingerprint channels, over a
-deterministic synthetic BMP corpus (no image tables ship with the
-testdata; synthesis is seeded per-index so any range is bit-identical —
-the clips-corpus convention, synth.py):
+deterministic synthetic MIXED-FORMAT corpus (no image tables ship with
+the testdata; synthesis is seeded per-index so any range is
+bit-identical — the clips-corpus convention, synth.py).  Each image is
+stored round-robin as BMP / PNG / PPM, and a duplicate lands in a
+DIFFERENT container than its base — the pipeline detects re-encoded
+copies across formats because all three decoders are lossless and the
+fingerprint is computed on pixels, not bytes:
 
     read images parquet (cached fixture)
-      -> ImageDecodeStage(real_decode=True) actor pool   [BMP -> pixels]
+      -> ImageDecodeStage(real_decode=True) actor pool   [bytes -> pixels]
       -> dhash64 perceptual fingerprints
       -> pigeonhole banding (max_hamming+1 disjoint blocks — recall 1.0
          by construction, the simhash_neardup_pairs idiom)
       -> bucketed exact Hamming verify -> pair dedup
 
-Planted near-dup structure: exact byte copies, uniform brightness shifts
-(dhash-invariant by construction — horizontal differences are unchanged
-except at clip boundaries), and mild pixel noise.  Ground truth rides
-beside the cache for the recall test.
+Planted near-dup structure: exact pixel copies (different container),
+uniform brightness shifts (dhash-invariant by construction — horizontal
+differences are unchanged except at clip boundaries), and mild pixel
+noise.  Ground truth rides beside the cache for the recall test.
 """
 
 from __future__ import annotations
@@ -46,10 +50,17 @@ def _synth_image(rng: np.random.Generator) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+_FMT_CYCLE = ("bmp", "png", "ppm")
+_ENCODERS = {"bmp": imaging.encode_bmp, "png": imaging.encode_png,
+             "ppm": imaging.encode_ppm}
+
+
 def images_path(sf_dir: str, n_base: int | None = None,
-                seed: int = 43) -> Path:
-    """Deterministic cached BMP corpus sized to the sf (n_base defaults to
-    the documents row count).  Layout: parquet of (img_id, bytes, width,
+                seed: int = 45) -> Path:
+    """Deterministic cached mixed-format corpus sized to the sf (n_base
+    defaults to the documents row count).  Base i is stored as
+    ``_FMT_CYCLE[i % 3]``; its duplicate as the NEXT format in the cycle
+    (cross-container pairs).  Layout: parquet of (img_id, bytes, width,
     height, fmt) + a truth JSON of planted near-dup pairs."""
     if n_base is None:
         n_base = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
@@ -60,13 +71,16 @@ def images_path(sf_dir: str, n_base: int | None = None,
     CACHE_ROOT.mkdir(parents=True, exist_ok=True)
     ids: list[str] = []
     payloads: list[bytes] = []
+    fmts: list[str] = []
     pairs: list[tuple[str, str, str]] = []
     for i in range(n_base):
         rng = np.random.default_rng((seed, i))
         img = _synth_image(rng)
         base_id = f"img-{i:08d}-0"
+        base_fmt = _FMT_CYCLE[i % len(_FMT_CYCLE)]
         ids.append(base_id)
-        payloads.append(imaging.encode_bmp(img))
+        payloads.append(_ENCODERS[base_fmt](img))
+        fmts.append(base_fmt)
         kind = ("unique", "exact", "bright", "noise")[int(rng.integers(4))]
         if kind == "unique":
             continue
@@ -81,15 +95,17 @@ def images_path(sf_dir: str, n_base: int | None = None,
             dup = np.clip(img.astype(np.int16)
                           + rng.integers(-2, 3, img.shape), 0, 255) \
                 .astype(np.uint8)
+        dup_fmt = _FMT_CYCLE[(i + 1) % len(_FMT_CYCLE)]
         ids.append(cid)
-        payloads.append(imaging.encode_bmp(dup))
+        payloads.append(_ENCODERS[dup_fmt](dup))
+        fmts.append(dup_fmt)
         pairs.append((base_id, cid, kind))
     tbl = pa.table({
         "img_id": pa.array(ids, pa.string()),
         "bytes": pa.array(payloads, pa.binary()),
         "width": pa.array([_W] * len(ids), pa.int32()),
         "height": pa.array([_H] * len(ids), pa.int32()),
-        "fmt": pa.array(["bmp"] * len(ids), pa.string()),
+        "fmt": pa.array(fmts, pa.string()),
     })
     tmp = out.with_suffix(".tmp")
     tmp.mkdir(parents=True, exist_ok=True)

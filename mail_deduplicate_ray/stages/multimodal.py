@@ -2,11 +2,11 @@
 
 The engine treats every modality as an opaque ``binary`` column + typed
 metadata, processed by actor-pool ``map_batches`` stages (same shape as
-stages/decode.py).  Pixel decode is REAL for the pure-numpy-parseable
-public formats (BMP 24-bit, Netpbm P5/P6, Y4M C420 video — see
-functions/imaging.py); formats that genuinely need external codecs
-(JPEG/PNG/H.264, absent from this sandbox) become REJECTION ROWS with a
-reason, never exceptions (the resilience contract, ref:
+stages/decode.py).  Pixel decode is REAL for the stdlib-parseable
+public formats (BMP 24-bit, Netpbm P5/P6, PNG via stdlib zlib, Y4M C420
+video — see functions/imaging.py); formats that genuinely need external
+codecs (JPEG/H.264, absent from this sandbox) become REJECTION ROWS with
+a reason, never exceptions (the resilience contract, ref:
 deduplicate.py:563-576).  The deterministic fake featurizer remains
 available (``real_decode=False``) as the stand-in for learned encoders.
 
@@ -44,7 +44,7 @@ def _fake_embedding(payload: bytes, dims: int) -> np.ndarray:
 class ImageDecodeStage:
     """bytes -> (embedding, dhash, decode_ok, reason); drops ``bytes``.
 
-    ``real_decode=True``: decode via functions/imaging.py (BMP/PPM/PGM),
+    ``real_decode=True``: decode via functions/imaging.py (BMP/PPM/PGM/PNG),
     embedding = L2-normalized 8x8 tiny-image (dims must be a square),
     ``dhash`` = 64-bit perceptual difference hash.  Unsupported/corrupt
     payloads -> decode_ok=False + reason.  ``real_decode=False``: the

@@ -1,7 +1,7 @@
 """Multimodal stages: Ray plumbing (schemas, actor signature, rejection
-rows, payload-drop) + REAL pure-numpy pixel decode (BMP/PPM/PGM images,
-Y4M video — functions/imaging.py); JPEG/PNG stay rejection rows (no
-external codecs in this sandbox)."""
+rows, payload-drop) + REAL pure-numpy pixel decode (BMP/PPM/PGM/PNG
+images, Y4M video — functions/imaging.py); JPEG stays a rejection row
+(external codec needed in this sandbox)."""
 
 import numpy as np
 import pyarrow as pa
@@ -89,6 +89,51 @@ class TestImagingKernels:
         assert e.shape == (64,)
         assert abs(float(np.linalg.norm(e)) - 1.0) < 1e-5
 
+    @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+    def test_png_roundtrip_all_filters(self, filter_type):
+        rgb = _rng_img(11, h=23, w=31)
+        gray = _rng_img(12, h=9, w=17)[:, :, 0]
+        rgba = np.random.default_rng(13).integers(
+            0, 256, (12, 7, 4), dtype=np.uint8)
+        for img in (rgb, gray, rgba):
+            got = imaging.decode_png(imaging.encode_png(img, filter_type))
+            np.testing.assert_array_equal(img, got)
+
+    def test_png_palette(self):
+        import struct
+        import zlib
+        rng = np.random.default_rng(14)
+        pal = rng.integers(0, 256, (5, 3), dtype=np.uint8)
+        idx = rng.integers(0, 5, (6, 8), dtype=np.uint8)
+        raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(6))
+        png = (imaging._PNG_SIG
+               + imaging._png_chunk(b"IHDR",
+                                    struct.pack(">IIBBBBB", 8, 6, 8, 3,
+                                                0, 0, 0))
+               + imaging._png_chunk(b"PLTE", pal.tobytes())
+               + imaging._png_chunk(b"IDAT", zlib.compress(raw))
+               + imaging._png_chunk(b"IEND", b""))
+        np.testing.assert_array_equal(pal[idx], imaging.decode_png(png))
+
+    def test_png_corruption_rejected(self):
+        data = bytearray(imaging.encode_png(_rng_img(15)))
+        data[60] ^= 0xFF  # flip a byte inside IDAT
+        with pytest.raises(ValueError, match="CRC mismatch"):
+            imaging.decode_png(bytes(data))
+        with pytest.raises(ValueError, match="not a PNG"):
+            imaging.decode_png(b"\x89PNX junk")
+        good = imaging.encode_png(_rng_img(15))
+        with pytest.raises(ValueError, match="truncated"):
+            imaging.decode_png(good[:-10])
+
+    def test_cross_format_pixels_identical(self):
+        # same pixels through BMP / PPM / PNG containers -> same dhash
+        img = _rng_img(16)
+        hs = {imaging.dhash64(imaging.to_gray(imaging.decode_image(enc(img))))
+              for enc in (imaging.encode_bmp, imaging.encode_ppm,
+                          imaging.encode_png)}
+        assert len(hs) == 1
+
     def test_decode_image_sniffs_magic(self):
         img = _rng_img(9)
         # declared format wrong -> magic wins (declared-then-sniffed)
@@ -128,13 +173,14 @@ def test_image_stage_real_decode():
     + dhash; a JPEG payload becomes a rejection row with a reason."""
     imgs = [_rng_img(i) for i in range(3)]
     tbl = pa.table({
-        "id": ["bmp0", "bmp0-copy", "ppm1", "jpeg2"],
+        "id": ["bmp0", "bmp0-copy", "png0-copy", "ppm1", "jpeg2"],
         "bytes": [imaging.encode_bmp(imgs[0]), imaging.encode_bmp(imgs[0]),
+                  imaging.encode_png(imgs[0]),
                   imaging.encode_ppm(imgs[1]),
                   b"\xff\xd8\xff\xe0 not decodable"],
-        "width": pa.array([64] * 4, pa.int32()),
-        "height": pa.array([48] * 4, pa.int32()),
-        "fmt": ["bmp", "bmp", "ppm", "jpg"],
+        "width": pa.array([64] * 5, pa.int32()),
+        "height": pa.array([48] * 5, pa.int32()),
+        "fmt": ["bmp", "bmp", "png", "ppm", "jpg"],
     })
     out = ray.data.from_arrow(tbl).map_batches(
         ImageDecodeStage, fn_constructor_args=(64, True),
@@ -146,6 +192,10 @@ def test_image_stage_real_decode():
     assert rows["bmp0"]["dhash"] == rows["bmp0-copy"]["dhash"] != 0
     np.testing.assert_array_equal(rows["bmp0"]["embedding"],
                                   rows["bmp0-copy"]["embedding"])
+    # same pixels, different container (PNG) -> identical fingerprints
+    assert rows["png0-copy"]["dhash"] == rows["bmp0"]["dhash"]
+    np.testing.assert_array_equal(rows["png0-copy"]["embedding"],
+                                  rows["bmp0"]["embedding"])
     # embedding matches the kernel directly (stage == kernel)
     want = imaging.tiny_embedding(imaging.to_gray(imgs[1]))
     np.testing.assert_allclose(rows["ppm1"]["embedding"], want, rtol=1e-6)
