@@ -445,6 +445,73 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_distinct_tokens
             FROM documents
         """,
+        # Gopher within-doc repetition: most-frequent 2-/3-gram char
+        # mass + duplicated-5-gram token coverage (integer-exact)
+        "gopher_repetition_docs": """
+            WITH base AS (
+                SELECT doc_id, trim(coalesce(text, '')) AS tt,
+                       length(coalesce(text, '')) AS text_chars
+                FROM documents),
+            toks AS (
+                SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+                       a[CAST(u.i + 1 AS INT)] AS tok
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(tt, '\\s+') AS a
+                      FROM base WHERE tt <> '') b,
+                     UNNEST(range(len(a))) u(i)),
+            nt AS (SELECT doc_id, count(*) AS n_tokens
+                   FROM toks GROUP BY doc_id),
+            g2 AS (
+                SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w AS g
+                FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+                QUALIFY lead(tok, 1) OVER w IS NOT NULL),
+            t2 AS (
+                SELECT doc_id, cnt * length(g) AS top2_chars,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY cnt DESC, g ASC) AS rn
+                FROM (SELECT doc_id, g, count(*) AS cnt
+                      FROM g2 GROUP BY doc_id, g)),
+            g3 AS (
+                SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w
+                           || ' ' || lead(tok, 2) OVER w AS g
+                FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+                QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+            t3 AS (
+                SELECT doc_id, cnt * length(g) AS top3_chars,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY cnt DESC, g ASC) AS rn
+                FROM (SELECT doc_id, g, count(*) AS cnt
+                      FROM g3 GROUP BY doc_id, g)),
+            g5 AS (
+                SELECT doc_id, i,
+                       tok || ' ' || lead(tok, 1) OVER w
+                           || ' ' || lead(tok, 2) OVER w
+                           || ' ' || lead(tok, 3) OVER w
+                           || ' ' || lead(tok, 4) OVER w AS g
+                FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+                QUALIFY lead(tok, 4) OVER w IS NOT NULL),
+            d5 AS (SELECT doc_id, g FROM g5
+                   GROUP BY doc_id, g HAVING count(*) >= 2),
+            cov AS (SELECT DISTINCT g5.doc_id, g5.i + u.j AS p
+                    FROM g5 JOIN d5 USING (doc_id, g),
+                         UNNEST(range(5)) u(j)),
+            c5 AS (SELECT doc_id, count(*) AS dup5_tokens
+                   FROM cov GROUP BY doc_id)
+            SELECT b.doc_id,
+                   coalesce(nt.n_tokens, 0) AS n_tokens,
+                   b.text_chars,
+                   coalesce(t2.top2_chars, 0) AS top2_chars,
+                   coalesce(t3.top3_chars, 0) AS top3_chars,
+                   coalesce(c5.dup5_tokens, 0) AS dup5_tokens
+            FROM base b
+            LEFT JOIN nt USING (doc_id)
+            LEFT JOIN (SELECT doc_id, top2_chars FROM t2 WHERE rn = 1)
+                t2 USING (doc_id)
+            LEFT JOIN (SELECT doc_id, top3_chars FROM t3 WHERE rn = 1)
+                t3 USING (doc_id)
+            LEFT JOIN c5 USING (doc_id)
+            ORDER BY b.doc_id
+        """,
         "vocab_coverage_docs": """
             WITH toks AS (
                 SELECT doc_id,

@@ -10,11 +10,13 @@ All codecs are numpy-only (the sandbox has no audio libraries):
   256-byte blocks — the registry's worked extension example (a stateful,
   block-structured codec ≙ the EML class proving the reference's
   box-format registry, mail_box.py:128-232).
-- ``flac``      — STUB: clearly-marked NotImplementedError (no codec lib in
-  this container).  The Ray-side plumbing (registry entry, rejection-row
-  semantics in the decode stage) is real and tested; the reference's
-  charset-fallback-then-reject behaviour is mirrored (ref: mail.py:384-407,
-  deduplicate.py:428-431).
+- ``flac``      — native FLAC subset (RFC 9639), REAL and lossless:
+  fixed-predictor encoder + a decoder that also reads verbatim/LPC
+  subframes and escape-coded Rice partitions; per-frame CRC-8/CRC-16
+  verified, so corruption raises ValueError -> rejection rows.  The
+  reference's declared-then-sniffed cascade is mirrored (ref:
+  mail.py:384-407, deduplicate.py:428-431): container magic (RIFF or
+  fLaC) wins over the declared codec.
 
 Decoded PCM round-trips with SNR >= 30 dB (per BASELINE.json input_hint):
 int16 quantization gives ~90 dB, mu-law ~35-40 dB for speech-like signals.
@@ -211,20 +213,417 @@ def _decode_adpcm(payload: "bytes | memoryview") -> np.ndarray:
     return np.asarray(out, dtype=np.float32) / 32767.0
 
 
-# ---- FLAC stub ----
+# ---- FLAC (native subset, RFC 9639; pure numpy/Python, no codec lib) ----
+#
+# The fourth REAL codec: a LOSSLESS bit-packed format, exercising the one
+# container shape the WAV family doesn't (bit-granular entropy coding +
+# per-frame CRCs).  Encoder: 16-bit mono, fixed 4096-sample frames,
+# constant / fixed-predictor (order 0-4) subframes, Rice-coded residuals
+# with selectable partition order.  Decoder additionally handles verbatim
+# and LPC subframes, escape-coded partitions and both Rice methods, so it
+# reads any mono 8/16-bit subset stream, not just our own.  Frame-header
+# CRC-8 and frame CRC-16 are verified: corruption -> ValueError -> the
+# decode stage's rejection rows (ref: deduplicate.py:563-576).
 
-def encode_flac(x: np.ndarray, sr_hz: int) -> bytes:  # pragma: no cover - stub
-    raise NotImplementedError("flac: no codec library in this container (stubbed)")
+_FLAC_BLOCK = 4096
 
 
-def _decode_flac(payload: bytes) -> np.ndarray:  # pragma: no cover - stub
-    raise NotImplementedError("flac: no codec library in this container (stubbed)")
+def _crc_table(poly: int, bits: int) -> list[int]:
+    table = []
+    top = 1 << (bits - 1)
+    mask = (1 << bits) - 1
+    for b in range(256):
+        crc = b << (bits - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) if crc & top else (crc << 1)
+            crc &= mask
+        table.append(crc)
+    return table
+
+
+_CRC8_T = _crc_table(0x07, 8)
+_CRC16_T = _crc_table(0x8005, 16)
+
+
+def _crc8(buf: bytes) -> int:
+    crc = 0
+    for b in buf:
+        crc = _CRC8_T[crc ^ b]
+    return crc
+
+
+def _crc16(buf: bytes) -> int:
+    crc = 0
+    for b in buf:
+        crc = _CRC16_T[(crc >> 8) ^ b] ^ ((crc << 8) & 0xFFFF)
+    return crc
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, val: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (val & ((1 << nbits) - 1))
+        self.nacc += nbits
+        while self.nacc >= 8:
+            self.nacc -= 8
+            self.buf.append((self.acc >> self.nacc) & 0xFF)
+        self.acc &= (1 << self.nacc) - 1
+
+    def align(self) -> None:
+        if self.nacc:
+            self.write(0, 8 - self.nacc)
+
+    def getvalue(self) -> bytes:
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """MSB-first reader over numpy-unpacked bits; unary runs resolve via
+    one searchsorted into the precomputed set-bit index (no byte loops)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self.ones = np.flatnonzero(self.bits)
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > len(self.bits):
+            raise ValueError("truncated FLAC stream")
+        b = self.bits[self.pos:self.pos + n]
+        self.pos += n
+        return int(b @ (1 << np.arange(n - 1, -1, -1, dtype=np.int64)))
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if n and v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        i = int(np.searchsorted(self.ones, self.pos))
+        if i >= len(self.ones):
+            raise ValueError("truncated FLAC stream (unary run)")
+        stop = int(self.ones[i])
+        q = stop - self.pos
+        self.pos = stop + 1
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _utf8_encode_num(n: int) -> bytes:
+    """FLAC's UTF-8-style coded number (frame index, up to 36 bits)."""
+    if n < 0x80:
+        return bytes([n])
+    for nb, cap in ((2, 11), (3, 16), (4, 21), (5, 26), (6, 31), (7, 36)):
+        if n < (1 << cap):
+            tail = bytearray()
+            for _ in range(nb - 1):
+                tail.append(0x80 | (n & 0x3F))
+                n >>= 6
+            lead = ((0xFF00 >> nb) & 0xFF) | n
+            return bytes([lead]) + bytes(reversed(tail))
+    raise ValueError("coded number exceeds 36 bits")
+
+
+def _utf8_decode_num(br: _BitReader) -> int:
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    nb = 0
+    while nb < 8 and b0 & (0x80 >> nb):
+        nb += 1
+    if nb < 2 or nb > 7:
+        raise ValueError("bad FLAC coded number")
+    n = b0 & (0x7F >> nb)
+    for _ in range(nb - 1):
+        c = br.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("bad FLAC coded number continuation")
+        n = (n << 6) | (c & 0x3F)
+    return n
+
+
+def _rice_k(zig: np.ndarray) -> int:
+    mean = int(zig.mean()) if len(zig) else 0
+    return min(14, max(0, mean.bit_length() - 1))
+
+
+def _flac_encode_frame(block: np.ndarray, frame_idx: int,
+                       partition_order: int = 0) -> bytes:
+    bw = _BitWriter()
+    bw.write(0b11111111111110, 14)
+    bw.write(0, 1)          # reserved
+    bw.write(0, 1)          # fixed-blocksize stream
+    bw.write(0b0111, 4)     # blocksize: explicit 16-bit value follows
+    bw.write(0, 4)          # sample rate: from STREAMINFO
+    bw.write(0, 4)          # channel assignment: mono
+    bw.write(0b100, 3)      # 16 bits per sample
+    bw.write(0, 1)          # reserved
+    for byte in _utf8_encode_num(frame_idx):
+        bw.write(byte, 8)
+    bw.write(len(block) - 1, 16)
+    hdr = bw.getvalue()
+    hdr += bytes([_crc8(hdr)])
+
+    body = _BitWriter()
+    if np.all(block == block[0]):
+        body.write(0, 1)
+        body.write(0, 6)    # constant subframe
+        body.write(0, 1)
+        body.write(int(block[0]), 16)
+    else:
+        # pick the fixed order minimizing sum|residual| (classic estimate)
+        cands: list[tuple[int, int, np.ndarray]] = []
+        cur = block
+        for o in range(5):
+            if o:
+                if len(block) <= o:
+                    break
+                cur = np.diff(cur)
+            cands.append((int(np.abs(cur).sum()), o, cur))
+        _cost, order, res = min(cands, key=lambda c: (c[0], c[1]))
+        po = partition_order
+        while po and (len(block) % (1 << po)
+                      or len(block) >> po <= order):
+            po -= 1
+        body.write(0, 1)
+        body.write(0b001000 | order, 6)
+        body.write(0, 1)    # no wasted bits
+        for wsamp in block[:order].tolist():
+            body.write(int(wsamp), 16)
+        body.write(0, 2)    # residual method: 4-bit Rice
+        body.write(po, 4)
+        zig = ((res << 1) ^ (res >> 63)).astype(np.int64)
+        idx = 0
+        for p in range(1 << po):
+            cnt = (len(block) >> po) - (order if p == 0 else 0)
+            part = zig[idx:idx + cnt]
+            idx += cnt
+            k = _rice_k(part)
+            body.write(k, 4)
+            for z in part.tolist():
+                body.write(0, z >> k)   # unary quotient: zeros...
+                body.write(1, 1)        # ...then the stop bit
+                body.write(z & ((1 << k) - 1), k)
+    body.align()
+    frame = hdr + body.getvalue()
+    return frame + _crc16(frame).to_bytes(2, "big")
+
+
+def encode_flac(x: np.ndarray, sr_hz: int,
+                partition_order: int = 0) -> bytes:
+    """float32 PCM -> native FLAC (mono, 16-bit, lossless): the samples
+    round-trip bit-exactly with ``encode_pcm16``'s quantization."""
+    import hashlib
+    q16 = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2")
+    q = q16.astype(np.int64)
+    si = _BitWriter()
+    si.write(_FLAC_BLOCK, 16)
+    si.write(_FLAC_BLOCK, 16)
+    si.write(0, 24)             # min frame size unknown
+    si.write(0, 24)             # max frame size unknown
+    si.write(sr_hz, 20)
+    si.write(0, 3)              # channels - 1
+    si.write(15, 5)             # bits per sample - 1
+    si.write(len(q), 36)
+    si.align()
+    streaminfo = si.getvalue() + hashlib.md5(q16.tobytes()).digest()
+    out = [b"fLaC", bytes([0x80]), len(streaminfo).to_bytes(3, "big"),
+           streaminfo]
+    for fi, start in enumerate(range(0, len(q), _FLAC_BLOCK)):
+        out.append(_flac_encode_frame(q[start:start + _FLAC_BLOCK], fi,
+                                      partition_order))
+    return b"".join(out)
+
+
+def _flac_read_residual(br: _BitReader, bs: int, order: int) -> np.ndarray:
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual method")
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    po = br.read(4)
+    if bs % (1 << po):
+        raise ValueError("bad FLAC partition order")
+    res = np.empty(bs - order, np.int64)
+    idx = 0
+    for p in range(1 << po):
+        cnt = (bs >> po) - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("bad FLAC partition layout")
+        k = br.read(pbits)
+        if k == escape:
+            nb = br.read(5)
+            for _ in range(cnt):
+                res[idx] = br.read_signed(nb)
+                idx += 1
+        else:
+            for _ in range(cnt):
+                z = (br.unary() << k) | br.read(k)
+                res[idx] = (z >> 1) ^ -(z & 1)
+                idx += 1
+    return res
+
+
+def _fixed_restore(warm: list[int], res: np.ndarray, order: int,
+                   ) -> np.ndarray:
+    """Invert the order-``order`` difference: iterated cumsum seeded by
+    the warmup's difference pyramid (vectorized, no per-sample loop)."""
+    if order == 0:
+        return res.copy()
+    w = np.asarray(warm, np.int64)
+    diffs = [w]
+    for _ in range(order - 1):
+        diffs.append(np.diff(diffs[-1]))
+    cur = res.astype(np.int64)
+    for k in range(order, 0, -1):
+        cur = int(diffs[k - 1][-1]) + np.cumsum(cur)
+    return np.concatenate([w, cur])
+
+
+def _lpc_restore(warm: list[int], coefs: list[int], shift: int,
+                 res: np.ndarray) -> np.ndarray:
+    s = list(warm)
+    for r in res.tolist():
+        pred = sum(c * s[-1 - j] for j, c in enumerate(coefs)) >> shift
+        s.append(r + pred)
+    return np.asarray(s, np.int64)
+
+
+def _flac_decode_frame(br: _BitReader, raw: bytes, stream_bps: int,
+                       ) -> np.ndarray:
+    start_byte = br.pos // 8
+    if br.read(14) != 0b11111111111110:
+        raise ValueError("bad FLAC frame sync")
+    br.read(2)  # reserved + blocking strategy
+    bs_code = br.read(4)
+    sr_code = br.read(4)
+    if br.read(4) != 0:
+        raise ValueError("FLAC subset decoder: mono only")
+    ss_code = br.read(3)
+    br.read(1)
+    bps = {0: stream_bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32} \
+        .get(ss_code)
+    if bps is None:
+        raise ValueError("reserved FLAC sample-size code")
+    _utf8_decode_num(br)
+    if bs_code == 0:
+        raise ValueError("reserved FLAC blocksize code")
+    if bs_code == 1:
+        bs = 192
+    elif bs_code <= 5:
+        bs = 576 << (bs_code - 2)
+    elif bs_code == 6:
+        bs = br.read(8) + 1
+    elif bs_code == 7:
+        bs = br.read(16) + 1
+    else:
+        bs = 256 << (bs_code - 8)
+    if sr_code == 12:
+        br.read(8)
+    elif sr_code in (13, 14):
+        br.read(16)
+    elif sr_code == 15:
+        raise ValueError("invalid FLAC sample-rate code")
+    if _crc8(raw[start_byte:br.pos // 8]) != br.read(8):
+        raise ValueError("FLAC frame-header CRC-8 mismatch")
+
+    if br.read(1):
+        raise ValueError("bad FLAC subframe padding bit")
+    sft = br.read(6)
+    wasted = br.unary() + 1 if br.read(1) else 0
+    eb = bps - wasted
+    if sft == 0:
+        s = np.full(bs, br.read_signed(eb), np.int64)
+    elif sft == 1:
+        s = np.fromiter((br.read_signed(eb) for _ in range(bs)),
+                        np.int64, count=bs)
+    elif 8 <= sft <= 12:
+        order = sft - 8
+        warm = [br.read_signed(eb) for _ in range(order)]
+        s = _fixed_restore(warm, _flac_read_residual(br, bs, order), order)
+    elif sft >= 32:
+        order = (sft & 31) + 1
+        warm = [br.read_signed(eb) for _ in range(order)]
+        prec = br.read(4)
+        if prec == 15:
+            raise ValueError("invalid FLAC LPC precision")
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [br.read_signed(prec + 1) for _ in range(order)]
+        s = _lpc_restore(warm, coefs, shift,
+                         _flac_read_residual(br, bs, order))
+    else:
+        raise ValueError(f"reserved FLAC subframe type {sft}")
+    if wasted:
+        s = s << wasted
+    br.align()
+    crc = br.read(16)
+    if _crc16(raw[start_byte:br.pos // 8 - 2]) != crc:
+        raise ValueError("FLAC frame CRC-16 mismatch")
+    return s
+
+
+def _decode_flac(data: "bytes | memoryview",
+                 max_samples: int | None = None) -> tuple[np.ndarray, int]:
+    data = bytes(data)
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    sr = None
+    bps = 16
+    total = 0
+    last = False
+    while not last:
+        if pos + 4 > len(data):
+            raise ValueError("truncated FLAC metadata")
+        last = bool(data[pos] & 0x80)
+        btype = data[pos] & 0x7F
+        blen = int.from_bytes(data[pos + 1:pos + 4], "big")
+        pos += 4
+        if pos + blen > len(data):
+            raise ValueError("truncated FLAC metadata block")
+        if btype == 0:
+            mi = _BitReader(data[pos:pos + blen])
+            mi.read(16 + 16 + 24 + 24)
+            sr = mi.read(20)
+            if mi.read(3) != 0:
+                raise ValueError("FLAC subset decoder: mono only")
+            bps = mi.read(5) + 1
+            if bps not in (8, 16):
+                raise ValueError(f"unsupported FLAC bit depth {bps}")
+            total = mi.read(36)
+        elif btype == 127:
+            raise ValueError("invalid FLAC metadata block type")
+        pos += blen
+    if sr is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    body = data[pos:]
+    br = _BitReader(body)
+    chunks: list[np.ndarray] = []
+    got = 0
+    want = total if max_samples is None else min(total, max_samples)
+    while got < want or (total == 0 and len(body) - br.pos // 8 >= 16):
+        chunks.append(_flac_decode_frame(br, body, bps))
+        got += len(chunks[-1])
+    out = (np.concatenate(chunks) if chunks
+           else np.empty(0, np.int64))[:total or None]
+    if max_samples is not None:
+        out = out[:max_samples]
+    return out.astype(np.float32) / float((1 << (bps - 1)) - 1), sr
 
 
 ENCODERS = {"pcm_s16le": encode_pcm16, "ulaw": encode_ulaw,
             "adpcm_ima": encode_adpcm, "flac": encode_flac}
 _TAG_DECODERS = {1: _decode_pcm16, 7: _decode_ulaw, 17: _decode_adpcm}
-AVAILABLE_CODECS = ("pcm_s16le", "ulaw", "adpcm_ima")
+AVAILABLE_CODECS = ("pcm_s16le", "ulaw", "adpcm_ima", "flac")
 
 
 def encode(x: np.ndarray, sr_hz: int, codec: str) -> bytes:
@@ -254,9 +653,15 @@ def decode(data: "bytes | memoryview", declared_codec: str | None = None,
     stage only feeds the first ``_FFT_WINDOW`` samples to the spectral
     features, so converting the rest is pure DRAM traffic at 100 TB scale.
     """
-    if declared_codec == "flac":
-        return _decode_flac(data), 0
-    fmt_tag, sr_hz, payload = _parse_wav(data)
+    if bytes(data[:4]) == b"fLaC":
+        return _decode_flac(data, max_samples)
+    try:
+        fmt_tag, sr_hz, payload = _parse_wav(data)
+    except ValueError:
+        if declared_codec == "flac":
+            # neither container magic matched: report the flac reason
+            return _decode_flac(data, max_samples)
+        raise
     dec = _TAG_DECODERS.get(fmt_tag)
     if dec is None:
         raise ValueError(f"unsupported WAV format tag {fmt_tag}")

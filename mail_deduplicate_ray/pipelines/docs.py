@@ -2172,6 +2172,114 @@ def token_repetition_docs(sf_dir: str) -> "ray.data.Dataset":
         f, batch_format="pyarrow")
 
 
+def gopher_repetition_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Within-doc n-gram repetition signals — the Gopher repetition
+    filters (Rae et al. 2021, table A1) as integer-exact columns, one
+    row per document, ZERO shuffle (pure per-doc map):
+
+    - ``top2_chars`` / ``top3_chars``: occurrences x char-length of the
+      doc's most frequent word 2-/3-gram (ties -> lexicographically
+      smallest gram); Gopher's "fraction of characters in the most
+      frequent n-gram" is top{n}_chars / text_chars.
+    - ``dup5_tokens``: token positions covered by at least one 5-gram
+      occurring >= 2 times in the doc (coverage UNION via a diff array
+      over the batch-flat token axis — overlaps counted once).
+    - ``n_tokens`` / ``text_chars``: the denominators.
+
+    Numerators/denominators stay integers so the DuckDB oracle replays
+    them exactly (the integer-exact convention); callers divide.
+    Complements ``token_repetition_docs`` (distinct-token fraction) and
+    ``dup_ngram_fraction_docs`` (CROSS-doc duplicate grams)."""
+    import numpy as np
+    import pandas as pd
+
+    from mail_deduplicate_ray.stages.bucketing import arrow_clean
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        la = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(texts), r"\s+").combine_chunks()
+        lens = pc.list_value_length(la).to_numpy(zero_copy_only=False).copy()
+        flat = la.flatten().to_numpy(zero_copy_only=False)
+        # empty text splits to [""] — treat as zero tokens (SQL parity)
+        tok_len = np.fromiter((len(s) for s in flat), np.int64,
+                              count=len(flat))
+        empty = (np.repeat(lens == 1, lens)) & (tok_len == 0)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(doc_ids)
+        n_tokens = lens - np.bincount(
+            np.repeat(np.arange(n), lens)[empty], minlength=n)
+        text_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+
+        d = np.repeat(np.arange(n), lens)
+        keep = ~empty
+        flat, tok_len, d = flat[keep], tok_len[keep], d[keep]
+        s = pd.Series(flat, dtype=object)
+
+        def gram_frame(k: int) -> pd.DataFrame:
+            """(doc, pos, gram, gram_chars) for word k-grams."""
+            ok = np.ones(len(d), bool)
+            g = s.copy()
+            glen = tok_len.copy()
+            for j in range(1, k):
+                ok[-j:] = False
+                nxt = s.shift(-j)
+                same = np.zeros(len(d), bool)
+                same[:-j] = d[j:] == d[:-j]
+                ok &= same
+                g = g + " " + nxt
+                glen = glen + 1 + np.roll(tok_len, -j)
+            idx = np.flatnonzero(ok)
+            return pd.DataFrame({"doc": d[idx], "pos": idx,
+                                 "g": g.to_numpy()[idx],
+                                 "glen": glen[idx]})
+
+        def top_chars(k: int) -> np.ndarray:
+            gf = gram_frame(k)
+            out = np.zeros(n, np.int64)
+            if gf.empty:
+                return out
+            cnt = (gf.groupby(["doc", "g"], sort=False)
+                   .agg(cnt=("pos", "size"), glen=("glen", "first"))
+                   .reset_index())
+            best = (cnt.sort_values(["doc", "cnt", "g"],
+                                    ascending=[True, False, True])
+                    .drop_duplicates("doc"))
+            out[best["doc"].to_numpy()] = (
+                best["cnt"].to_numpy(np.int64)
+                * best["glen"].to_numpy(np.int64))
+            return out
+
+        def dup_cover(k: int) -> np.ndarray:
+            gf = gram_frame(k)
+            out = np.zeros(n, np.int64)
+            if gf.empty:
+                return out
+            dup = gf[gf.groupby(["doc", "g"], sort=False)["pos"]
+                     .transform("size") >= 2]
+            if dup.empty:
+                return out
+            # coverage union on the batch-flat token axis (grams never
+            # cross docs, so spans stay inside their doc's segment)
+            delta = np.zeros(len(d) + 1, np.int64)
+            np.add.at(delta, dup["pos"].to_numpy(), 1)
+            np.add.at(delta, dup["pos"].to_numpy() + k, -1)
+            covered = np.cumsum(delta[:-1]) > 0
+            cnt = np.bincount(d[covered], minlength=n)
+            return cnt.astype(np.int64)
+
+        return arrow_clean(pd.DataFrame({
+            "doc_id": doc_ids,
+            "n_tokens": n_tokens.astype(np.int64),
+            "text_chars": text_chars.astype(np.int64),
+            "top2_chars": top_chars(2),
+            "top3_chars": top_chars(3),
+            "dup5_tokens": dup_cover(5)}))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow").sort("doc_id")
+
+
 def curate_docs(sf_dir: str, min_tokens: int = 10, max_tokens: int = 1000,
                 k_per_lang: int = 100) -> "ray.data.Dataset":
     """Composed training-data curation — the pipeline a corpus team

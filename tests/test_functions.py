@@ -38,11 +38,47 @@ class TestCodecs:
         with pytest.raises(ValueError):
             codecs.decode(codecs.encode(_tone(), 16000, "pcm_s16le")[:20])
 
-    def test_flac_stubbed(self):
-        with pytest.raises(NotImplementedError):
-            codecs.encode(_tone(), 16000, "flac")
-        with pytest.raises(NotImplementedError):
-            codecs.decode(b"fLaC....", "flac")
+    def test_flac_lossless_parity_with_pcm16(self):
+        # FLAC is LOSSLESS: decoded samples equal the pcm16 round-trip
+        # bit-exactly (same int16 quantization), at a smaller payload
+        x = _tone()
+        data = codecs.encode(x, 16000, "flac")
+        y, sr = codecs.decode(data, "flac")
+        ref, _ = codecs.decode(codecs.encode(x, 16000, "pcm_s16le"))
+        assert sr == 16000
+        assert np.array_equal(y, ref)
+        assert len(data) < len(x) * 2  # beats raw int16 on a tone
+
+    def test_flac_magic_wins_over_declared(self):
+        x = _tone()
+        y, sr = codecs.decode(codecs.encode(x, 16000, "flac"), "ulaw")
+        assert sr == 16000 and codecs.snr_db(x, y) >= 60
+
+    def test_flac_partition_orders_agree(self):
+        x = _tone()
+        base, _ = codecs.decode(codecs.encode_flac(x, 16000))
+        for po in (1, 3):
+            y, _ = codecs.decode(codecs.encode_flac(x, 16000,
+                                                    partition_order=po))
+            assert np.array_equal(base, y)
+
+    def test_flac_constant_and_empty(self):
+        for sig in (np.zeros(5000, np.float32),
+                    np.full(700, 0.25, np.float32),
+                    np.zeros(0, np.float32)):
+            y, _ = codecs.decode(codecs.encode_flac(sig, 8000))
+            ref, _ = codecs.decode(codecs.encode(sig, 8000, "pcm_s16le"))
+            assert np.array_equal(y, ref)
+
+    def test_flac_corruption_rejected(self):
+        data = bytearray(codecs.encode(_tone(), 16000, "flac"))
+        data[300] ^= 0xFF  # inside a frame body
+        with pytest.raises(ValueError):
+            codecs.decode(bytes(data))
+        with pytest.raises(ValueError, match="truncated"):
+            codecs.decode(codecs.encode(_tone(), 16000, "flac")[:200])
+        with pytest.raises(ValueError, match="not a FLAC"):
+            codecs.decode(b"fLaX nope", "flac")
 
     def test_memoryview_input_matches_bytes(self):
         # the decode stage slices memoryviews off the Arrow buffer
@@ -51,7 +87,94 @@ class TestCodecs:
         ym, srm = codecs.decode(memoryview(data))
         assert srb == srm and np.array_equal(yb, ym)
 
-    @pytest.mark.parametrize("codec", ["pcm_s16le", "ulaw"])
+    def test_flac_foreign_subframes_decode(self):
+        """Decoder-only paths our encoder never emits: VERBATIM and LPC
+        subframes + escape-coded Rice partitions, hand-assembled with the
+        module's own bit tools (≙ reading a foreign subset stream)."""
+        def hand_frame(n, write_subframe):
+            bw = codecs._BitWriter()
+            bw.write(0b11111111111110, 14)
+            bw.write(0, 2)
+            bw.write(0b0111, 4)   # explicit 16-bit blocksize
+            bw.write(0, 4)        # sr from STREAMINFO
+            bw.write(0, 4)        # mono
+            bw.write(0b100, 3)    # 16-bit
+            bw.write(0, 1)
+            bw.write(0, 8)        # frame number 0
+            bw.write(n - 1, 16)
+            hdr = bw.getvalue()
+            hdr += bytes([codecs._crc8(hdr)])
+            body = codecs._BitWriter()
+            write_subframe(body)
+            body.align()
+            fr = hdr + body.getvalue()
+            return fr + codecs._crc16(fr).to_bytes(2, "big")
+
+        def container(frame, n, sr=8000):
+            si = codecs._BitWriter()
+            si.write(codecs._FLAC_BLOCK, 16)
+            si.write(codecs._FLAC_BLOCK, 16)
+            si.write(0, 48)
+            si.write(sr, 20)
+            si.write(0, 3)
+            si.write(15, 5)
+            si.write(n, 36)
+            si.align()
+            return (b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+                    + si.getvalue() + bytes(16) + frame)
+
+        rng = np.random.default_rng(7)
+        want = rng.integers(-3000, 3000, 64).astype(np.int64)
+
+        def verbatim(body):
+            body.write(0, 1)
+            body.write(1, 6)      # verbatim
+            body.write(0, 1)
+            for s in want.tolist():
+                body.write(int(s) & 0xFFFF, 16)
+
+        y, sr = codecs.decode(container(hand_frame(64, verbatim), 64))
+        assert sr == 8000
+        assert np.array_equal(y, want.astype(np.float32) / 32767.0)
+
+        def lpc_order1(body):
+            # coef [2], shift 1 -> pred = s[i-1]; residual = diff
+            body.write(0, 1)
+            body.write(0b100000, 6)   # LPC order 1
+            body.write(0, 1)
+            body.write(int(want[0]) & 0xFFFF, 16)   # warmup
+            body.write(14, 4)         # coef precision 15 bits (-1 coded)
+            body.write(1, 5)          # shift
+            body.write(2, 15)         # coefficient
+            body.write(0, 2)          # rice method 0
+            body.write(0, 4)          # partition order 0
+            res = np.diff(want)
+            zig = (res << 1) ^ (res >> 63)
+            k = 6
+            body.write(k, 4)
+            for z in zig.tolist():
+                body.write(0, z >> k)
+                body.write(1, 1)
+                body.write(z & ((1 << k) - 1), k)
+
+        y2, _ = codecs.decode(container(hand_frame(64, lpc_order1), 64))
+        assert np.array_equal(y2, want.astype(np.float32) / 32767.0)
+
+        def escaped_fixed0(body):
+            body.write(0, 1)
+            body.write(0b001000, 6)   # fixed order 0
+            body.write(0, 1)
+            body.write(0, 2)
+            body.write(0, 4)
+            body.write(15, 4)         # ESCAPE code
+            body.write(13, 5)         # 13-bit raw residuals
+            for s in want.tolist():
+                body.write(int(s) & 0x1FFF, 13)
+
+        y3, _ = codecs.decode(container(hand_frame(64, escaped_fixed0), 64))
+        assert np.array_equal(y3, want.astype(np.float32) / 32767.0)
+
+    @pytest.mark.parametrize("codec", ["pcm_s16le", "ulaw", "flac"])
     def test_max_samples_prefix(self, codec):
         x = _tone()
         data = codecs.encode(x, 16000, codec)

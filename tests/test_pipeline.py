@@ -1107,6 +1107,39 @@ def test_mixture_rebalance_masses_near_uniform():
     assert kept[lang_min] == src[lang_min]
 
 
+def test_gopher_repetition_handcrafted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+    texts = [
+        "a b a b a b",          # top 2-gram "a b" x3 (len 3) -> 9;
+                                # dup 5-grams: "a b a b a"(0), "b a b a b"(1)
+                                # each once -> dup5 0
+        "x y z x y z x y z",    # "x y" x3 -> 9; dup 5-grams at 0,3 ("x y
+                                # z x y") and 1,4 ("y z x y z") cover all 9
+        "solo",                 # 1 token: no grams at all
+        "",                     # empty -> zero everything
+        "p q r s t",            # all grams unique; top2 tie -> "p q" (lex)
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet")
+    rows = {r["doc_id"]: r for r in
+            docs_mod.gopher_repetition_docs(str(tmp_path)).take_all()}
+    assert rows[0]["n_tokens"] == 6 and rows[0]["top2_chars"] == 3 * 3
+    assert rows[0]["top3_chars"] == 2 * 5      # "a b a" x2
+    assert rows[0]["dup5_tokens"] == 0
+    assert rows[1]["top2_chars"] == 3 * 3
+    assert rows[1]["dup5_tokens"] == 9          # full coverage (see above)
+    assert rows[2] == {"doc_id": 2, "n_tokens": 1, "text_chars": 4,
+                       "top2_chars": 0, "top3_chars": 0, "dup5_tokens": 0}
+    assert rows[3]["n_tokens"] == 0 and rows[3]["text_chars"] == 0
+    assert rows[4]["top2_chars"] == 3           # count 1, "p q" lex-first
+    # non-trivial denominators survive
+    assert rows[1]["text_chars"] == len(texts[1])
+
+
 def test_dup_span_removal_bruteforce_parity():
     import collections
 
