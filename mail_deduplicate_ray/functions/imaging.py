@@ -12,12 +12,15 @@ enough to parse with numpy alone —
   and scanline unfiltering (None/Sub/Up/Average/Paeth) are numpy. Sub is
   a per-lane cumsum, Up a previous-row add; only Average/Paeth rows pay a
   serial byte loop (their recurrence is inherently sequential).
+- **JPEG** (baseline sequential DCT, ITU-T T.81 — see functions/jpeg.py):
+  self-describing decode (tables read from DQT/DHT), 4:4:4/4:2:0/4:2:2
+  chroma, restart markers; encoder with quality-scaled Annex-K tables.
 - **Y4M** (YUV4MPEG2, C420 8-bit) — the worked VIDEO container; frames are
   parsed lazily by offset so frame-sampling never touches unsampled bytes.
 
-JPEG/H.264 genuinely need external codecs and stay out of scope; the
-decode stages turn those into rejection rows (the resilience contract,
-ref: deduplicate.py:563-576), never exceptions.
+Video codecs (H.264 etc.) genuinely need external libraries and stay out
+of scope; the decode stages turn those into rejection rows (the
+resilience contract, ref: deduplicate.py:563-576), never exceptions.
 
 Features:
 
@@ -394,11 +397,18 @@ def tiny_embedding(gray: np.ndarray, side: int = 8) -> np.ndarray:
 
 
 # decode registry keyed by declared format; magic-sniff fallback
+def _decode_jpeg(data: bytes) -> np.ndarray:
+    from mail_deduplicate_ray.functions.jpeg import decode_jpeg
+    return decode_jpeg(data)
+
+
 _IMAGE_DECODERS = {
     "bmp": decode_bmp,
     "ppm": decode_netpbm,
     "pgm": decode_netpbm,
     "png": decode_png,
+    "jpg": _decode_jpeg,
+    "jpeg": _decode_jpeg,
 }
 
 
@@ -415,6 +425,7 @@ def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
         return decode_netpbm(data)
     if data.startswith(_PNG_SIG):
         return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        return _decode_jpeg(data)
     head = data[:4].hex() if data else "empty"
-    raise ValueError(f"unsupported image format (fmt={fmt!r}, head={head}) "
-                     "— JPEG/H.264 need external codecs")
+    raise ValueError(f"unsupported image format (fmt={fmt!r}, head={head})")

@@ -56,12 +56,15 @@ _ENCODERS = {"bmp": imaging.encode_bmp, "png": imaging.encode_png,
 
 
 def images_path(sf_dir: str, n_base: int | None = None,
-                seed: int = 45) -> Path:
+                seed: int = 46) -> Path:
     """Deterministic cached mixed-format corpus sized to the sf (n_base
     defaults to the documents row count).  Base i is stored as
     ``_FMT_CYCLE[i % 3]``; its duplicate as the NEXT format in the cycle
-    (cross-container pairs).  Layout: parquet of (img_id, bytes, width,
-    height, fmt) + a truth JSON of planted near-dup pairs."""
+    (cross-container pairs) — except the ``jpeg`` kind, whose duplicate
+    is a LOSSY baseline-JPEG re-encode (q95) of the base pixels (real
+    cross-codec near-dup; dhash moves <= 2 bits on this corpus).
+    Layout: parquet of (img_id, bytes, width, height, fmt) + a truth
+    JSON of planted near-dup pairs."""
     if n_base is None:
         n_base = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     tag = Path(sf_dir).name or "sf"
@@ -81,10 +84,18 @@ def images_path(sf_dir: str, n_base: int | None = None,
         ids.append(base_id)
         payloads.append(_ENCODERS[base_fmt](img))
         fmts.append(base_fmt)
-        kind = ("unique", "exact", "bright", "noise")[int(rng.integers(4))]
+        kind = ("unique", "exact", "bright",
+                "noise", "jpeg")[int(rng.integers(5))]
         if kind == "unique":
             continue
         cid = f"img-{i:08d}-1"
+        if kind == "jpeg":
+            from mail_deduplicate_ray.functions.jpeg import encode_jpeg
+            ids.append(cid)
+            payloads.append(encode_jpeg(img, quality=95))
+            fmts.append("jpg")
+            pairs.append((base_id, cid, kind))
+            continue
         if kind == "exact":
             dup = img
         elif kind == "bright":

@@ -126,6 +126,70 @@ class TestImagingKernels:
         with pytest.raises(ValueError, match="truncated"):
             imaging.decode_png(good[:-10])
 
+    @pytest.mark.parametrize("sub,min_psnr", [("444", 38), ("420", 27)])
+    def test_jpeg_roundtrip_psnr(self, sub, min_psnr):
+        from mail_deduplicate_ray.functions import jpeg
+        rng = np.random.default_rng(20)
+        small = rng.integers(0, 256, (6, 8, 3)).astype(np.float32)
+        img = np.clip(np.stack(
+            [imaging.resize_bilinear(small[:, :, c], 48, 64)
+             for c in range(3)], 2), 0, 255).astype(np.uint8)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 90, sub))
+        assert out.shape == img.shape and out.dtype == np.uint8
+        mse = np.mean((img.astype(np.float64) - out) ** 2)
+        assert 10 * np.log10(255 ** 2 / mse) >= min_psnr
+
+    def test_jpeg_gray_and_odd_dims(self):
+        from mail_deduplicate_ray.functions import jpeg
+        gray = np.clip(imaging.resize_bilinear(
+            np.random.default_rng(21).integers(0, 256, (5, 7))
+            .astype(np.float32), 41, 53), 0, 255).astype(np.uint8)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(gray, 90))
+        assert out.shape == gray.shape
+        mse = np.mean((gray.astype(np.float64) - out) ** 2)
+        assert 10 * np.log10(255 ** 2 / mse) >= 38
+
+    def test_jpeg_restart_markers_roundtrip(self):
+        from mail_deduplicate_ray.functions import jpeg
+        rng = np.random.default_rng(22)
+        small = rng.integers(0, 256, (6, 8, 3)).astype(np.float32)
+        img = np.clip(np.stack(
+            [imaging.resize_bilinear(small[:, :, c], 32, 40)
+             for c in range(3)], 2), 0, 255).astype(np.uint8)
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 90, "444"))
+        for ri in (1, 3):
+            got = jpeg.decode_jpeg(
+                jpeg.encode_jpeg(img, 90, "444", restart_interval=ri))
+            np.testing.assert_array_equal(base, got)
+
+    def test_jpeg_rejects_unsupported(self):
+        from mail_deduplicate_ray.functions import jpeg
+        with pytest.raises(ValueError, match="not a JPEG"):
+            jpeg.decode_jpeg(b"BM not jpeg")
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg(b"\xff\xd8\xff\xe0 junk")
+        # progressive (SOF2) refused, not mis-decoded
+        good = bytearray(jpeg.encode_jpeg(
+            np.zeros((8, 8), np.uint8), 90))
+        sof = good.find(b"\xff\xc0")
+        good[sof + 1] = 0xC2
+        with pytest.raises(ValueError, match="baseline"):
+            jpeg.decode_jpeg(bytes(good))
+
+    def test_jpeg_dhash_stable_under_reencode(self):
+        # the property the near-dup corpus's 'jpeg' kind relies on
+        from mail_deduplicate_ray.functions import jpeg
+        for seed in range(5):
+            rng = np.random.default_rng((46, seed))
+            small = rng.integers(0, 256, (6, 8, 3)).astype(np.float32)
+            img = np.clip(np.stack(
+                [imaging.resize_bilinear(small[:, :, c], 48, 64)
+                 for c in range(3)], 2), 0, 255).astype(np.uint8)
+            h0 = imaging.dhash64(imaging.to_gray(img))
+            out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 95))
+            h1 = imaging.dhash64(imaging.to_gray(out))
+            assert bin(h0 ^ h1).count("1") <= 3
+
     def test_cross_format_pixels_identical(self):
         # same pixels through BMP / PPM / PNG containers -> same dhash
         img = _rng_img(16)
@@ -140,7 +204,9 @@ class TestImagingKernels:
         got = imaging.decode_image(imaging.encode_bmp(img), "jpeg_wrong")
         np.testing.assert_array_equal(img, got)
         with pytest.raises(ValueError, match="unsupported image format"):
-            imaging.decode_image(b"\xff\xd8\xff\xe0 jpeg bytes", "jpg")
+            imaging.decode_image(b"\x00\x11\x22 not an image", "h264")
+        with pytest.raises(ValueError):  # JPEG magic but corrupt stream
+            imaging.decode_image(b"\xff\xd8\xff\xe0 junk", "jpg")
 
 
 def test_image_stage_fake_path_plumbing():
@@ -173,21 +239,21 @@ def test_image_stage_real_decode():
     + dhash; a JPEG payload becomes a rejection row with a reason."""
     imgs = [_rng_img(i) for i in range(3)]
     tbl = pa.table({
-        "id": ["bmp0", "bmp0-copy", "png0-copy", "ppm1", "jpeg2"],
+        "id": ["bmp0", "bmp0-copy", "png0-copy", "ppm1", "h264-2"],
         "bytes": [imaging.encode_bmp(imgs[0]), imaging.encode_bmp(imgs[0]),
                   imaging.encode_png(imgs[0]),
                   imaging.encode_ppm(imgs[1]),
-                  b"\xff\xd8\xff\xe0 not decodable"],
+                  b"\x00\x00\x00\x01 h264 NAL soup"],
         "width": pa.array([64] * 5, pa.int32()),
         "height": pa.array([48] * 5, pa.int32()),
-        "fmt": ["bmp", "bmp", "png", "ppm", "jpg"],
+        "fmt": ["bmp", "bmp", "png", "ppm", "h264"],
     })
     out = ray.data.from_arrow(tbl).map_batches(
         ImageDecodeStage, fn_constructor_args=(64, True),
         batch_format="pyarrow", batch_size=2, concurrency=2)
     rows = {r["id"]: r for r in out.take_all()}
-    assert rows["jpeg2"]["decode_ok"] is False
-    assert "unsupported image format" in rows["jpeg2"]["decode_reason"]
+    assert rows["h264-2"]["decode_ok"] is False
+    assert "unsupported image format" in rows["h264-2"]["decode_reason"]
     # identical bytes -> identical dhash + embedding
     assert rows["bmp0"]["dhash"] == rows["bmp0-copy"]["dhash"] != 0
     np.testing.assert_array_equal(rows["bmp0"]["embedding"],
