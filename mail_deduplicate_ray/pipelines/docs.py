@@ -2172,6 +2172,82 @@ def token_repetition_docs(sf_dir: str) -> "ray.data.Dataset":
         f, batch_format="pyarrow")
 
 
+def bpe_train_docs(sf_dir: str, n_merges: int = 30) -> "ray.data.Dataset":
+    """BPE tokenizer TRAINING over the corpus (Sennrich et al. 2016) —
+    the op a training-data pipeline runs before tokenize-and-shard.
+    Output: one row per learned merge — (rank, left, right, merged,
+    pair_count), deterministic (ties -> lexicographically smallest
+    pair).
+
+    Scale shape (how real trainers do it): the only corpus-sized pass
+    is ONE word-count aggregation (per-batch pandas value_counts
+    partials -> one bucketed shuffle), producing the compressed
+    (word, count) vocabulary — Heaps' law makes it orders of magnitude
+    smaller than the corpus, and every BPE iteration then runs on that
+    small table driver-side; the 10^12-token corpus is never rescanned
+    per merge.  (At extreme vocab sizes the same loop runs on a
+    frequency-truncated vocab, the standard practice.)"""
+    import pandas as pd
+
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    docs = _docs(sf_dir, ["text"])
+
+    def wc(t: pa.Table) -> pa.Table:
+        la = pc.split_pattern_regex(pc.utf8_trim_whitespace(
+            pc.fill_null(pc.cast(t["text"], pa.string()), "")),
+            r"\s+").combine_chunks()
+        s = pd.Series(la.flatten().to_numpy(zero_copy_only=False))
+        vc = s[s != ""].value_counts()
+        return pa.table({"word": pa.array(vc.index.to_numpy(), pa.string()),
+                         "cnt": pa.array(vc.to_numpy(), pa.int64())})
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("word", sort=False)["cnt"].sum()
+                .reset_index())
+
+    vocab = {r["word"]: int(r["cnt"])
+             for r in grouped(docs.map_batches(wc, batch_format="pyarrow"),
+                              "word", part).take_all()}
+
+    syms = {w: list(w) + ["</w>"] for w in vocab}
+    ranks, lefts, rights, mergeds, counts = [], [], [], [], []
+    for rank in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for w, c in vocab.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+        if not pair_counts:
+            break
+        negc, a, b = min((-c, p[0], p[1]) for p, c in pair_counts.items())
+        merged = a + b
+        ranks.append(rank)
+        lefts.append(a)
+        rights.append(b)
+        mergeds.append(merged)
+        counts.append(-negc)
+        for w, s in syms.items():
+            if a not in s:
+                continue
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return ray.data.from_arrow(pa.table({
+        "rank": pa.array(ranks, pa.int64()),
+        "left": pa.array(lefts, pa.string()),
+        "right": pa.array(rights, pa.string()),
+        "merged": pa.array(mergeds, pa.string()),
+        "pair_count": pa.array(counts, pa.int64())}))
+
+
 def gopher_repetition_docs(sf_dir: str) -> "ray.data.Dataset":
     """Within-doc n-gram repetition signals — the Gopher repetition
     filters (Rae et al. 2021, table A1) as integer-exact columns, one

@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_intervals_docs": docs.dup_span_intervals_docs,
         "dup_span_removal_docs": docs.dup_span_removal_docs,
         "gopher_repetition_docs": docs.gopher_repetition_docs,
+        "bpe_train_docs": docs.bpe_train_docs,
         "distinctive_terms_docs": docs.distinctive_terms_docs,
         "stratified_sample_docs": docs.stratified_sample_docs,
         "length_weighted_sample_docs": docs.length_weighted_sample_docs,

@@ -1140,6 +1140,27 @@ def test_gopher_repetition_handcrafted(tmp_path):
     assert rows[1]["text_chars"] == len(texts[1])
 
 
+def test_bpe_train_sennrich_classic(tmp_path):
+    """The canonical BPE example (low/lower/newest/widest) with known
+    deterministic merge order: es, est, est</w>, lo."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+    corpus = " ".join(["low"] * 5 + ["lower"] * 2
+                      + ["newest"] * 6 + ["widest"] * 3)
+    # split across two docs: the word-count shuffle must merge partials
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([corpus, corpus], pa.string())}),
+        tmp_path / "documents.parquet")
+    rows = sorted(docs_mod.bpe_train_docs(str(tmp_path), n_merges=4)
+                  .take_all(), key=lambda r: r["rank"])
+    got = [(r["left"], r["right"], r["merged"], r["pair_count"])
+           for r in rows]
+    assert got == [("e", "s", "es", 18), ("es", "t", "est", 18),
+                   ("est", "</w>", "est</w>", 18), ("l", "o", "lo", 14)]
+
+
 def test_dup_span_removal_bruteforce_parity():
     import collections
 
