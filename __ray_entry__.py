@@ -445,6 +445,36 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_distinct_tokens
             FROM documents
         """,
+        # PII redaction: stepwise RE2 replacement replayed exactly —
+        # order (email -> phone -> ipv4) is part of the contract
+        "pii_redact_docs": """
+            WITH s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+                           )) AS n_email,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t1
+                FROM documents),
+            s2 AS (
+                SELECT doc_id, n_email,
+                       len(regexp_extract_all(t1,
+                           '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}')) AS n_phone,
+                       regexp_replace(t1,
+                           '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}',
+                           '<PHONE>', 'g') AS t2
+                FROM s1)
+            SELECT doc_id,
+                   regexp_replace(t2, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b',
+                                  '<IP>', 'g') AS clean_text,
+                   CAST(n_email AS BIGINT) AS n_email,
+                   CAST(n_phone AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(t2,
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT)
+                       AS n_ipv4
+            FROM s2 ORDER BY doc_id
+        """,
         # Gopher within-doc repetition: most-frequent 2-/3-gram char
         # mass + duplicated-5-gram token coverage (integer-exact)
         "gopher_repetition_docs": """

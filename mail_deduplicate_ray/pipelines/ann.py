@@ -599,3 +599,60 @@ def knn_graph_embeddings(sf_dir: str, k: int = 5,
             "rank": pa.array(out["rank"].to_numpy(), pa.int64())})
 
     return bucketing.grouped(partials, "vec_id", merge)
+
+
+def kcenter_sample_embeddings(sf_dir: str, k: int = 16) -> "ray.data.Dataset":
+    """Greedy k-center (farthest-point) DIVERSITY sampling — the coreset
+    selection a curation pipeline runs to pick maximally-spread exemplars
+    (Gonzalez 1985; Sener & Savarese 2018 for data selection).  Output:
+    (rank, vec_id, dist) — dist = cosine distance to the previously
+    chosen set (rank 0 seeds at the smallest vec_id, dist 0).
+
+    Scale shape: k streaming passes over the column-pruned embeddings
+    read; each pass broadcasts the (rank, d) chosen-center matrix via
+    ``ray.put`` and emits ONE (best_dist, best_id) row per batch — the
+    driver reduces n_batches rows, never the corpus.  Deterministic:
+    ties break to the smallest vec_id at every step.  O(k) passes is
+    the standard coreset trade (k is tens, not thousands)."""
+    import pyarrow.parquet as pq
+
+    ds = _read(sf_dir)
+
+    # seed pass: smallest vec_id (one tiny row per batch to the driver)
+    def min_id(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"vec_id": pa.array([int(ids.min())], pa.int64())})
+
+    seed = min(r["vec_id"] for r in
+               ds.map_batches(min_id, batch_format="pyarrow").take_all())
+
+    def fetch(vec_id: int) -> np.ndarray:
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "==", vec_id)])
+        return _norm(_to_matrix(t)[1])[0]
+
+    chosen = [seed]
+    dists = [0.0]
+    centers = [fetch(seed)]
+    for _rank in range(1, k):
+        cref = ray.put(np.stack(centers))
+
+        def far(t: pa.Table, cref=cref) -> pa.Table:
+            ids, emb = _to_matrix(t)
+            d = 1.0 - (_norm(emb) @ ray.get(cref).T).max(axis=1)
+            j = int(np.lexsort((ids, -d))[0])  # max dist, tie -> min id
+            return pa.table({
+                "vec_id": pa.array([int(ids[j])], pa.int64()),
+                "dist": pa.array([float(d[j])], pa.float64())})
+
+        parts = ds.map_batches(far, batch_format="pyarrow").take_all()
+        _nd, best_id, best_d = min(
+            (-r["dist"], r["vec_id"], r["dist"]) for r in parts)
+        chosen.append(best_id)
+        dists.append(best_d)
+        centers.append(fetch(best_id))
+    return ray.data.from_arrow(pa.table({
+        "rank": pa.array(range(len(chosen)), pa.int64()),
+        "vec_id": pa.array(chosen, pa.int64()),
+        "dist": pa.array(dists, pa.float64())}))

@@ -2172,6 +2172,39 @@ def token_repetition_docs(sf_dir: str) -> "ray.data.Dataset":
         f, batch_format="pyarrow")
 
 
+# PII patterns shared verbatim with the DuckDB oracle (both engines are
+# RE2, so semantics match exactly); applied in this order — email first
+# so its domain dots can't partially match as an IP
+PII_PATTERNS = (
+    ("n_email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("n_phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+    ("n_ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_redact_docs(sf_dir: str) -> "ray.data.Dataset":
+    """PII redaction — regex scrub of emails / phone numbers / IPv4s,
+    each replaced by a typed token, with per-kind match counts.  Pure
+    per-doc vectorized map (pyarrow RE2 kernels), zero shuffle; the
+    DuckDB oracle replays the identical RE2 patterns stepwise so
+    replacement ORDER is part of the checked contract."""
+    def f(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        out: dict = {"doc_id": t["doc_id"]}
+        counts = {}
+        for name, pat, rep in PII_PATTERNS:
+            counts[name] = pc.cast(
+                pc.count_substring_regex(text, pat), pa.int64())
+            text = pc.replace_substring_regex(text, pat, rep)
+        out["clean_text"] = text
+        out.update(counts)
+        return pa.table(out)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow").sort("doc_id")
+
+
 def bpe_train_docs(sf_dir: str, n_merges: int = 30) -> "ray.data.Dataset":
     """BPE tokenizer TRAINING over the corpus (Sennrich et al. 2016) —
     the op a training-data pipeline runs before tokenize-and-shard.

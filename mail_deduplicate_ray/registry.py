@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_removal_docs": docs.dup_span_removal_docs,
         "gopher_repetition_docs": docs.gopher_repetition_docs,
         "bpe_train_docs": docs.bpe_train_docs,
+        "pii_redact_docs": docs.pii_redact_docs,
         "distinctive_terms_docs": docs.distinctive_terms_docs,
         "stratified_sample_docs": docs.stratified_sample_docs,
         "length_weighted_sample_docs": docs.length_weighted_sample_docs,
@@ -121,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_top10": ann.ann_ivf_topk,          # rows-only (recall-gated)
         "semdedup_embeddings": ann.semdedup_embeddings,  # rows-only (brute-force parity-tested)
         "knn_graph_embeddings": ann.knn_graph_embeddings,
+        "kcenter_sample_embeddings": ann.kcenter_sample_embeddings,
         # --- clips flagship (non-SQL: synthesized audio corpus) ---
         "clips_flagship": clips.flagship_clusters,          # rows-only
         "clips_exact_dedup": clips.clips_exact_dedup,       # rows-only

@@ -1140,6 +1140,61 @@ def test_gopher_repetition_handcrafted(tmp_path):
     assert rows[1]["text_chars"] == len(texts[1])
 
 
+def test_pii_redact_handcrafted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+    texts = [
+        "contact bob.smith+x@corp.example.org or 555-123-4567 now",
+        "server at 10.0.0.1 and 192.168.1.255 plus a@b.io",
+        "no pii here at all",
+        "",
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet")
+    rows = {r["doc_id"]: r for r in
+            docs_mod.pii_redact_docs(str(tmp_path)).take_all()}
+    assert rows[0]["clean_text"] == "contact <EMAIL> or <PHONE> now"
+    assert (rows[0]["n_email"], rows[0]["n_phone"], rows[0]["n_ipv4"]) \
+        == (1, 1, 0)
+    assert rows[1]["clean_text"] == "server at <IP> and <IP> plus <EMAIL>"
+    assert rows[1]["n_ipv4"] == 2 and rows[1]["n_email"] == 1
+    assert rows[2]["clean_text"] == texts[2]
+    assert rows[3]["clean_text"] == "" and rows[3]["n_email"] == 0
+
+
+def test_kcenter_sample_bruteforce_parity():
+    import numpy as np
+    import pyarrow.parquet as pq
+    from mail_deduplicate_ray.pipelines import ann as ann_mod
+    d = "/root/testdata/sf0.001"
+    k = 8
+    t = pq.read_table(f"{d}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids, emb = ann_mod._to_matrix(t)
+    emb = ann_mod._norm(emb)
+    order = np.argsort(ids)
+    ids, emb = ids[order], emb[order]
+    chosen = [0]
+    want = [(0, int(ids[0]), 0.0)]
+    for rank in range(1, k):
+        dmin = 1.0 - (emb @ emb[chosen].T).max(axis=1)
+        j = int(np.lexsort((ids, -dmin))[0])
+        chosen.append(j)
+        want.append((rank, int(ids[j]), float(dmin[j])))
+    got = [(r["rank"], r["vec_id"], r["dist"]) for r in sorted(
+        ann_mod.kcenter_sample_embeddings(d, k=k).take_all(),
+        key=lambda r: r["rank"])]
+    assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+    np.testing.assert_allclose([g[2] for g in got],
+                               [w[2] for w in want], atol=1e-9)
+    # diversity invariant: chosen farthest distances are non-increasing
+    ds = [g[2] for g in got][1:]
+    assert all(a >= b - 1e-12 for a, b in zip(ds, ds[1:]))
+
+
 def test_bpe_train_sennrich_classic(tmp_path):
     """The canonical BPE example (low/lower/newest/widest) with known
     deterministic merge order: es, est, est</w>, lo."""
