@@ -734,6 +734,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events, unnest(generate_series(0, 4)) AS t(g)
             GROUP BY 1, 2 ORDER BY user_id, window_id
         """,
+        # streaming burst dedup: drop events whose same-(user, type)
+        # predecessor is <= 60 s older (LAG semantics)
+        "events_dedup_burst": """
+            WITH x AS (
+                SELECT event_id, user_id, event_type,
+                       epoch_us(ts) AS ts_us,
+                       lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev
+                FROM events)
+            SELECT event_id, user_id, event_type, ts_us
+            FROM x
+            WHERE prev IS NULL OR ts_us - prev > 60000000
+            ORDER BY event_id
+        """,
         "events_sessions": """
             WITH ordered AS (
                 SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -59,7 +59,7 @@ BENCH_QUERIES = [
     "leakage_free_splits_docs", "lang_adaptive_length_filter_docs",
     "mixture_rebalance_docs", "global_shuffle_order_docs",
     "dup_span_removal_docs", "gopher_repetition_docs", "bpe_train_docs",
-    "pii_redact_docs", "kcenter_sample_embeddings",
+    "pii_redact_docs", "kcenter_sample_embeddings", "events_dedup_burst",
 ]
 
 

@@ -130,11 +130,20 @@ def _canonical_codes(bits: list[int], vals: list[int],
     return out
 
 
-def _decode_table(bits: list[int], vals: list[int],
-                  ) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol for the decoder side."""
-    return {(ln, code): sym
-            for sym, (code, ln) in _canonical_codes(bits, vals).items()}
+def _decode_table(bits: list[int], vals: list[int]):
+    """Decoder tables: (fast, slow).  ``fast`` maps the next 8 bits to
+    (symbol, code_length) for all codes <= 8 bits (the overwhelmingly
+    common case — one dict hit per symbol); ``slow`` is the exact
+    (length, code) -> symbol map walked bit-by-bit for longer codes."""
+    codes = _canonical_codes(bits, vals)
+    slow = {(ln, code): sym for sym, (code, ln) in codes.items()}
+    fast: dict[int, tuple[int, int]] = {}
+    for sym, (code, ln) in codes.items():
+        if ln <= 8:
+            base = code << (8 - ln)
+            for pad in range(1 << (8 - ln)):
+                fast[base | pad] = (sym, ln)
+    return fast, slow
 
 
 class _JBitWriter:
@@ -351,32 +360,59 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
 # ---------------- decoder ----------------
 
 class _JBitReader:
-    """Bit reader over UNSTUFFED scan bytes (0xFF00 already collapsed)."""
+    """Bit reader over UNSTUFFED scan bytes (0xFF00 already collapsed).
+    Python-int accumulator (no per-bit array indexing); Huffman symbols
+    resolve via one 8-bit table probe in the common case."""
 
     def __init__(self, data: bytes) -> None:
-        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
-        self.pos = 0
+        self.data = data
+        self.bytepos = 0
+        self.acc = 0
+        self.nacc = 0
 
-    def read_bit(self) -> int:
-        if self.pos >= len(self.bits):
-            raise ValueError("truncated JPEG scan")
-        b = int(self.bits[self.pos])
-        self.pos += 1
-        return b
+    def _fill(self, n: int) -> None:
+        while self.nacc < n:
+            if self.bytepos >= len(self.data):
+                raise ValueError("truncated JPEG scan")
+            self.acc = (self.acc << 8) | self.data[self.bytepos]
+            self.bytepos += 1
+            self.nacc += 8
 
     def read(self, n: int) -> int:
-        if self.pos + n > len(self.bits):
-            raise ValueError("truncated JPEG scan")
-        v = int(self.bits[self.pos:self.pos + n]
-                @ (1 << np.arange(n - 1, -1, -1, dtype=np.int64))) if n else 0
-        self.pos += n
+        if n == 0:
+            return 0
+        self._fill(n)
+        self.nacc -= n
+        v = (self.acc >> self.nacc) & ((1 << n) - 1)
+        self.acc &= (1 << self.nacc) - 1
         return v
 
-    def huff(self, table: dict[tuple[int, int], int]) -> int:
+    def _peek8(self) -> int:
+        # near stream end, missing bits read as 0 (never forms a valid
+        # longer code than what remains, so truncation still errors)
+        if self.nacc < 8 and self.bytepos < len(self.data):
+            self._fill(8)
+        if self.nacc >= 8:
+            return (self.acc >> (self.nacc - 8)) & 0xFF
+        return (self.acc << (8 - self.nacc)) & 0xFF
+
+    def _drop(self, n: int) -> None:
+        if self.nacc < n:
+            raise ValueError("truncated JPEG scan")
+        self.nacc -= n
+        self.acc &= (1 << self.nacc) - 1
+
+    def huff(self, table) -> int:
+        fast, slow = table
+        hit = fast.get(self._peek8())
+        if hit is not None:
+            sym, ln = hit
+            self._drop(ln)
+            return sym
         code = 0
         for ln in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((ln, code))
+            code = (code << 1) | self.read(1)
+            sym = slow.get((ln, code))
             if sym is not None:
                 return sym
         raise ValueError("invalid JPEG Huffman code")

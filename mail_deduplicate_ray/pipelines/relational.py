@@ -160,6 +160,39 @@ def events_sessions(sf_dir: str, gap_s: int = 1800) -> "ray.data.Dataset":
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def events_dedup_burst(sf_dir: str, window_s: int = 60) -> "ray.data.Dataset":
+    """Telemetry burst dedup — the STREAMING member of the dedup family:
+    an event is dropped when the previous event of the same
+    (user, event_type) is <= ``window_s`` older (LAG semantics: gap to
+    the previous RAW event, the standard duplicate-beacon filter).
+    One composite-key bucketed shuffle (grouped_multi), vectorized
+    shift/compare inside the partition — no per-key Python loop.
+    Output: the kept rows with integer-exact epoch-us timestamps."""
+    import pandas as pd
+
+    from mail_deduplicate_ray.stages.bucketing import grouped_multi
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "ts", "event_id"])
+        us = df["ts"].astype("int64")  # epoch us (same as events_sessions)
+        key_change = (df["user_id"].ne(df["user_id"].shift())
+                      | df["event_type"].ne(df["event_type"].shift()))
+        keep = (key_change | ((us - us.shift())
+                              > window_s * 1_000_000)).fillna(True)
+        out = df[keep]
+        return pd.DataFrame({
+            "event_id": out["event_id"].astype("int64"),
+            "user_id": out["user_id"].astype("int64"),
+            "event_type": out["event_type"],
+            "ts_us": us[keep].astype("int64"),
+        })
+
+    return grouped_multi(ds, ["user_id", "event_type"], part) \
+        .sort("event_id")
+
+
 def events_per_day(sf_dir: str) -> "ray.data.Dataset":
     """Date normalization (M4, ref: mail.py:567-576) + native Ray
     aggregate: events per UTC day via groupby().aggregate(Count)."""

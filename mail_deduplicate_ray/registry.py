@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_conversion": relational.daily_conversion,
         "busiest_user_per_day": relational.busiest_user_per_day,
         "events_sessions": relational.events_sessions,
+        "events_dedup_burst": relational.events_dedup_burst,
         "keep_oldest_per_user": relational.keep_oldest_per_user,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "orders_by_status": relational.orders_by_status,
