@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "mixture_rebalance_docs", "global_shuffle_order_docs",
     "dup_span_removal_docs", "gopher_repetition_docs", "bpe_train_docs",
     "pii_redact_docs", "kcenter_sample_embeddings", "events_dedup_burst",
+    "clips_mel_embeddings", "clips_audio_ann_top5",
 ]
 
 

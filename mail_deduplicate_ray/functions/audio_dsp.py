@@ -161,3 +161,52 @@ def snr_estimate_db(pcm: np.ndarray, frame: int = 256) -> float:
     if floor <= 0.0:
         floor = 1e-12
     return float(10.0 * np.log10(max(mean, 1e-12) / floor))
+
+
+# ---- log-mel embedding (fixed-dim audio feature for similarity search) ----
+
+_MEL_BANKS: dict = {}
+
+
+def _mel_bank(sr: int, frame: int, n_mels: int) -> np.ndarray:
+    """(n_mels, frame//2+1) triangular mel filterbank (HTK mel scale),
+    cached per (sr, frame, n_mels) — built once per worker."""
+    key = (sr, frame, n_mels)
+    bank = _MEL_BANKS.get(key)
+    if bank is None:
+        nfft = frame // 2 + 1
+        mmax = 2595.0 * np.log10(1.0 + (sr / 2.0) / 700.0)
+        hz = 700.0 * (10.0 ** (np.linspace(0.0, mmax, n_mels + 2)
+                               / 2595.0) - 1.0)
+        bins = np.floor((frame + 1) * hz / sr).astype(int)
+        bins = np.clip(bins, 0, nfft - 1)
+        bank = np.zeros((n_mels, nfft))
+        for m in range(1, n_mels + 1):
+            lo, ctr, hi = bins[m - 1], bins[m], bins[m + 1]
+            for k in range(lo, ctr):
+                bank[m - 1, k] = (k - lo) / max(1, ctr - lo)
+            for k in range(ctr, hi):
+                bank[m - 1, k] = (hi - k) / max(1, hi - ctr)
+        _MEL_BANKS[key] = bank
+    return bank
+
+
+def log_mel_embedding(pcm: np.ndarray, sr: int, n_mels: int = 24,
+                      frame: int = 512) -> np.ndarray:
+    """Whole-clip audio embedding: non-overlapping ``frame``-sample
+    windows -> |rfft| -> mel filterbank -> log1p -> mean+std pooling
+    over time -> L2-normalized (2*n_mels,) float32.  The classic cheap
+    audio descriptor for similarity search: robust to codec re-encode
+    noise (log compression) and to moderate re-timing (global pooling)."""
+    n = (len(pcm) // frame) * frame
+    if n == 0:
+        buf = np.zeros(frame)
+        buf[:len(pcm)] = pcm
+        frames = buf.reshape(1, frame)
+    else:
+        frames = pcm[:n].astype(np.float64).reshape(-1, frame)
+    mag = np.abs(np.fft.rfft(frames, axis=1))
+    mel = np.log1p(mag @ _mel_bank(sr, frame, n_mels).T)
+    v = np.concatenate([mel.mean(axis=0), mel.std(axis=0)])
+    nv = float(np.linalg.norm(v))
+    return (v / nv if nv > 0 else v).astype(np.float32)

@@ -165,3 +165,109 @@ def clips_landmark_pairs(sf_dir: str) -> "ray.data.Dataset":
     from mail_deduplicate_ray.stages.landmarks import landmark_pairs
 
     return landmark_pairs(read_clips(sf_dir)).sort(["a_clip", "b_clip"])
+
+
+def clips_mel_embeddings(sf_dir: str, n_mels: int = 24) -> "ray.data.Dataset":
+    """Per-clip log-mel audio embedding (rows-only query): full-PCM
+    decode in an actor pool -> 2*n_mels L2-normalized descriptor —
+    the feature column the audio similarity-search path consumes."""
+    from mail_deduplicate_ray.stages import bucketing
+    from mail_deduplicate_ray.stages.audio_stats import MelEmbeddingStage
+
+    ds = read_clips(sf_dir)
+    _, hi = bucketing.pool_size()
+    out = ds.map_batches(
+        MelEmbeddingStage, fn_constructor_args=(n_mels,),
+        batch_format="pyarrow", batch_size=128,
+        concurrency=(max(1, hi // 2), max(1, hi - 1)), num_cpus=1)
+    return out.select_columns(["clip_id", "embedding", "audio_ok"])
+
+
+def clips_audio_ann_top5(sf_dir: str, n_queries: int = 8,
+                         k: int = 5) -> "ray.data.Dataset":
+    """Similarity search over REAL audio features (rows-only query):
+    brute-force cosine top-k of every corpus clip against the
+    ``n_queries`` lexicographically-smallest clips' log-mel embeddings.
+
+    Scale shape (the ann.py brute-force convention): the query side is
+    tiny and broadcast ONCE via ray.put; the corpus side streams through
+    the embedding actor pool, each batch emitting only its top-k rows
+    per query (partial top-k); a per-query merge reduces n_batches * k
+    rows.  Self-matches are excluded."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    from mail_deduplicate_ray.stages import bucketing
+
+    embs = clips_mel_embeddings(sf_dir)
+
+    # query side: the n_queries lexicographically-smallest clip_ids,
+    # fetched by parquet predicate pushdown (the _load_queries idiom,
+    # ann.py) and featurized driver-side — never a corpus pass
+    from mail_deduplicate_ray import codecs
+    from mail_deduplicate_ray.functions import audio_dsp
+
+    boundary = f"clip-{n_queries:08d}"
+    t = pq.read_table(str(clips_path(sf_dir)),
+                      columns=["clip_id", "bytes", "codec"],
+                      filters=[("clip_id", "<", boundary)])
+    qids: list[str] = []
+    qvecs: list[np.ndarray] = []
+    for cid, payload, codec in sorted(
+            zip(t["clip_id"].to_pylist(), t["bytes"].to_pylist(),
+                t["codec"].to_pylist()))[:n_queries]:
+        try:
+            pcm, sr = codecs.decode(payload, codec or None)
+        except (ValueError, NotImplementedError):
+            continue
+        qids.append(cid)
+        qvecs.append(audio_dsp.log_mel_embedding(pcm, sr))
+    qmat = np.asarray(qvecs, dtype=np.float64)
+    qref = ray.put((qids, qmat))
+
+    def score(t: pa.Table, qref=qref) -> pa.Table:
+        ids_, qm = ray.get(qref)
+        t = t.filter(t["audio_ok"])
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"query_id": pa.array([], pa.string()),
+                             "clip_id": pa.array([], pa.string()),
+                             "sim_udeg": pa.array([], pa.int64())})
+        col = t["embedding"].combine_chunks()
+        emb = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(n, -1)
+        cids = np.asarray(t["clip_id"].to_pylist())
+        sims = emb @ qm.T  # (n, Q); both sides already L2-normalized
+        out_q, out_c, out_s = [], [], []
+        for qi, qid in enumerate(ids_):
+            s = sims[:, qi]
+            top = np.lexsort((cids, -s))[:k + 1]  # +1 covers self row
+            for j in top:
+                out_q.append(qid)
+                out_c.append(str(cids[j]))
+                # integer micro-sim keeps output hash-stable (cents rule)
+                out_s.append(int(round(s[j] * 1_000_000)))
+        return pa.table({"query_id": pa.array(out_q, pa.string()),
+                         "clip_id": pa.array(out_c, pa.string()),
+                         "sim_udeg": pa.array(out_s, pa.int64())})
+
+    partials = embs.map_batches(score, batch_format="pyarrow")
+
+    def merge(df):
+        import pandas as pd
+        df = df[df["query_id"] != df["clip_id"]]
+        df = df.sort_values(["query_id", "sim_udeg", "clip_id"],
+                            ascending=[True, False, True])
+        out = df.groupby("query_id", sort=False).head(k).copy()
+        out["rank"] = out.groupby("query_id", sort=False).cumcount() \
+            .astype("int64")
+        return pd.DataFrame({
+            "query_id": out["query_id"],
+            "rank": out["rank"],
+            "clip_id": out["clip_id"],
+            "sim_udeg": out["sim_udeg"].astype("int64")})
+
+    return bucketing.grouped(partials, "query_id", merge, nbuckets=8) \
+        .sort(["query_id", "rank"])

@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "videos_frame_neardup": videos.videos_frame_neardup,  # rows-only (planted-truth recall test)
         "clips_signatures": clips.clips_signature_table,    # rows-only
         "clips_landmark_pairs": clips.clips_landmark_pairs,  # rows-only (planted-truth recall test)
+        "clips_mel_embeddings": clips.clips_mel_embeddings,  # rows-only (kernel unit-tested)
+        "clips_audio_ann_top5": clips.clips_audio_ann_top5,  # rows-only (brute-force parity test)
     }
 
 

@@ -177,3 +177,29 @@ class LoudnessStage:
                 .append_column("peak_mdb", pa.array(peak_mdb))
                 .append_column("gain_mdb", pa.array(gain_mdb))
                 .append_column("limited", pa.array(limited)))
+
+
+class MelEmbeddingStage:
+    """Per-clip log-mel embedding: (clip_id, embedding, audio_ok); the
+    payload is dropped on exit (dehydration rule).  The mel filterbank
+    is built once per (sr, frame, n_mels) inside the actor and cached —
+    classic init-once state (ST1)."""
+
+    def __init__(self, n_mels: int = 24, frame: int = 512) -> None:
+        self.n_mels = n_mels
+        self.frame = frame
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        dims = 2 * self.n_mels
+        embs = np.zeros((n, dims), np.float32)
+        ok = np.zeros(n, dtype=bool)
+        for i, pcm, sr in iter_decoded(batch):
+            ok[i] = True
+            embs[i] = audio_dsp.log_mel_embedding(pcm, sr, self.n_mels,
+                                                  self.frame)
+        out = batch.drop_columns(["bytes"])
+        return (out.append_column(
+                    "embedding", pa.array(embs.tolist(),
+                                          pa.list_(pa.float32(), dims)))
+                .append_column("audio_ok", pa.array(ok)))

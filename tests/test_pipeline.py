@@ -1140,6 +1140,63 @@ def test_gopher_repetition_handcrafted(tmp_path):
     assert rows[1]["text_chars"] == len(texts[1])
 
 
+def test_clips_audio_ann_bruteforce_parity():
+    """Audio similarity search == driver brute force with the same
+    kernels: per-query ranking (incl. integer micro-sims) must match
+    exactly at any batching."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from mail_deduplicate_ray import codecs
+    from mail_deduplicate_ray.functions import audio_dsp
+    from mail_deduplicate_ray.pipelines import clips as clips_mod
+    sf = "/root/testdata/sf0.001"
+    path = clips_mod.clips_path(sf)
+    t = pq.read_table(str(path), columns=["clip_id", "bytes", "codec"])
+    feats = {}
+    for cid, payload, codec in zip(t["clip_id"].to_pylist(),
+                                   t["bytes"].to_pylist(),
+                                   t["codec"].to_pylist()):
+        try:
+            pcm, sr = codecs.decode(payload, codec or None)
+        except (ValueError, NotImplementedError):
+            continue
+        feats[cid] = audio_dsp.log_mel_embedding(pcm, sr)
+    qids = sorted(feats)[:8]
+    cids = np.asarray(sorted(feats))
+    mat = np.asarray([feats[c] for c in cids], dtype=np.float64)
+    want = []
+    for qid in qids:
+        s = mat @ np.asarray(feats[qid], dtype=np.float64)
+        us = np.round(s * 1_000_000).astype(np.int64)
+        order = np.lexsort((cids, -us))
+        rows = [(qid, c, int(u)) for c, u in zip(cids[order], us[order])
+                if c != qid][:5]
+        want.extend((qid, r, c, u) for r, (q, c, u) in enumerate(rows))
+    got = [(r["query_id"], r["rank"], r["clip_id"], r["sim_udeg"])
+           for r in clips_mod.clips_audio_ann_top5(sf).take_all()]
+    assert sorted(got) == sorted(want)
+    # planted duplicate structure: at least one query's top hit is a
+    # true near-copy (very high cosine)
+    assert max(u for _q, r, _c, u in got if r == 0) > 990_000
+
+
+def test_log_mel_embedding_kernel():
+    import numpy as np
+    from mail_deduplicate_ray.functions import audio_dsp
+    sr = 8000
+    t = np.arange(sr) / sr
+    a = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    b = (a + 0.01 * np.random.default_rng(0)
+         .standard_normal(sr)).astype(np.float32)
+    c = np.sin(2 * np.pi * 1997 * t).astype(np.float32)
+    ea, eb, ec = (audio_dsp.log_mel_embedding(x, sr) for x in (a, b, c))
+    assert ea.shape == (48,) and abs(np.linalg.norm(ea) - 1) < 1e-5
+    assert float(ea @ eb) > 0.99          # noise-robust
+    assert float(ea @ ec) < 0.9           # different tones separate
+    # short clip pads, doesn't crash
+    assert audio_dsp.log_mel_embedding(a[:100], sr).shape == (48,)
+
+
 def test_pii_redact_handcrafted(tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
