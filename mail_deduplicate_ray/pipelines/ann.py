@@ -656,3 +656,133 @@ def kcenter_sample_embeddings(sf_dir: str, k: int = 16) -> "ray.data.Dataset":
         "rank": pa.array(range(len(chosen)), pa.int64()),
         "vec_id": pa.array(chosen, pa.int64()),
         "dist": pa.array(dists, pa.float64())}))
+
+
+def _pq_train(sample: np.ndarray, m: int, ksub: int,
+              seed: int = 11) -> np.ndarray:
+    """Train PQ codebooks (Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search") on a bounded driver-side sample of
+    L2-NORMALIZED vectors: split d dims into ``m`` contiguous subspaces
+    and run seeded k-means (``ksub`` centroids) independently in each.
+    Returns (m, ksub, d//m) float64 — a few hundred KB regardless of
+    corpus size, broadcast once via ``ray.put``."""
+    n, d = sample.shape
+    dsub = d // m
+    assert m * dsub == d, f"dims {d} not divisible by m={m}"
+    books = np.empty((m, ksub, dsub), np.float64)
+    for j in range(m):
+        sub = np.ascontiguousarray(sample[:, j * dsub:(j + 1) * dsub])
+        books[j] = _kmeans(sub.copy(), ksub, seed=seed + j)
+    return books
+
+
+def _pq_encode(emb_n: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) normalized vectors -> (n, m) uint8 codes: nearest centroid
+    per subspace via the matmul distance form — no (n, k, d) temporaries."""
+    n, d = emb_n.shape
+    m, ksub, dsub = books.shape
+    codes = np.empty((n, m), np.uint8)
+    for j in range(m):
+        sub = emb_n[:, j * dsub:(j + 1) * dsub]
+        codes[:, j] = _sq_dists(sub, books[j]).argmin(axis=1)
+    return codes
+
+
+class _PQScorer:
+    """Actor-pool stage for PQ/ADC search: codebooks + queries broadcast
+    once, fetched in ``__init__``.  Per batch: encode the corpus rows to
+    (n, m) uint8 codes (this is what would be PRECOMPUTED and stored as
+    an m-byte-per-vector column at 10^12 scale — 8 bytes/vec vs 256 for
+    the raw float32s), score every query against every row through the
+    (m, ksub) inner-product lookup tables (asymmetric distance
+    computation: query stays float, corpus is quantized), shortlist the
+    ADC top-``shortlist`` rows, and exactly rerank ONLY those with the
+    true float embeddings still in the batch.  Emits tiny per-batch
+    partials exactly like ``_TopKScorer``."""
+
+    def __init__(self, books_ref, qref, k: int, shortlist: int) -> None:
+        self.books = ray.get(books_ref)          # (m, ksub, dsub)
+        self.q_ids, q = ray.get(qref)
+        self.qn = _norm(q)                       # (Q, d)
+        self.k = k
+        self.shortlist = shortlist
+        m, ksub, dsub = self.books.shape
+        # per-query ADC lookup tables: LUT[q, j, c] = <q_sub_j, books[j, c]>
+        self.lut = np.einsum("qjd,jcd->qjc",
+                             self.qn.reshape(len(self.qn), m, dsub),
+                             self.books)          # (Q, m, ksub)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, emb = _to_matrix(t)
+        emb_n = _norm(emb)
+        codes = _pq_encode(emb_n, self.books)     # (n, m)
+        n, m = codes.shape
+        # ADC: approx_cos[q, i] = sum_j LUT[q, j, codes[i, j]]
+        # gather per subspace (vectorized, no per-row Python)
+        approx = np.zeros((len(self.qn), n), np.float64)
+        for j in range(m):
+            approx += self.lut[:, j, codes[:, j]]
+        kk = min(self.shortlist, n)
+        cand = np.argpartition(-approx, kk - 1, axis=1)[:, :kk]  # (Q, kk)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(self.qn)):
+            rows = cand[qi]
+            exact = emb_n[rows] @ self.qn[qi]     # rerank with true floats
+            top = np.argsort(-exact, kind="stable")[:min(self.k, kk)]
+            out_q.extend([int(self.q_ids[qi])] * len(top))
+            out_v.extend(ids[rows[top]].tolist())
+            out_s.extend(exact[top].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+        })
+
+
+def ann_pq_topk(sf_dir: str, n_queries: int = 8, k: int = 10,
+                m: int = 8, ksub: int = 256,
+                shortlist: int = 64) -> "ray.data.Dataset":
+    """Product-quantization approximate top-k (PQ + ADC + exact rerank)
+    — the BILLION-scale memory path: the corpus compresses to ``m``
+    bytes per vector (32x vs float32 at d=64), scanning is table
+    lookups, and only the per-batch shortlist touches real floats.
+    Complements IVF (which prunes WHICH rows are scanned; PQ shrinks
+    WHAT a scan costs — production systems compose them as IVFADC).
+
+    Scale shape: codebooks train on the same bounded sample as the IVF
+    quantizer and broadcast once; encoding + LUT scan is an actor-pool
+    ``map_batches``; partial top-k per batch -> tiny groupby merge, the
+    exact shape of ``ann_bruteforce_topk``.  Approximate by design:
+    recall vs the exact baseline is gated in tests (rerank over a
+    ``shortlist`` ADC candidates makes the final ranking exact within
+    the shortlist, so output ranks are true cosines, never ADC
+    estimates).  Output: (query_id, vec_id, rank)."""
+    import pyarrow.parquet as pq
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    batches, got = [], 0
+    for b in pf.iter_batches(batch_size=8192,
+                             columns=["vec_id", "embedding"]):
+        batches.append(b)
+        got += b.num_rows
+        if got >= 65_536:
+            break
+    _, x = _to_matrix(pa.Table.from_batches(batches))
+    books = _pq_train(_norm(x), m, min(ksub, max(16, len(x) // 4)))
+    books_ref = ray.put(books)
+    qref = ray.put(_load_queries(sf_dir, n_queries))
+
+    partials = _read(sf_dir).map_batches(
+        _PQScorer, fn_constructor_args=(books_ref, qref, k, shortlist),
+        batch_format="pyarrow", batch_size=4096, concurrency=_pool())
+
+    def final(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("cosine", "descending"),
+                                              ("vec_id", "ascending")])
+        k_eff = min(g.num_rows, k)
+        top = g.take(order[:k_eff])
+        return pa.table({"query_id": top["query_id"],
+                         "vec_id": top["vec_id"],
+                         "rank": pa.array(range(1, k_eff + 1), pa.int64())})
+
+    return partials.groupby("query_id").map_groups(final,
+                                                   batch_format="pyarrow")

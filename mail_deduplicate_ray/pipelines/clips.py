@@ -271,3 +271,242 @@ def clips_audio_ann_top5(sf_dir: str, n_queries: int = 8,
 
     return bucketing.grouped(partials, "query_id", merge, nbuckets=8) \
         .sort(["query_id", "rank"])
+
+
+def clips_cdc_chunks(sf_dir: str) -> "ray.data.Dataset":
+    """Storage-level dedup analysis via content-defined chunking
+    (FastCDC gear-hash, ``functions/cdc.py``): chunk every clip's raw
+    payload at content-determined boundaries, dedup chunks globally,
+    and report the corpus storage profile — ONE summary row
+    (total_chunks, unique_chunks, total_bytes, unique_bytes,
+    dedup_ratio_pm, max_chunk_refs).  dedup_ratio_pm = per-mille of
+    total bytes that survive chunk dedup (integer, engine-portable).
+
+    Scale shape: chunking is an actor-pool ``map_batches`` (gear table
+    built once per actor) that emits per-batch DISTINCT chunk partials
+    (hash16, n_bytes, n_refs) — the shuffle moves ~24-byte chunk rows
+    at payload_bytes/4 KB rows per clip, never payload bytes; a
+    bucketed groupby folds partials into unique chunks, then a tiny
+    all-reduce produces the single summary row.  The same chunk table
+    is what a real dedup store would persist as its chunk index.
+    Non-SQL (DuckDB cannot chunk binary) -> rows-only with kernel
+    determinism/shift-resistance unit tests."""
+    import numpy as np
+    import pyarrow as pa
+
+    from mail_deduplicate_ray.stages import bucketing
+
+    class Chunker:
+        def __init__(self) -> None:
+            from mail_deduplicate_ray.functions import cdc
+            self.cdc = cdc
+
+        def __call__(self, t: "pa.Table") -> "pa.Table":
+            import pandas as pd
+            agg: dict[bytes, list[int]] = {}
+            for buf in t["bytes"].to_pylist():
+                if not buf:
+                    continue
+                lens, digests = self.cdc.chunk_payload(buf)
+                for ln, dg in zip(lens.tolist(), digests):
+                    slot = agg.get(dg)
+                    if slot is None:
+                        agg[dg] = [ln, 1]
+                    else:
+                        slot[1] += 1
+            if not agg:
+                return pa.table({"h": pa.array([], pa.binary(16)),
+                                 "n_bytes": pa.array([], pa.int64()),
+                                 "n_refs": pa.array([], pa.int64())})
+            ks = list(agg.keys())
+            v = np.asarray(list(agg.values()), np.int64)
+            return pa.table({"h": pa.array(ks, pa.binary(16)),
+                             "n_bytes": pa.array(v[:, 0], pa.int64()),
+                             "n_refs": pa.array(v[:, 1], pa.int64())})
+
+    _, hi = bucketing.pool_size()
+    partials = read_clips(sf_dir).map_batches(
+        Chunker, batch_format="pyarrow", batch_size=128,
+        concurrency=(max(1, hi // 2), max(1, hi - 1)), num_cpus=1)
+
+    def fold(df) -> "pa.Table":
+        g = (df.groupby("h", sort=False, as_index=False)
+               .agg(n_bytes=("n_bytes", "first"),
+                    n_refs=("n_refs", "sum")))
+        return pa.table({
+            "total_chunks": pa.array([int(g["n_refs"].sum())], pa.int64()),
+            "unique_chunks": pa.array([len(g)], pa.int64()),
+            "total_bytes": pa.array(
+                [int((g["n_bytes"] * g["n_refs"]).sum())], pa.int64()),
+            "unique_bytes": pa.array([int(g["n_bytes"].sum())], pa.int64()),
+            "max_chunk_refs": pa.array(
+                [int(g["n_refs"].max()) if len(g) else 0], pa.int64())})
+
+    per_bucket = bucketing.grouped(partials, "h", fold)
+
+    def summarize(t: "pa.Table") -> "pa.Table":
+        tot_b = sum(t["total_bytes"].to_pylist())
+        uni_b = sum(t["unique_bytes"].to_pylist())
+        return pa.table({
+            "total_chunks": pa.array([sum(t["total_chunks"].to_pylist())],
+                                     pa.int64()),
+            "unique_chunks": pa.array([sum(t["unique_chunks"].to_pylist())],
+                                      pa.int64()),
+            "total_bytes": pa.array([tot_b], pa.int64()),
+            "unique_bytes": pa.array([uni_b], pa.int64()),
+            "dedup_ratio_pm": pa.array(
+                [uni_b * 1000 // tot_b if tot_b else 0], pa.int64()),
+            "max_chunk_refs": pa.array([max(t["max_chunk_refs"].to_pylist(),
+                                            default=0)], pa.int64())})
+
+    import ray as _ray
+    import pyarrow as _pa
+    parts = per_bucket.take_all()
+    if not parts:
+        empty = pa.table({c: pa.array([0], pa.int64()) for c in
+                          ("total_chunks", "unique_chunks", "total_bytes",
+                           "unique_bytes", "dedup_ratio_pm",
+                           "max_chunk_refs")})
+        return ray.data.from_arrow(empty)
+    t = _pa.Table.from_pylist(parts)
+    return ray.data.from_arrow(summarize(t))
+
+
+def clips_tiered_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """TIERED deduplication cascade over the clips corpus — the
+    production shape for web-scale dedup: run detectors cheapest-first
+    and attribute every removal to the FIRST tier that catches it, so
+    each expensive tier only ever sees the previous tier's survivors.
+
+      tier 1 ``exact``       sha256(transcript) equality
+      tier 2 ``normalized``  sha256(normalize_transcript) — lower +
+                             markers stripped + whitespace collapsed
+      tier 3 ``neardup``     MinHash-LSH cluster membership
+      tier 4 ``unique``      survived everything (keeper = own id)
+
+    Output: one row per clip — (clip_id, tier, keeper_id), keeper_id =
+    the lexicographically-smallest member of the tier-group the clip
+    fell into (ref semantics: G7's cascade fall-through re-expressed as
+    detector tiers; the planted corpus kinds map 1:1 — ``exact`` kind
+    -> tier 1, ``whitespace`` -> tier 2, ``nearedit`` -> tier 3).
+
+    Scale shape: ONE transcript pass computes both hash keys (payload
+    bytes are never read — column-pruned scan); tiers 1-2 are
+    successive bucketed groupbys over 28-byte keys, each input
+    pre-filtered to the prior tier's survivors so every shuffle
+    shrinks; tier 3 re-reads only survivor rows via the bucketed
+    ``semi_anti_join`` and runs the engine's own signature -> LSH ->
+    connected-components path.  This is exactly why production
+    pipelines tier: at 10^12 clips the near-dup shuffle runs over the
+    exact-dedup survivors, typically 3-5x smaller.  Non-SQL end-to-end
+    (tier 3 is MinHash) -> rows-only; tiers 1-2 are parity-tested
+    against a pandas recompute and planted-kind attribution is
+    asserted in tests."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from mail_deduplicate_ray.functions import normalize
+    from mail_deduplicate_ray.pipelines import neardup
+    from mail_deduplicate_ray.stages import bucketing, candidates, components
+    from mail_deduplicate_ray.stages.joins import semi_anti_join
+
+    def _sha_col(vals: list, ids: list) -> pa.Array:
+        # empty transcripts are UNUSABLE rows (ref: M8 min-fields reject,
+        # deduplicate.py) — salt with the clip_id so they never group
+        return pa.array(
+            [hashlib.sha256(v.encode()).hexdigest() if v else f"e:{i}"
+             for v, i in zip(vals, ids)], pa.string())
+
+    def keys(t: pa.Table) -> pa.Table:
+        norm = normalize.normalize_transcript(t["transcript"])
+        ids = t["clip_id"].to_pylist()
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "exact_key": _sha_col(
+                [v or "" for v in t["transcript"].to_pylist()], ids),
+            "norm_key": _sha_col(
+                [v or "" for v in norm.to_pylist()], ids)})
+
+    meta = read_clips(sf_dir).map_batches(
+        lambda t: t.select(["clip_id", "transcript"]),
+        batch_format="pyarrow")
+    keyed = meta.map_batches(keys, batch_format="pyarrow")
+
+    def t1(df) -> "pa.Table":
+        keep = df.groupby("exact_key", sort=False)["clip_id"].transform("min")
+        return pa.table({
+            "clip_id": pa.array(df["clip_id"], pa.string()),
+            "norm_key": pa.array(df["norm_key"], pa.string()),
+            "exact_keeper": pa.array(keep, pa.string())})
+
+    tier1 = bucketing.grouped(keyed, "exact_key", t1).materialize()
+
+    tier_exact = tier1.map_batches(
+        lambda t: pa.table({
+            "clip_id": (m := t.filter(pc.not_equal(
+                t["clip_id"], t["exact_keeper"])))["clip_id"],
+            "tier": pa.array(["exact"] * m.num_rows, pa.string()),
+            "keeper_id": m["exact_keeper"]}),
+        batch_format="pyarrow")
+
+    survivors1 = tier1.map_batches(
+        lambda t: t.filter(pc.equal(t["clip_id"], t["exact_keeper"]))
+                   .select(["clip_id", "norm_key"]),
+        batch_format="pyarrow")
+
+    def t2(df) -> "pa.Table":
+        keep = df.groupby("norm_key", sort=False)["clip_id"].transform("min")
+        return pa.table({
+            "clip_id": pa.array(df["clip_id"], pa.string()),
+            "norm_keeper": pa.array(keep, pa.string())})
+
+    tier2 = bucketing.grouped(survivors1, "norm_key", t2).materialize()
+
+    tier_norm = tier2.map_batches(
+        lambda t: pa.table({
+            "clip_id": (m := t.filter(pc.not_equal(
+                t["clip_id"], t["norm_keeper"])))["clip_id"],
+            "tier": pa.array(["normalized"] * m.num_rows, pa.string()),
+            "keeper_id": m["norm_keeper"]}),
+        batch_format="pyarrow")
+
+    survivors2 = tier2.map_batches(
+        lambda t: t.filter(pc.equal(t["clip_id"], t["norm_keeper"]))
+                   .select(["clip_id"]),
+        batch_format="pyarrow")
+
+    # tier 3: the engine's FULL near-dup detector set over the remaining
+    # survivors — decode + signature actor pools, every channel except
+    # ``exact`` (tier 1 already removed byte-identical transcripts, so
+    # the exact channel can only produce empty buckets)
+    surv_rows = semi_anti_join(read_clips(sf_dir), survivors2,
+                               "clip_id", "clip_id")
+
+    cfg = DedupConfig()
+    sigs = neardup.clip_signatures(surv_rows, cfg).materialize()
+    usable = sigs.map_batches(
+        lambda t: t.filter(pc.invert(t["rejected"])), batch_format="pyarrow")
+    tier3_channels = tuple(c for c in candidates.ALL_CHANNELS
+                           if c != "exact")
+    edges = candidates.dedup_edges(
+        candidates.candidate_edges(usable, cfg, channels=tier3_channels))
+    labels = components.connected_components(edges, cfg.cc_max_rounds,
+                                             method=cfg.cc_method)
+    labeled = components.attach_cluster_ids(
+        sigs.select_columns(["clip_id"]), labels)
+
+    def t3(df) -> "pa.Table":
+        keep = df.groupby("cluster_id", sort=False)["clip_id"].transform("min")
+        dup = df["clip_id"].to_numpy() != keep.to_numpy()
+        tier = np.where(dup, "neardup", "unique")
+        return pa.table({
+            "clip_id": pa.array(df["clip_id"], pa.string()),
+            "tier": pa.array(tier.tolist(), pa.string()),
+            "keeper_id": pa.array(keep, pa.string())})
+
+    tier_near = bucketing.grouped(labeled, "cluster_id", t3)
+
+    return tier_exact.union(tier_norm).union(tier_near).sort("clip_id")

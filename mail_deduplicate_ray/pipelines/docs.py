@@ -2811,3 +2811,88 @@ def dup_group_size_histogram(sf_dir: str) -> "ray.data.Dataset":
         lambda t: pa.table({"n_copies": pc.cast(t["n_copies"], pa.int64()),
                             "n_groups": pc.cast(t["n_groups"], pa.int64())}),
         batch_format="pyarrow").sort("n_copies")
+
+def _bpe_encode_word(word: str, ranks: dict) -> list[str]:
+    """Greedy BPE encode (Sennrich et al. 2016 apply rule): repeatedly
+    merge the LOWEST-rank adjacent symbol pair, left-to-right within a
+    pass, until no learned pair remains."""
+    s = list(word) + ["</w>"]
+    while len(s) > 1:
+        best_rank, best = None, None
+        for a, b in zip(s, s[1:]):
+            r = ranks.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, (a, b)
+        if best is None:
+            break
+        a, b = best
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = out
+    return s
+
+
+def bpe_apply_docs(sf_dir: str, n_merges: int = 30) -> "ray.data.Dataset":
+    """Tokenize the corpus with the TRAINED BPE merges (the apply half
+    of ``bpe_train_docs``) and return the corpus token-frequency table
+    — (token, n), n desc / token asc.  This is the tokenize-and-count
+    step a training-data pipeline runs after tokenizer training.
+
+    Scale shape: the merge table is tiny (n_merges rows) and broadcasts
+    once via ``ray.put``; the apply stage is an actor pool whose state
+    is the rank dict PLUS a distinct-word encode cache — Zipf's law
+    means a batch's value_counts collapses to few distinct words, and
+    the cache makes re-encounters free across batches (setup once per
+    actor, never per batch).  Each batch emits per-token partial counts
+    (tiny), folded by one bucketed groupby.  Rows-only query (SQL
+    cannot BPE); parity-tested against a naive per-document reference
+    encode at sf0.001."""
+    import pandas as pd
+    import ray as _ray
+
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    merges = bpe_train_docs(sf_dir, n_merges).take_all()
+    ranks = {(m["left"], m["right"]): m["rank"] for m in merges}
+    ref = _ray.put(ranks)
+
+    class Apply:
+        def __init__(self) -> None:
+            self.ranks = _ray.get(ref)
+            self.cache: dict[str, list[str]] = {}
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            la = pc.split_pattern_regex(pc.utf8_trim_whitespace(
+                pc.fill_null(pc.cast(t["text"], pa.string()), "")),
+                r"\s+").combine_chunks()
+            s = pd.Series(la.flatten().to_numpy(zero_copy_only=False))
+            vc = s[s != ""].value_counts()
+            agg: dict[str, int] = {}
+            for word, cnt in vc.items():
+                toks = self.cache.get(word)
+                if toks is None:
+                    toks = _bpe_encode_word(word, self.ranks)
+                    self.cache[word] = toks
+                for tok in toks:
+                    agg[tok] = agg.get(tok, 0) + int(cnt)
+            return pa.table({
+                "token": pa.array(list(agg.keys()), pa.string()),
+                "n": pa.array(list(agg.values()), pa.int64())})
+
+    from mail_deduplicate_ray.stages.bucketing import pool_size
+
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        Apply, batch_format="pyarrow", batch_size=2048,
+        concurrency=pool_size())
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("token", sort=False)["n"].sum().reset_index()
+
+    return grouped(partials, "token", fold).sort(
+        ["n", "token"], descending=[True, False])

@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_removal_docs": docs.dup_span_removal_docs,
         "gopher_repetition_docs": docs.gopher_repetition_docs,
         "bpe_train_docs": docs.bpe_train_docs,
+        "bpe_apply_docs": docs.bpe_apply_docs,  # rows-only (naive-encode parity test)
         "pii_redact_docs": docs.pii_redact_docs,
         "distinctive_terms_docs": docs.distinctive_terms_docs,
         "stratified_sample_docs": docs.stratified_sample_docs,
@@ -121,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_pairs_lsh": ann.embedding_neardup_pairs_lsh,
         "ann_lsh_buckets": ann.ann_lsh_buckets,     # rows-only
         "ann_ivf_top10": ann.ann_ivf_topk,          # rows-only (recall-gated)
+        "ann_pq_top10": ann.ann_pq_topk,            # rows-only (recall-gated)
         "semdedup_embeddings": ann.semdedup_embeddings,  # rows-only (brute-force parity-tested)
         "knn_graph_embeddings": ann.knn_graph_embeddings,
         "kcenter_sample_embeddings": ann.kcenter_sample_embeddings,
@@ -128,6 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_flagship": clips.flagship_clusters,          # rows-only
         "clips_exact_dedup": clips.clips_exact_dedup,       # rows-only
         "clips_audio_stats": clips.clips_audio_stats,       # rows-only (dBFS kernels unit-tested)
+        "clips_cdc_chunks": clips.clips_cdc_chunks,         # rows-only (FastCDC kernel unit-tested)
+        "clips_tiered_dedup": clips.clips_tiered_dedup,     # rows-only (tiers 1-2 parity-tested, planted-kind attribution)
         "clips_silence_segments": clips.clips_silence_segments,  # rows-only (segmentation kernel unit-tested)
         "clips_loudness": clips.clips_loudness,             # rows-only (gain kernel unit-tested)
         # --- images (real BMP decode -> dhash -> exact Hamming pairs;

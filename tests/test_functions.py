@@ -502,3 +502,70 @@ def test_bloom_sketch_properties():
     # empty filter rejects everything
     empty = sketch.bloom_partial(np.empty(0, np.uint64))
     assert not sketch.bloom_contains(empty, keys).any()
+
+
+class TestCDC:
+    def test_boundaries_respect_bounds_and_cover(self):
+        import numpy as np
+        from mail_deduplicate_ray.functions import cdc
+        rng = np.random.default_rng(5)
+        data = rng.integers(0, 256, 150_000, dtype=np.uint8).tobytes()
+        ends = cdc.chunk_boundaries(data)
+        lens = np.diff(np.concatenate(([0], ends)))
+        assert ends[-1] == len(data)
+        assert (lens[:-1] >= cdc.MIN_SIZE).all()
+        assert (lens <= cdc.MAX_SIZE).all()
+        # average lands near the target (normalized chunking)
+        assert cdc.AVG_SIZE / 2 < lens.mean() < cdc.AVG_SIZE * 2
+
+    def test_determinism_and_identity(self):
+        import numpy as np
+        from mail_deduplicate_ray.functions import cdc
+        rng = np.random.default_rng(6)
+        data = rng.integers(0, 256, 60_000, dtype=np.uint8).tobytes()
+        l1, d1 = cdc.chunk_payload(data)
+        l2, d2 = cdc.chunk_payload(data)
+        assert np.array_equal(l1, l2) and d1 == d2
+        # chunk lengths reconstruct the payload
+        assert int(l1.sum()) == len(data)
+
+    def test_shift_resistance(self):
+        # content-defined: a 7-byte prepend must preserve most chunks
+        import numpy as np
+        from mail_deduplicate_ray.functions import cdc
+        rng = np.random.default_rng(7)
+        data = rng.integers(0, 256, 120_000, dtype=np.uint8).tobytes()
+        _, d1 = cdc.chunk_payload(data)
+        _, d2 = cdc.chunk_payload(b"\x07\x06\x05\x04\x03\x02\x01" + data)
+        shared = len(set(d1) & set(d2)) / len(set(d1))
+        assert shared >= 0.5, shared
+
+    def test_windowed_hash_matches_streaming(self):
+        # gear hash at position i must equal the 64-byte streaming hash
+        import numpy as np
+        from mail_deduplicate_ray.functions import cdc
+        rng = np.random.default_rng(8)
+        arr = rng.integers(0, 256, 300, dtype=np.uint8)
+        h = cdc.gear_hashes(arr)
+        ref = np.uint64(0)
+        for i, b in enumerate(arr):
+            ref = (ref << np.uint64(1)) + cdc.GEAR[b]
+            if i >= 64:
+                # windowed hash keeps only the last 64 terms
+                win = np.uint64(0)
+                for j in range(64):
+                    win = (win << np.uint64(1)) + cdc.GEAR[arr[i - 63 + j]]
+                assert h[i] == win
+
+    def test_min_size_guard(self):
+        import pytest as _pytest
+        from mail_deduplicate_ray.functions import cdc
+        with _pytest.raises(ValueError):
+            cdc.chunk_boundaries(b"x" * 1000, min_size=32)
+
+    def test_tiny_and_empty_payloads(self):
+        import numpy as np
+        from mail_deduplicate_ray.functions import cdc
+        assert len(cdc.chunk_boundaries(b"")) == 0
+        ends = cdc.chunk_boundaries(b"abc")
+        assert list(ends) == [3]

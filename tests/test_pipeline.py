@@ -1302,3 +1302,147 @@ def test_dup_span_removal_bruteforce_parity():
     assert got == want
     assert any(n > 0 for _, n in got.values())      # removal exercised
     assert any(n == 0 for _, n in got.values())     # pass-through exercised
+
+
+def test_ann_pq_recall_vs_bruteforce():
+    # PQ/ADC with an exact-rerank shortlist must recover >=90% of the
+    # exact top-10 (same gate as IVF); ranks within the answer must be
+    # true cosines (rerank), so the top-1 should match exactly.
+    from mail_deduplicate_ray.pipelines import ann
+    d = "/root/testdata/sf0.001"
+    exact, exact_rank1 = {}, {}
+    for r in ann.ann_bruteforce_topk(d).take_all():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+        if r["rank"] == 1:
+            exact_rank1[r["query_id"]] = r["vec_id"]
+    got, got_rank1 = {}, {}
+    for r in ann.ann_pq_topk(d).take_all():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        if r["rank"] == 1:
+            got_rank1[r["query_id"]] = r["vec_id"]
+    assert set(got) == set(exact)
+    hits = sum(len(exact[q] & got[q]) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.9, f"PQ recall {hits/total}"
+    top1_hits = sum(1 for q in exact_rank1 if got_rank1.get(q) == exact_rank1[q])
+    assert top1_hits / len(exact_rank1) >= 0.9
+
+
+def test_pq_encode_roundtrip_quality():
+    # codes must reconstruct well enough that ADC ranks correlate with
+    # true cosines: quantization error per subspace bounded by training
+    import numpy as np
+    from mail_deduplicate_ray.pipelines.ann import (_pq_train, _pq_encode,
+                                                    _norm)
+    rng = np.random.default_rng(3)
+    x = _norm(rng.normal(size=(2000, 64)))
+    books = _pq_train(x, m=8, ksub=64)
+    codes = _pq_encode(x, books)
+    assert codes.shape == (2000, 8) and codes.dtype == np.uint8
+    # reconstruct and check mean cosine with original is high
+    m, ksub, dsub = books.shape
+    recon = np.concatenate(
+        [books[j][codes[:, j]] for j in range(m)], axis=1)
+    cos = (x * _norm(recon)).sum(axis=1)
+    assert cos.mean() > 0.75, cos.mean()
+    # determinism: retrain -> identical books
+    books2 = _pq_train(x, m=8, ksub=64)
+    assert np.array_equal(books, books2)
+
+def test_clips_tiered_dedup():
+    # tiers 1-2 must match a pandas recompute of the same keys exactly;
+    # planted corpus kinds must land in their tiers; disjoint cover.
+    import hashlib
+    import json
+    import pyarrow.parquet as pq
+    from mail_deduplicate_ray.functions import normalize
+    from mail_deduplicate_ray.pipelines import clips as clips_mod
+
+    d = "/root/testdata/sf0.001"
+    got = {r["clip_id"]: (r["tier"], r["keeper_id"])
+           for r in clips_mod.clips_tiered_dedup(d).take_all()}
+    path = clips_mod.clips_path(d)
+    src = pq.read_table(path, columns=["clip_id", "transcript"]).to_pandas()
+
+    # disjoint cover
+    assert set(got) == set(src["clip_id"])
+
+    # pandas truth for tiers 1-2 (engine's own normalizer, driver-side)
+    import pyarrow as pa
+    norm = normalize.normalize_transcript(
+        pa.array(src["transcript"].tolist())).to_pylist()
+    def key(v, cid):
+        return (hashlib.sha256(v.encode()).hexdigest() if v else f"e:{cid}")
+    src["exact_key"] = [key(v or "", c)
+                        for v, c in zip(src["transcript"], src["clip_id"])]
+    src["norm_key"] = [key(v or "", c)
+                       for v, c in zip(norm, src["clip_id"])]
+    ek = src.groupby("exact_key")["clip_id"].transform("min")
+    exact_dup = src["clip_id"] != ek
+    surv1 = src[~exact_dup]
+    nk = surv1.groupby("norm_key")["clip_id"].transform("min")
+    norm_dup = surv1["clip_id"] != nk
+
+    want_exact = dict(zip(src.loc[exact_dup, "clip_id"], ek[exact_dup]))
+    want_norm = dict(zip(surv1.loc[norm_dup, "clip_id"], nk[norm_dup]))
+    got_exact = {i: k for i, (t, k) in got.items() if t == "exact"}
+    got_norm = {i: k for i, (t, k) in got.items() if t == "normalized"}
+    assert got_exact == want_exact and len(want_exact) > 0
+    assert got_norm == want_norm and len(want_norm) > 0
+
+    # invariants: keepers precede members; neardup keepers are unique
+    for i, (t, k) in got.items():
+        if t == "unique":
+            assert k == i
+        else:
+            assert k < i
+        if t == "neardup":
+            assert got[k][0] == "unique"
+
+    # planted-kind attribution: nearedit copies (one-token edits that
+    # survive tiers 1-2) must be caught by the minhash tier
+    truth = json.loads(
+        (clips_mod.CACHE_ROOT / f"{path.name}.truth.json").read_text())
+    caught = total = 0
+    for a, b in {tuple(p) for p in truth["recall_pairs"]}:
+        if got[b][0] in ("exact", "normalized"):
+            continue  # caught earlier (exact/whitespace/reencode kinds)
+        total += 1
+        caught += got[b][0] == "neardup"
+    assert total > 0 and caught / total >= 0.95, (caught, total)
+
+
+def test_clips_cdc_chunks_summary():
+    # the clips corpus contains exact-duplicate payloads, so chunk dedup
+    # must strictly shrink storage; invariants on the summary row
+    from mail_deduplicate_ray.pipelines import clips as clips_mod
+    rows = clips_mod.clips_cdc_chunks("/root/testdata/sf0.001").take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["unique_chunks"] <= r["total_chunks"]
+    assert r["unique_bytes"] < r["total_bytes"]
+    assert 0 < r["dedup_ratio_pm"] < 1000
+    assert r["max_chunk_refs"] >= 2
+
+
+def test_bpe_apply_parity_with_naive_encode():
+    # distributed token-frequency table must equal a naive driver-side
+    # encode of every document with the same merges
+    import pyarrow.parquet as pq
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+
+    d = "/root/testdata/sf0.001"
+    merges = docs_mod.bpe_train_docs(d, n_merges=30).take_all()
+    ranks = {(m["left"], m["right"]): m["rank"] for m in merges}
+    texts = pq.read_table(f"{d}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    want: dict[str, int] = {}
+    for text in texts:
+        for w in (text or "").split():
+            for tok in docs_mod._bpe_encode_word(w, ranks):
+                want[tok] = want.get(tok, 0) + 1
+    got = {r["token"]: r["n"]
+           for r in docs_mod.bpe_apply_docs(d, n_merges=30).take_all()}
+    assert got == want and len(want) > 20
+    # merged symbols actually appear (training did something)
+    assert any(len(t.replace("</w>", "?")) > 1 for t in got)
