@@ -416,6 +416,27 @@ def oracle_sql() -> dict[str, str]:
         # exact-substring containment (suffix-array detector): contained
         # text strictly shorter, at least 64 chars (ASCII corpus: byte and
         # char lengths agree)
+        # boilerplate-prefix groups: same normalization as
+        # normalized_dedup_docs, first-16-char key, groups of >= 2
+        "boilerplate_prefix_docs": """
+            SELECT substr(lower(trim(regexp_replace(
+                       text, '\\s+', ' ', 'g'))), 1, 16) AS prefix,
+                   count(*) AS n_docs, min(doc_id) AS min_doc_id
+            FROM documents
+            GROUP BY 1 HAVING count(*) >= 2
+            ORDER BY prefix
+        """,
+        # suffix/prefix overlap (shard stitching): last 12 chars of a
+        # equal first 12 of b (raw text, ASCII corpus)
+        "overlap_pairs_docs": """
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM documents a, documents b
+            WHERE a.doc_id <> b.doc_id
+              AND length(a.text) >= 12 AND length(b.text) >= 12
+              AND substr(a.text, length(a.text) - 11, 12)
+                  = substr(b.text, 1, 12)
+            ORDER BY a_id, b_id
+        """,
         "substring_pairs": """
             SELECT a.doc_id AS a_id, b.doc_id AS b_id
             FROM documents a, documents b

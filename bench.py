@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "dup_span_removal_docs", "gopher_repetition_docs", "bpe_train_docs",
     "pii_redact_docs", "kcenter_sample_embeddings", "events_dedup_burst",
     "clips_mel_embeddings", "clips_audio_ann_top5",
+    # round-3 continuation (5): tiered cascade, PQ ANN, CDC, BPE apply
+    "clips_tiered_dedup", "ann_pq_top10", "clips_cdc_chunks",
+    "bpe_apply_docs", "ann_ivfpq_top10", "boilerplate_prefix_docs",
+    "overlap_pairs_docs",
 ]
 
 

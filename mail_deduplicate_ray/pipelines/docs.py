@@ -2896,3 +2896,97 @@ def bpe_apply_docs(sf_dir: str, n_merges: int = 30) -> "ray.data.Dataset":
 
     return grouped(partials, "token", fold).sort(
         ["n", "token"], descending=[True, False])
+
+
+def boilerplate_prefix_docs(sf_dir: str, k: int = 16) -> "ray.data.Dataset":
+    """Boilerplate-prefix detection (the CCNet/C4-style leading-template
+    screen): groups of documents whose NORMALIZED text shares the same
+    first ``k`` characters — shared headers/templates a curation pass
+    strips or collapses.  Output: (prefix, n_docs, min_doc_id) for every
+    group of size >= 2, ordered by prefix.
+
+    Scale shape: the prefix is computed per batch (lower + collapsed
+    whitespace + slice, all pyarrow kernels) and the TEXT IS DROPPED
+    before the shuffle — only k-byte prefixes move, one bucketed
+    groupby, no driver state.  SQL-oracled (substr on the same
+    normalization)."""
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    def key(t: pa.Table) -> pa.Table:
+        norm = normalize.collapse_whitespace(pc.utf8_lower(t["text"]))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "prefix": pc.utf8_slice_codeunits(norm, 0, k)})
+
+    keyed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        key, batch_format="pyarrow")
+
+    def part(df) -> "pa.Table":
+        g = (df.groupby("prefix", sort=False, as_index=False)
+               .agg(n_docs=("doc_id", "size"), min_doc_id=("doc_id", "min")))
+        g = g[g["n_docs"] >= 2]
+        return pa.table({
+            "prefix": pa.array(g["prefix"], pa.string()),
+            "n_docs": pa.array(g["n_docs"].to_numpy(), pa.int64()),
+            "min_doc_id": pa.array(g["min_doc_id"].to_numpy(), pa.int64())})
+
+    return grouped(keyed, "prefix", part).sort("prefix")
+
+
+def overlap_pairs_docs(sf_dir: str, k: int = 12) -> "ray.data.Dataset":
+    """Suffix/prefix OVERLAP pairs — the shard-stitching screen: (a_id,
+    b_id) where the LAST ``k`` characters of a's text equal the FIRST
+    ``k`` of b's (both texts >= k chars, a != b).  Catches crawl
+    segments split mid-document and re-ingested with overlapping
+    boundaries, which whole-text and shingle dedup both under-weight.
+
+    Scale shape: each doc emits two tiny rows — (key=first-k, role=head)
+    and (key=last-k, role=tail) — text dropped before the ONE bucketed
+    shuffle; each bucket forms bipartite tail x head pairs per key
+    (string equality is exact by construction: the key IS the
+    substring).  Hot keys cost |tails| x |heads| within one key — the
+    same bounded-bucket argument as the LSH verify stage.  SQL-oracled
+    (self-join on substr equality)."""
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    def emit(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        sub = t.filter(pc.greater_equal(pc.utf8_length(txt), k))
+        txt = pc.fill_null(pc.cast(sub["text"], pa.string()), "")
+        heads = pc.utf8_slice_codeunits(txt, 0, k)
+        # per-row last-k via reverse -> first-k -> reverse (slice offsets
+        # are scalar-only in pyarrow); ASCII corpus -> codeunit == char
+        tails = pc.utf8_reverse(pc.utf8_slice_codeunits(
+            pc.utf8_reverse(txt), 0, k))
+        def _arr(x):
+            return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+        ids = _arr(sub["doc_id"])
+        n = sub.num_rows
+        return pa.table({
+            "doc_id": pa.concat_arrays([ids, ids]),
+            "key": pa.concat_arrays([_arr(heads), _arr(tails)]),
+            "role": pa.array(["h"] * n + ["t"] * n, pa.string())})
+
+    keyed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        emit, batch_format="pyarrow")
+
+    def part(df) -> "pa.Table":
+        import numpy as np
+        a_out, b_out = [], []
+        for _key, g in df.groupby("key", sort=False):
+            tails = g.loc[g["role"] == "t", "doc_id"].to_numpy()
+            heads = g.loc[g["role"] == "h", "doc_id"].to_numpy()
+            if not len(tails) or not len(heads):
+                continue
+            a = np.repeat(tails, len(heads))
+            b = np.tile(heads, len(tails))
+            keep = a != b
+            a_out.append(a[keep])
+            b_out.append(b[keep])
+        a = (np.concatenate(a_out) if a_out else np.empty(0, np.int64))
+        b = (np.concatenate(b_out) if b_out else np.empty(0, np.int64))
+        return pa.table({"a_id": pa.array(a.astype(np.int64), pa.int64()),
+                         "b_id": pa.array(b.astype(np.int64), pa.int64())})
+
+    return grouped(keyed, "key", part).sort(["a_id", "b_id"])

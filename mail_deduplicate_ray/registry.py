@@ -19,6 +19,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_dedup_docs": docs.normalized_dedup_docs,
         "dup_group_size_histogram": docs.dup_group_size_histogram,
         "bag_dedup_docs": docs.bag_dedup_docs,
+        "boilerplate_prefix_docs": docs.boilerplate_prefix_docs,
+        "overlap_pairs_docs": docs.overlap_pairs_docs,
         "doc_hashes": docs.doc_hashes,
         "keep_biggest_per_lang": docs.keep_biggest_per_lang,
         "regexp_filter_docs": docs.regexp_filter_docs,
@@ -123,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_buckets": ann.ann_lsh_buckets,     # rows-only
         "ann_ivf_top10": ann.ann_ivf_topk,          # rows-only (recall-gated)
         "ann_pq_top10": ann.ann_pq_topk,            # rows-only (recall-gated)
+        "ann_ivfpq_top10": ann.ann_ivfpq_topk,      # rows-only (recall-gated)
         "semdedup_embeddings": ann.semdedup_embeddings,  # rows-only (brute-force parity-tested)
         "knn_graph_embeddings": ann.knn_graph_embeddings,
         "kcenter_sample_embeddings": ann.kcenter_sample_embeddings,

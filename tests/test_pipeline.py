@@ -1446,3 +1446,49 @@ def test_bpe_apply_parity_with_naive_encode():
     assert got == want and len(want) > 20
     # merged symbols actually appear (training did something)
     assert any(len(t.replace("</w>", "?")) > 1 for t in got)
+
+
+def test_ann_ivfpq_recall_vs_bruteforce():
+    # the IVF x PQ composition must recover >=85% of the exact top-10
+    # (compounded approximation: cell pruning + code quantization)
+    from mail_deduplicate_ray.pipelines import ann
+    d = "/root/testdata/sf0.001"
+    exact = {}
+    for r in ann.ann_bruteforce_topk(d).take_all():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    for r in ann.ann_ivfpq_topk(d).take_all():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(got) == set(exact)
+    hits = sum(len(exact[q] & got[q]) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.85, f"IVFPQ recall {hits/total}"
+
+
+def test_boilerplate_and_overlap_docs():
+    # engine results must match a pandas recompute on raw testdata
+    import re
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from mail_deduplicate_ray.pipelines import docs as docs_mod
+
+    d = "/root/testdata/sf0.001"
+    src = pq.read_table(f"{d}/documents.parquet",
+                        columns=["doc_id", "text"]).to_pandas()
+    norm = src["text"].map(
+        lambda s: re.sub(r"\s+", " ", (s or "").lower()).strip())
+    vc = norm.str[:16].value_counts()
+    want_groups = {p: int(n) for p, n in vc.items() if n >= 2}
+    got = {r["prefix"]: r["n_docs"] for r in
+           docs_mod.boilerplate_prefix_docs(d).take_all()}
+    assert got == want_groups and len(got) > 0
+
+    heads = src.assign(key=src["text"].str[:12])
+    tails = src.assign(key=src["text"].str[-12:])
+    m = pd.merge(tails[["doc_id", "key"]], heads[["doc_id", "key"]],
+                 on="key", suffixes=("_a", "_b"))
+    m = m[m["doc_id_a"] != m["doc_id_b"]]
+    want_pairs = set(zip(m["doc_id_a"], m["doc_id_b"]))
+    got_pairs = {(r["a_id"], r["b_id"]) for r in
+                 docs_mod.overlap_pairs_docs(d).take_all()}
+    assert got_pairs == want_pairs and len(want_pairs) > 0
