@@ -347,6 +347,132 @@ def decode_y4m_frame(data: bytes, k: int) -> np.ndarray:
                          offset=base + 6).reshape(h, w).copy()
 
 
+# ---------------- AVI (MJPEG) ----------------
+#
+# Motion-JPEG in an AVI RIFF container — the second REAL video container
+# (after Y4M), built on the baseline JPEG codec (functions/jpeg.py).
+# Writer emits the canonical hdrl/movi/idx1 layout; the reader indexes
+# '00dc' chunk offsets by walking chunk HEADERS only, so sampling frame
+# k decodes exactly one JPEG payload (the same column-pruning-inside-a-
+# payload discipline as the Y4M offset math).
+
+import struct
+
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""
+    return tag + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(kind: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", kind + body)
+
+
+def encode_avi_mjpeg(frames: np.ndarray, fps: int = 25,
+                     quality: int = 90) -> bytes:
+    """(N, H, W) uint8 gray frames -> AVI with one MJPG video stream
+    (each frame an independent baseline JPEG — what hardware MJPEG
+    encoders emit)."""
+    from mail_deduplicate_ray.functions.jpeg import encode_jpeg
+
+    n, h, w = frames.shape
+    jpegs = [encode_jpeg(f, quality=quality) for f in frames]
+    max_sz = max(len(j) for j in jpegs)
+
+    avih = struct.pack("<14I",
+                       1_000_000 // fps,   # dwMicroSecPerFrame
+                       max_sz * fps,       # dwMaxBytesPerSec
+                       0,                  # dwPaddingGranularity
+                       0x10,               # AVIF_HASINDEX
+                       n, 0, 1,            # frames, initial, streams
+                       max_sz, w, h,
+                       0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG"
+            + struct.pack("<IHHIIIIIIIi4h",
+                          0, 0, 0,       # flags, priority, language
+                          0,             # initial frames
+                          1, fps,        # scale, rate
+                          0, n,          # start, length
+                          max_sz,        # suggested buffer
+                          0xFFFFFFFF,    # quality (driver default)
+                          0,             # sample size (varies)
+                          0, 0, int(w), int(h)))
+    strf = struct.pack("<IiiHH4sIiiII",
+                       40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = _riff_list(b"hdrl",
+                      _riff_chunk(b"avih", avih)
+                      + _riff_list(b"strl",
+                                   _riff_chunk(b"strh", strh)
+                                   + _riff_chunk(b"strf", strf)))
+    movi_body = b"movi"
+    idx = []
+    for j in jpegs:
+        idx.append((len(movi_body), len(j)))  # offset of '00dc' within movi
+        movi_body += _riff_chunk(b"00dc", j)
+    movi = _riff_chunk(b"LIST", movi_body)
+    idx1 = b"".join(b"00dc" + struct.pack("<III", 0x10, off, sz)
+                    for off, sz in idx)
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", idx1)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_frame_offsets(data: bytes) -> list[tuple[int, int]]:
+    """[(payload_offset, size)] of every video chunk ('00dc'/'00db') —
+    found by walking chunk headers inside the movi LIST; payload bytes
+    are never touched."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI file")
+    pos, end = 12, 8 + struct.unpack("<I", data[4:8])[0]
+    end = min(end, len(data))
+    movi_start = movi_end = -1
+    while pos + 8 <= end:
+        tag = data[pos:pos + 4]
+        sz = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        if tag == b"LIST" and data[pos + 8:pos + 12] == b"movi":
+            movi_start, movi_end = pos + 12, pos + 8 + sz
+            break
+        pos += 8 + sz + (sz & 1)
+    if movi_start < 0:
+        raise ValueError("AVI movi list missing")
+    out = []
+    pos = movi_start
+    while pos + 8 <= min(movi_end, len(data)):
+        tag = data[pos:pos + 4]
+        sz = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        if tag in (b"00dc", b"00db"):
+            out.append((pos + 8, sz))
+        pos += 8 + sz + (sz & 1)
+    return out
+
+
+def avi_frame_count(data: bytes) -> int:
+    return len(avi_frame_offsets(data))
+
+
+def decode_avi_frame(data: bytes, k: int) -> np.ndarray:
+    """Gray luma of frame ``k`` — decodes exactly ONE embedded JPEG."""
+    offs = avi_frame_offsets(data)
+    if not 0 <= k < len(offs):
+        raise ValueError(f"AVI frame {k} out of range")
+    off, sz = offs[k]
+    img = _decode_jpeg(data[off:off + sz])
+    return to_gray(img) if img.ndim == 3 else img
+
+
+def video_frame_count(data: bytes) -> int:
+    """Container-sniffing frame count (tag over declared format — the
+    codecs.py convention): RIFF -> AVI/MJPEG, YUV4 -> Y4M."""
+    if data[:4] == b"RIFF":
+        return avi_frame_count(data)
+    return y4m_frame_count(data)
+
+
+def decode_video_frame(data: bytes, k: int) -> np.ndarray:
+    if data[:4] == b"RIFF":
+        return decode_avi_frame(data, k)
+    return decode_y4m_frame(data, k)
+
+
 # ---------------- features ----------------
 
 def to_gray(img: np.ndarray) -> np.ndarray:

@@ -1,8 +1,8 @@
-"""Video near-dup pipeline: REAL Y4M frame decode -> pooled SRP -> pairs.
+"""Video near-dup pipeline: REAL frame decode (Y4M + AVI/MJPEG) -> pooled SRP -> pairs.
 
 Multimodal detector #3 (after audio fingerprints and image dHash):
 
-    read videos parquet (cached deterministic Y4M fixture)
+    read videos parquet (cached deterministic mixed Y4M / AVI-MJPEG fixture)
       -> VideoFrameSampleStage(real_decode=True) actor pool
          [k uniformly-sampled luma frames decoded by OFFSET — unsampled
           frames never leave the payload buffer]
@@ -50,8 +50,8 @@ def _synth_frames(rng: np.random.Generator, n_frames: int) -> np.ndarray:
 
 
 def videos_path(sf_dir: str, n_base: int | None = None,
-                seed: int = 45) -> Path:
-    """Deterministic cached Y4M corpus (id, bytes, fps, n_frames, fmt) +
+                seed: int = 47) -> Path:
+    """Deterministic cached mixed Y4M/AVI-MJPEG corpus (id, bytes, fps, n_frames, fmt) +
     planted-truth JSON.  Kinds: unique / exact copy / brightness shift /
     re-timed (every other frame)."""
     if n_base is None:
@@ -65,21 +65,35 @@ def videos_path(sf_dir: str, n_base: int | None = None,
     ids: list[str] = []
     payloads: list[bytes] = []
     nframes: list[int] = []
+    fmts: list[str] = []
     pairs: list[tuple[str, str, str]] = []
+
+    def _enc(frames: np.ndarray, container: str) -> bytes:
+        if container == "avi":
+            return imaging.encode_avi_mjpeg(frames, quality=90)
+        return imaging.encode_y4m(frames)
+
     for i in range(n_base):
         rng = np.random.default_rng((seed, i))
         nf = int(rng.integers(8, 17))
         frames = _synth_frames(rng, nf)
         base_id = f"vid-{i:08d}-0"
+        base_fmt = "avi" if i % 3 == 2 else "y4m"  # mixed REAL containers
         ids.append(base_id)
-        payloads.append(imaging.encode_y4m(frames))
+        payloads.append(_enc(frames, base_fmt))
         nframes.append(nf)
+        fmts.append(base_fmt)
         kind = ("unique", "exact", "bright", "retime")[int(rng.integers(4))]
         if kind == "unique":
             continue
         cid = f"vid-{i:08d}-1"
+        dup_fmt = base_fmt
         if kind == "exact":
             dup = frames
+            # cross-container near-dup: the copy is re-encoded in the
+            # OTHER container (lossy MJPEG one way) — same recording,
+            # different bytes, the image-corpus convention
+            dup_fmt = "avi" if base_fmt == "y4m" else "y4m"
         elif kind == "bright":
             dup = np.clip(frames.astype(np.int16)
                           + int(rng.integers(-15, 16)), 0, 255) \
@@ -87,15 +101,16 @@ def videos_path(sf_dir: str, n_base: int | None = None,
         else:  # retime: every other frame
             dup = frames[::2]
         ids.append(cid)
-        payloads.append(imaging.encode_y4m(dup))
+        payloads.append(_enc(dup, dup_fmt))
         nframes.append(len(dup))
+        fmts.append(dup_fmt)
         pairs.append((base_id, cid, kind))
     tbl = pa.table({
         "vid_id": pa.array(ids, pa.string()),
         "bytes": pa.array(payloads, pa.binary()),
         "fps": pa.array([25.0] * len(ids), pa.float32()),
         "n_frames": pa.array(nframes, pa.int32()),
-        "fmt": pa.array(["y4m"] * len(ids), pa.string()),
+        "fmt": pa.array(fmts, pa.string()),
     })
     tmp = out.with_suffix(".tmp")
     tmp.mkdir(parents=True, exist_ok=True)

@@ -133,13 +133,14 @@ class VideoFrameSampleStage:
             if self.real:
                 try:
                     data = bytes(p)
-                    total = imaging.y4m_frame_count(data)
+                    # container sniff (tag over declared): Y4M or AVI/MJPEG
+                    total = imaging.video_frame_count(data)
                     if total <= 0:
                         raise ValueError("no frames")
                     pos = np.unique(np.linspace(
                         0, total - 1, min(self.k, total)).astype(int))
                     embs.append([imaging.tiny_embedding(
-                        imaging.decode_y4m_frame(data, int(i))
+                        imaging.decode_video_frame(data, int(i))
                         .astype(np.float32), self.side).tolist()
                         for i in pos])
                     idxs.append([int(i) for i in pos])

@@ -354,3 +354,39 @@ def test_videos_frame_neardup_planted_recall():
     assert hits_exact == len(exact)  # byte copies + brightness: invariant
     hits = sum((min(a, b), max(a, b)) in got for a, b, _ in truth)
     assert hits / len(truth) >= 0.9  # retimed copies within SRP radius
+
+
+class TestAviMjpeg:
+    def test_avi_roundtrip_and_offsets(self):
+        import numpy as np
+        from mail_deduplicate_ray.functions import imaging
+        rng = np.random.default_rng(11)
+        small = rng.integers(0, 256, (6, 6)).astype(np.float32)
+        base = imaging.resize_bilinear(small, 32, 64)
+        frames = np.stack([np.clip(base[:, f:f + 32], 0, 255)
+                           .astype(np.uint8) for f in range(9)])
+        avi = imaging.encode_avi_mjpeg(frames, quality=90)
+        assert imaging.avi_frame_count(avi) == 9
+        for k in (0, 4, 8):
+            got = imaging.decode_avi_frame(avi, k)
+            assert got.shape == (32, 32)
+            err = np.abs(got.astype(int) - frames[k].astype(int)).mean()
+            assert err < 6, (k, err)
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            imaging.decode_avi_frame(avi, 9)
+        with _pytest.raises(ValueError):
+            imaging.avi_frame_offsets(b"RIFFxxxxWAVE")
+
+    def test_container_sniffing_dispatch(self):
+        import numpy as np
+        from mail_deduplicate_ray.functions import imaging
+        frames = np.full((3, 16, 16), 128, np.uint8)
+        frames[:, 4:12, 4:12] = 200
+        y4m = imaging.encode_y4m(frames)
+        avi = imaging.encode_avi_mjpeg(frames)
+        assert imaging.video_frame_count(y4m) == 3
+        assert imaging.video_frame_count(avi) == 3
+        a = imaging.decode_video_frame(avi, 1).astype(int)
+        b = imaging.decode_video_frame(y4m, 1).astype(int)
+        assert np.abs(a - b).mean() < 6
