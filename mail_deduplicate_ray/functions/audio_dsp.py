@@ -210,3 +210,53 @@ def log_mel_embedding(pcm: np.ndarray, sr: int, n_mels: int = 24,
     v = np.concatenate([mel.mean(axis=0), mel.std(axis=0)])
     nv = float(np.linalg.norm(v))
     return (v / nv if nv > 0 else v).astype(np.float32)
+
+
+def energy_envelope(pcm: np.ndarray, sr: int,
+                    frame_ms: int = 32) -> np.ndarray:
+    """Per-frame log-RMS energy envelope at a FIXED frame duration
+    (so a time-stretched copy yields a stretched envelope — the shape
+    DTW alignment consumes).  Returns float32 (n_frames,)."""
+    frame = max(1, (sr * frame_ms) // 1000)
+    n = len(pcm) // frame
+    if n == 0:
+        return np.zeros(1, np.float32)
+    x = pcm[: n * frame].astype(np.float64).reshape(n, frame)
+    rms = np.sqrt((x * x).mean(axis=1))
+    return np.log10(rms + 1e-9).astype(np.float32)
+
+
+def dtw_cost(a: np.ndarray, b: np.ndarray,
+             radius_frac: float = 0.25) -> float:
+    """Normalized Sakoe-Chiba banded DTW distance between two envelopes:
+    both sides are z-normalized (gain-invariant), the warping band is
+    ``radius_frac`` of the longer side (always at least the length
+    difference, so the corner stays reachable), and the optimal path
+    cost is divided by (n + m) — comparable across envelope lengths.
+    Identical envelopes -> 0.  O(n * band) cells; envelopes are tens of
+    frames, so a pair costs microseconds-to-milliseconds."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if not len(a) or not len(b):
+        return float("inf")
+    a = (a - a.mean()) / (a.std() + 1e-9)
+    b = (b - b.mean()) / (b.std() + 1e-9)
+    n, m = len(a), len(b)
+    r = max(3, int(radius_frac * max(n, m)), abs(n - m) + 1)
+    INF = float("inf")
+    prev = [INF] * (m + 1)
+    prev[0] = 0.0
+    for i in range(1, n + 1):
+        cur = [INF] * (m + 1)
+        lo, hi = max(1, i - r), min(m, i + r)
+        ai = a[i - 1]
+        for j in range(lo, hi + 1):
+            c = abs(ai - b[j - 1])
+            best = prev[j - 1]
+            if prev[j] < best:
+                best = prev[j]
+            if cur[j - 1] < best:
+                best = cur[j - 1]
+            cur[j] = c + best
+        prev = cur
+    return float(prev[m] / (n + m))

@@ -510,3 +510,100 @@ def clips_tiered_dedup(sf_dir: str) -> "ray.data.Dataset":
     tier_near = bucketing.grouped(labeled, "cluster_id", t3)
 
     return tier_exact.union(tier_norm).union(tier_near).sort("clip_id")
+
+
+def clips_dtw_pairs(sf_dir: str, max_hamming: int = 3,
+                    max_cost_m: int = 120) -> "ray.data.Dataset":
+    """Time-warp-robust audio near-dup pairs: SRP fingerprints over the
+    log-mel embeddings generate candidates (pigeonhole-exact Hamming <=
+    ``max_hamming``), and each candidate pair is VERIFIED by banded DTW
+    alignment of the clips' fixed-frame energy envelopes — the verify
+    step whole-clip signatures can't do, because DTW aligns stretched /
+    padded copies frame-to-frame.  Output: (a_clip, b_clip, dtw_cost_m)
+    — milli-cost, kept when <= ``max_cost_m``.
+
+    Scale shape: two actor-pool decode passes produce tiny per-clip
+    rows (64-bit fingerprint; tens-of-frames envelope); candidates come
+    from the banding shuffle (pipelines/fingerprints.py); envelopes
+    join onto pairs via two bucketed shuffle joins (never a broadcast
+    of the corpus); the DTW kernel runs per pair inside ``map_batches``
+    on O(frames x band) cells.  Rows-only (DTW is not SQL); the kernel
+    is unit-tested for stretch alignment and the planted exact /
+    re-encode pairs are asserted near-zero in tests."""
+    import numpy as np
+    import pyarrow as pa
+
+    from mail_deduplicate_ray.functions import simhash
+    from mail_deduplicate_ray.pipelines.fingerprints import \
+        exact_hamming_pairs
+    from mail_deduplicate_ray.stages import bucketing
+    from mail_deduplicate_ray.stages.joins import shuffle_join
+
+    from mail_deduplicate_ray.stages.audio_stats import MelEnvelopeStage
+
+    _, hi = bucketing.pool_size()
+    pool = (max(1, hi // 2), max(1, hi - 1))
+
+    # ONE decode pass -> (embedding, envelope) per clip; materialized so
+    # the fingerprint/band stage and both join sides read the small
+    # feature table instead of re-running (or doubling) the decode pool
+    feats = read_clips(sf_dir).map_batches(
+        MelEnvelopeStage, batch_format="pyarrow", batch_size=128,
+        concurrency=pool, num_cpus=1
+    ).map_batches(
+        lambda t: t.filter(t["audio_ok"])
+                   .select(["clip_id", "embedding", "envelope"]),
+        batch_format="pyarrow").materialize()
+
+    class Fingerprint:
+        def __init__(self, dims: int = 48, seed: int = 0xD7A) -> None:
+            self.srp = simhash.SRP(dims, 64, seed)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            if n == 0:
+                return pa.table({"clip_id": pa.array([], pa.string()),
+                                 "fp": pa.array([], pa.uint64())})
+            col = t["embedding"].combine_chunks()
+            emb = col.flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.float64).reshape(n, -1)
+            fp = self.srp.fingerprint(emb)
+            return pa.table({"clip_id": t["clip_id"],
+                             "fp": pa.array(fp.astype(np.uint64),
+                                            pa.uint64())})
+
+    fps = feats.map_batches(Fingerprint, batch_format="pyarrow",
+                            batch_size=1024,
+                            concurrency=bucketing.pool_size(0.5))
+    pairs = exact_hamming_pairs(fps, "clip_id", "fp", max_hamming)
+
+    envs = feats.select_columns(["clip_id", "envelope"])
+
+    a_env = envs.map_batches(
+        lambda t: t.rename_columns(["a_id", "env_a"]),
+        batch_format="pyarrow")
+    b_env = envs.map_batches(
+        lambda t: t.rename_columns(["b_id", "env_b"]),
+        batch_format="pyarrow")
+    joined = shuffle_join(pairs, a_env, "a_id", "a_id")
+    joined = shuffle_join(joined, b_env, "b_id", "b_id")
+
+    def verify(t: pa.Table) -> pa.Table:
+        from mail_deduplicate_ray.functions import audio_dsp
+        a_ids = t["a_id"].to_pylist()
+        b_ids = t["b_id"].to_pylist()
+        costs = []
+        for ea, eb in zip(t["env_a"].to_pylist(), t["env_b"].to_pylist()):
+            c = audio_dsp.dtw_cost(np.asarray(ea, np.float64),
+                                   np.asarray(eb, np.float64))
+            costs.append(int(round(c * 1000)) if np.isfinite(c)
+                         else 10 ** 9)
+        out = pa.table({
+            "a_clip": pa.array(a_ids, pa.string()),
+            "b_clip": pa.array(b_ids, pa.string()),
+            "dtw_cost_m": pa.array(costs, pa.int64())})
+        import pyarrow.compute as _pc
+        return out.filter(_pc.less_equal(out["dtw_cost_m"], max_cost_m))
+
+    return joined.map_batches(verify, batch_format="pyarrow") \
+                 .sort(["a_clip", "b_clip"])

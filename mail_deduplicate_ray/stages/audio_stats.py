@@ -203,3 +203,62 @@ class MelEmbeddingStage:
                     "embedding", pa.array(embs.tolist(),
                                           pa.list_(pa.float32(), dims)))
                 .append_column("audio_ok", pa.array(ok)))
+
+
+class EnvelopeStage:
+    """Per-clip energy envelope for DTW alignment: (clip_id, envelope
+    list<float32>, audio_ok); payload dropped on exit (dehydration
+    rule).  Fixed 32 ms frames — stretched copies produce stretched
+    envelopes, which the DTW verify aligns."""
+
+    def __init__(self, frame_ms: int = 32) -> None:
+        self.frame_ms = frame_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        envs: list[list[float]] = [[] for _ in range(n)]
+        ok = np.zeros(n, dtype=bool)
+        for i, pcm, sr in iter_decoded(batch):
+            ok[i] = True
+            envs[i] = audio_dsp.energy_envelope(
+                pcm, sr, self.frame_ms).tolist()
+        out = batch.drop_columns(["bytes"])
+        return (out.append_column(
+                    "envelope", pa.array(envs, pa.list_(pa.float32())))
+                .append_column("audio_ok", pa.array(ok)))
+
+
+class MelEnvelopeStage:
+    """ONE decode pass producing BOTH per-clip features the DTW pair
+    pipeline needs — log-mel embedding (candidate signal) and energy
+    envelope (verify signal): (clip_id, embedding, envelope, audio_ok).
+    Fusing them halves decode cost and, critically, keeps the pipeline
+    to a single actor pool (two concurrent decode pools can starve a
+    small cluster's CPU slots — the bounded-pool rule in
+    pipelines/neardup.py)."""
+
+    def __init__(self, n_mels: int = 24, frame: int = 512,
+                 frame_ms: int = 32) -> None:
+        self.n_mels = n_mels
+        self.frame = frame
+        self.frame_ms = frame_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        dims = 2 * self.n_mels
+        embs = np.zeros((n, dims), np.float32)
+        envs: list[list[float]] = [[] for _ in range(n)]
+        ok = np.zeros(n, dtype=bool)
+        for i, pcm, sr in iter_decoded(batch):
+            ok[i] = True
+            embs[i] = audio_dsp.log_mel_embedding(pcm, sr, self.n_mels,
+                                                  self.frame)
+            envs[i] = audio_dsp.energy_envelope(
+                pcm, sr, self.frame_ms).tolist()
+        out = batch.drop_columns(["bytes"])
+        return (out.append_column(
+                    "embedding", pa.array(embs.tolist(),
+                                          pa.list_(pa.float32(), dims)))
+                .append_column("envelope",
+                               pa.array(envs, pa.list_(pa.float32())))
+                .append_column("audio_ok", pa.array(ok)))

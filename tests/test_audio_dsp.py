@@ -226,3 +226,63 @@ def test_loudness_stage_matches_kernels():
         g, lim = audio_dsp.loudness_gain_db(p, -20.0)
         assert df.gain_mdb[i] == round(g * 1000)
         assert bool(df.limited[i]) == lim
+
+
+class TestDTW:
+    def test_identity_is_zero_and_deterministic(self):
+        import numpy as np
+        from mail_deduplicate_ray.functions import audio_dsp
+        rng = np.random.default_rng(21)
+        env = rng.normal(size=40)
+        assert audio_dsp.dtw_cost(env, env) == 0.0
+        c1 = audio_dsp.dtw_cost(env, env + rng.normal(scale=0.1, size=40))
+        c2 = audio_dsp.dtw_cost(env, env + 0)  # unchanged input
+        assert c2 == 0.0 and c1 > 0
+
+    def test_stretch_aligns_where_linear_diff_fails(self):
+        # a 1.5x time-stretched envelope must DTW-align near-zero while
+        # an unrelated envelope stays far — the property that makes DTW
+        # a verify channel for re-timed audio
+        import numpy as np
+        from mail_deduplicate_ray.functions import audio_dsp
+        t = np.linspace(0, 4 * np.pi, 48)
+        a = np.sin(t)
+        b = np.sin(np.linspace(0, 4 * np.pi, 72))   # stretched 1.5x
+        rng = np.random.default_rng(22)
+        other = rng.normal(size=48)
+        close = audio_dsp.dtw_cost(a, b)
+        far = audio_dsp.dtw_cost(a, other)
+        assert close < 0.05, close
+        assert far > 5 * close, (close, far)
+
+    def test_gain_invariance(self):
+        # z-normalization: a scaled + offset envelope costs ~0
+        import numpy as np
+        from mail_deduplicate_ray.functions import audio_dsp
+        t = np.linspace(0, 2 * np.pi, 30)
+        a = np.sin(t)
+        assert audio_dsp.dtw_cost(a, 3.0 * a + 7.0) < 1e-9
+
+    def test_envelope_shape_tracks_duration(self):
+        import numpy as np
+        from mail_deduplicate_ray.functions import audio_dsp
+        sr = 8000
+        n = np.arange(sr)
+        # amplitude-modulated tone: the envelope has real SHAPE (a flat
+        # envelope z-normalizes into noise and can't align)
+        pcm = (0.6 + 0.4 * np.sin(2 * np.pi * 3 * n / sr)) \
+            * np.sin(2 * np.pi * 440 * n / sr)
+        e1 = audio_dsp.energy_envelope(pcm, sr)           # 1 s
+        e2 = audio_dsp.energy_envelope(np.tile(pcm, 2), sr)  # 2 s
+        assert len(e2) == 2 * len(e1)
+        assert e1.dtype == np.float32
+        # stretched signal -> stretched envelope aligns by DTW
+        stretched = np.repeat(pcm, 2)  # crude 2x stretch
+        es = audio_dsp.energy_envelope(stretched, sr)
+        rng = np.random.default_rng(23)
+        close = audio_dsp.dtw_cost(e1, es)
+        far = audio_dsp.dtw_cost(e1, rng.normal(size=len(e1)))
+        # frame regridding leaves a small residual; the separation from
+        # an unrelated envelope is what the verify threshold exploits
+        assert close < 0.12, close
+        assert far > 3 * close, (close, far)

@@ -1492,3 +1492,29 @@ def test_boilerplate_and_overlap_docs():
     got_pairs = {(r["a_id"], r["b_id"]) for r in
                  docs_mod.overlap_pairs_docs(d).take_all()}
     assert got_pairs == want_pairs and len(want_pairs) > 0
+
+
+def test_clips_dtw_pairs_planted_truth():
+    # planted exact / re-encode copies (same recording) must verify at
+    # near-zero DTW cost; output must be pair-deduped and sorted
+    import json
+    from mail_deduplicate_ray.pipelines import clips as clips_mod
+    d = "/root/testdata/sf0.001"
+    rows = clips_mod.clips_dtw_pairs(d).take_all()
+    got = {(r["a_clip"], r["b_clip"]): r["dtw_cost_m"] for r in rows}
+    assert len(got) == len(rows)  # deduped
+    path = clips_mod.clips_path(d)
+    truth = json.loads(
+        (clips_mod.CACHE_ROOT / f"{path.name}.truth.json").read_text())
+    hits = total = 0
+    for a, b in {tuple(p) for p in truth["recall_pairs"]}:
+        pair = (min(a, b), max(a, b))
+        # only same-recording kinds are in scope for DTW (exact clones
+        # at any container/codec); re-waved nearedit copies are not
+        total += 1
+        if pair in got:
+            hits += 1
+            assert got[pair] <= 120
+    # the corpus mixes same-wave and fresh-wave kinds; DTW must catch a
+    # solid fraction (same-wave kinds: exact, reencode, half of nearedit)
+    assert hits / total >= 0.4, (hits, total)
