@@ -64,7 +64,7 @@ BENCH_QUERIES = [
     # round-3 continuation (5): tiered cascade, PQ ANN, CDC, BPE apply
     "clips_tiered_dedup", "ann_pq_top10", "clips_cdc_chunks",
     "bpe_apply_docs", "ann_ivfpq_top10", "boilerplate_prefix_docs",
-    "overlap_pairs_docs", "clips_dtw_pairs",
+    "overlap_pairs_docs", "clips_dtw_pairs", "clips_quality_gate",
 ]
 
 

@@ -260,3 +260,29 @@ def dtw_cost(a: np.ndarray, b: np.ndarray,
             cur[j] = c + best
         prev = cur
     return float(prev[m] / (n + m))
+
+
+def clipping_ratio(pcm: np.ndarray, level: float = 0.999) -> float:
+    """Fraction of samples at/above ``level`` of full scale — the
+    hard-clipping signal an audio quality gate screens on."""
+    if len(pcm) == 0:
+        return 0.0
+    return float(np.count_nonzero(np.abs(pcm) >= level) / len(pcm))
+
+
+def spectral_flatness(pcm: np.ndarray, frame: int = 2048) -> float:
+    """Wiener spectral flatness in [0, 1]: geometric / arithmetic mean
+    of the power spectrum, averaged over up to 8 frames.  ~1 for white
+    noise, ~0 for a pure tone — the tonality signal that flags test
+    tones, hum and DTMF in a speech corpus."""
+    if len(pcm) < frame:
+        frame = max(64, 1 << (max(1, len(pcm)).bit_length() - 1))
+    if len(pcm) < frame:
+        return 1.0
+    n_frames = min(8, len(pcm) // frame)
+    vals = []
+    for f in range(n_frames):
+        x = pcm[f * frame:(f + 1) * frame].astype(np.float64)
+        p = np.abs(np.fft.rfft(x * np.hanning(len(x)))) ** 2 + 1e-20
+        vals.append(float(np.exp(np.mean(np.log(p))) / np.mean(p)))
+    return float(np.mean(vals))

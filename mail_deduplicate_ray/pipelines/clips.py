@@ -607,3 +607,21 @@ def clips_dtw_pairs(sf_dir: str, max_hamming: int = 3,
 
     return joined.map_batches(verify, batch_format="pyarrow") \
                  .sort(["a_clip", "b_clip"])
+
+
+def clips_quality_gate(sf_dir: str) -> "ray.data.Dataset":
+    """Audio corpus QUALITY GATE (rows-only query): per-clip clipping /
+    tonality / SNR / duration screens with first-failure reasons —
+    the curation pass a training pipeline runs before dedup.  Actor
+    pool, payload dropped on exit; integer milli units."""
+    from mail_deduplicate_ray.stages import bucketing
+    from mail_deduplicate_ray.stages.audio_stats import QualityGateStage
+
+    ds = read_clips(sf_dir)
+    _, hi = bucketing.pool_size()
+    out = ds.map_batches(
+        QualityGateStage, batch_format="pyarrow", batch_size=128,
+        concurrency=(max(1, hi // 2), max(1, hi - 1)), num_cpus=1)
+    return out.select_columns(["clip_id", "audio_ok", "clipping_pm",
+                               "flatness_m", "snr_mdb", "dur_ms_true",
+                               "keep", "gate_reason"])

@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_cdc_chunks": clips.clips_cdc_chunks,         # rows-only (FastCDC kernel unit-tested)
         "clips_tiered_dedup": clips.clips_tiered_dedup,     # rows-only (tiers 1-2 parity-tested, planted-kind attribution)
         "clips_dtw_pairs": clips.clips_dtw_pairs,           # rows-only (DTW kernel stretch-alignment unit-tested)
+        "clips_quality_gate": clips.clips_quality_gate,     # rows-only (clipping/flatness kernels unit-tested)
         "clips_silence_segments": clips.clips_silence_segments,  # rows-only (segmentation kernel unit-tested)
         "clips_loudness": clips.clips_loudness,             # rows-only (gain kernel unit-tested)
         # --- images (real BMP decode -> dhash -> exact Hamming pairs;

@@ -262,3 +262,64 @@ class MelEnvelopeStage:
                 .append_column("envelope",
                                pa.array(envs, pa.list_(pa.float32())))
                 .append_column("audio_ok", pa.array(ok)))
+
+
+class QualityGateStage:
+    """Audio QUALITY GATE — the corpus-curation screen run before any
+    dedup/training pass: per clip (clip_id, audio_ok, clipping_pm,
+    flatness_m, snr_mdb, dur_ms_true, keep, reason).  Gates: hard
+    clipping <= ``max_clip_pm`` per-mille, spectral flatness within
+    [min_flat_m, max_flat_m] milli (flags pure test tones AND raw
+    noise), SNR >= ``min_snr_mdb``, true decoded duration within
+    bounds.  First failing gate names the reason (the rejection-row
+    convention, ref deduplicate.py:563-576); integer milli units keep
+    the output engine-portable."""
+
+    def __init__(self, max_clip_pm: int = 5, min_flat_m: int = 1,
+                 max_flat_m: int = 990, min_snr_mdb: int = 3000,
+                 min_dur_ms: int = 150, max_dur_ms: int = 30_000) -> None:
+        self.max_clip_pm = max_clip_pm
+        self.min_flat_m = min_flat_m
+        self.max_flat_m = max_flat_m
+        self.min_snr_mdb = min_snr_mdb
+        self.min_dur_ms = min_dur_ms
+        self.max_dur_ms = max_dur_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ok = np.zeros(n, dtype=bool)
+        clip_pm = np.zeros(n, np.int64)
+        flat_m = np.zeros(n, np.int64)
+        snr = np.zeros(n, np.int64)
+        dur = np.zeros(n, np.int64)
+        keep = np.zeros(n, dtype=bool)
+        reasons = [""] * n
+        for i, pcm, sr in iter_decoded(batch):
+            ok[i] = True
+            clip_pm[i] = int(round(audio_dsp.clipping_ratio(pcm) * 1000))
+            flat_m[i] = int(round(
+                audio_dsp.spectral_flatness(pcm) * 1000))
+            snr[i] = int(round(audio_dsp.snr_estimate_db(pcm) * 1000))
+            dur[i] = int(round(len(pcm) * 1000 / sr)) if sr else 0
+            if clip_pm[i] > self.max_clip_pm:
+                reasons[i] = "clipping"
+            elif not self.min_flat_m <= flat_m[i] <= self.max_flat_m:
+                reasons[i] = "tonality"
+            elif snr[i] < self.min_snr_mdb:
+                reasons[i] = "snr"
+            elif not self.min_dur_ms <= dur[i] <= self.max_dur_ms:
+                reasons[i] = "duration"
+            else:
+                keep[i] = True
+        undec = ~ok
+        for i in np.flatnonzero(undec):
+            reasons[i] = "undecodable"
+        out = batch.drop_columns(["bytes"])
+        return (out.append_column("audio_ok", pa.array(ok))
+                .append_column("clipping_pm", pa.array(clip_pm, pa.int64()))
+                .append_column("flatness_m", pa.array(flat_m, pa.int64()))
+                .append_column("snr_mdb", pa.array(snr, pa.int64()))
+                .append_column("dur_ms_true", pa.array(dur, pa.int64()))
+                .append_column("keep", pa.array(keep))
+                .append_column("gate_reason", pa.array(reasons,
+                                                       pa.string())))

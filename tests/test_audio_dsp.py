@@ -286,3 +286,27 @@ class TestDTW:
         # an unrelated envelope is what the verify threshold exploits
         assert close < 0.12, close
         assert far > 3 * close, (close, far)
+
+
+class TestQualityKernels:
+    def test_clipping_ratio(self):
+        import numpy as np
+        from mail_deduplicate_ray.functions import audio_dsp
+        sine = 0.5 * np.sin(np.linspace(0, 40 * np.pi, 4000))
+        assert audio_dsp.clipping_ratio(sine) == 0.0
+        clipped = np.clip(3.0 * sine, -1.0, 1.0)
+        r = audio_dsp.clipping_ratio(clipped)
+        assert r > 0.3, r  # hard-limited most of the waveform
+        assert audio_dsp.clipping_ratio(np.empty(0)) == 0.0
+
+    def test_spectral_flatness_separates_tone_from_noise(self):
+        import numpy as np
+        from mail_deduplicate_ray.functions import audio_dsp
+        n = np.arange(16384)
+        tone = np.sin(2 * np.pi * 440 * n / 8000)
+        rng = np.random.default_rng(31)
+        noise = rng.normal(scale=0.3, size=16384)
+        f_tone = audio_dsp.spectral_flatness(tone)
+        f_noise = audio_dsp.spectral_flatness(noise)
+        assert f_tone < 0.01, f_tone
+        assert f_noise > 0.5, f_noise

@@ -1518,3 +1518,22 @@ def test_clips_dtw_pairs_planted_truth():
     # the corpus mixes same-wave and fresh-wave kinds; DTW must catch a
     # solid fraction (same-wave kinds: exact, reencode, half of nearedit)
     assert hits / total >= 0.4, (hits, total)
+
+
+def test_clips_quality_gate():
+    # synthetic corpus: tones are tonal (low flatness) but the gate's
+    # tonality band is wide; sparse rows are undecodable-or-rejected;
+    # every row carries a reason XOR keep
+    from mail_deduplicate_ray.pipelines import clips as clips_mod
+    rows = clips_mod.clips_quality_gate("/root/testdata/sf0.001").take_all()
+    assert rows
+    for r in rows:
+        if r["keep"]:
+            assert r["gate_reason"] == ""
+            assert r["audio_ok"]
+        else:
+            assert r["gate_reason"] != ""
+        if not r["audio_ok"]:
+            assert r["gate_reason"] == "undecodable"
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept  # gate passes a nonzero fraction
