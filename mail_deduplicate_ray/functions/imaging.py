@@ -513,6 +513,33 @@ def dhash64(gray: np.ndarray) -> int:
     return int(np.packbits(bits).view(">u8")[0])
 
 
+_DCT32 = None
+
+
+def _dct32() -> np.ndarray:
+    """Orthonormal 32-point DCT-II basis (built once per process)."""
+    global _DCT32
+    if _DCT32 is None:
+        n = np.arange(32)
+        m = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 64)
+        m[0] *= 1 / np.sqrt(2)
+        _DCT32 = (m * np.sqrt(2 / 32)).astype(np.float64)
+    return _DCT32
+
+
+def phash64(gray: np.ndarray) -> int:
+    """64-bit perceptual hash (pHash): 32x32 thumbnail -> 2D DCT ->
+    top-left 8x8 low-frequency block -> bit per coefficient above the
+    block median.  Uniform brightness shifts move only the DC term, and
+    small noise perturbs high frequencies that never enter the block —
+    the classic complement to the gradient-sign ``dhash64``."""
+    t = resize_bilinear(gray, 32, 32).astype(np.float64)
+    d = _dct32()
+    coef = (d @ t @ d.T)[:8, :8].ravel()
+    bits = coef > np.median(coef)
+    return int(np.packbits(bits).view(">u8")[0])
+
+
 def tiny_embedding(gray: np.ndarray, side: int = 8) -> np.ndarray:
     """L2-normalized mean-centered thumbnail — the classic tiny-image
     embedding (side*side float32 dims)."""

@@ -155,3 +155,31 @@ def images_dhash_neardup(sf_dir: str,
     hashes = image_hashes(sf_dir).map_batches(
         lambda t: t.filter(t["decode_ok"]), batch_format="pyarrow")
     return exact_hamming_pairs(hashes, "img_id", "dhash", max_hamming)
+
+
+def images_phash_neardup(sf_dir: str,
+                         max_hamming: int = 7) -> "ray.data.Dataset":
+    """pHash (DCT low-frequency) near-dup pairs — the perceptual
+    complement to ``images_dhash_neardup``: brightness shifts and pixel
+    noise mostly perturb frequencies outside the 8x8 low-pass block,
+    but coefficients NEAR the block median can flip, so perturbed
+    copies land at Hamming 0-6 — the radius is 7 (8 bands x 8 bits,
+    pigeonhole-exact).  8-bit bands bucket coarsely at extreme corpus
+    sizes (low-frequency bits correlate); production widens the hash
+    (e.g. 16x16 block -> 256 bits) before narrowing bands — same
+    primitive, wider key.  One decode pass computes BOTH hashes."""
+    from mail_deduplicate_ray.pipelines.fingerprints import \
+        exact_hamming_pairs
+    from mail_deduplicate_ray.sources.clips_io import payload_batch_size
+    from mail_deduplicate_ray.stages.multimodal import ImageDecodeStage
+
+    path = images_path(sf_dir)
+    ds = ray.data.read_parquet(str(path))
+    hashes = ds.map_batches(
+        ImageDecodeStage, fn_constructor_args=(64, True),
+        batch_format="pyarrow", batch_size=payload_batch_size(path),
+        concurrency=bucketing.pool_size()) \
+        .map_batches(lambda t: t.filter(t["decode_ok"]),
+                     batch_format="pyarrow") \
+        .select_columns(["img_id", "phash"])
+    return exact_hamming_pairs(hashes, "img_id", "phash", max_hamming)

@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- images (real BMP decode -> dhash -> exact Hamming pairs;
         #     non-SQL: binary pixel decode) ---
         "images_dhash_neardup": images.images_dhash_neardup,  # rows-only (planted-truth recall test)
+        "images_phash_neardup": images.images_phash_neardup,  # rows-only (planted-truth recall test)
         "videos_frame_neardup": videos.videos_frame_neardup,  # rows-only (planted-truth recall test)
         "clips_signatures": clips.clips_signature_table,    # rows-only
         "clips_landmark_pairs": clips.clips_landmark_pairs,  # rows-only (planted-truth recall test)

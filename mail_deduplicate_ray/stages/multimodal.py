@@ -64,24 +64,27 @@ class ImageDecodeStage:
         payloads = batch["bytes"].to_pylist()
         fmts = (batch["fmt"].to_pylist() if "fmt" in batch.column_names
                 else [None] * batch.num_rows)
-        ok, reasons, embs, hashes = [], [], [], []
+        ok, reasons, embs, hashes, phashes = [], [], [], [], []
         for p, fmt in zip(payloads, fmts):
             if not p:
                 ok.append(False)
                 reasons.append("empty_payload")
                 embs.append(np.zeros(self.dims, dtype=np.float32))
                 hashes.append(0)
+                phashes.append(0)
                 continue
             if not self.real:
                 ok.append(True)
                 reasons.append("")
                 embs.append(_fake_embedding(p, self.dims))
                 hashes.append(0)
+                phashes.append(0)
                 continue
             try:
                 gray = imaging.to_gray(imaging.decode_image(bytes(p), fmt))
                 embs.append(imaging.tiny_embedding(gray, self.side))
                 hashes.append(imaging.dhash64(gray))
+                phashes.append(imaging.phash64(gray))
                 ok.append(True)
                 reasons.append("")
             except ValueError as e:  # rejection row, never an exception
@@ -89,6 +92,7 @@ class ImageDecodeStage:
                 reasons.append(str(e))
                 embs.append(np.zeros(self.dims, dtype=np.float32))
                 hashes.append(0)
+                phashes.append(0)
         out = batch.drop_columns(["bytes"])
         return (out.append_column(
                     "embedding",
@@ -96,6 +100,8 @@ class ImageDecodeStage:
                              pa.list_(pa.float32(), self.dims)))
                 .append_column("dhash", pa.array(
                     np.array(hashes, dtype=np.uint64), pa.uint64()))
+                .append_column("phash", pa.array(
+                    np.array(phashes, dtype=np.uint64), pa.uint64()))
                 .append_column("decode_ok", pa.array(ok))
                 .append_column("decode_reason", pa.array(reasons, pa.string())))
 

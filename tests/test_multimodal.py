@@ -390,3 +390,42 @@ class TestAviMjpeg:
         a = imaging.decode_video_frame(avi, 1).astype(int)
         b = imaging.decode_video_frame(y4m, 1).astype(int)
         assert np.abs(a - b).mean() < 6
+
+
+def test_phash_kernel_invariances():
+    import numpy as np
+    from mail_deduplicate_ray.functions import imaging
+    rng = np.random.default_rng(41)
+    img = imaging.resize_bilinear(
+        rng.integers(0, 256, (8, 8)).astype(np.float32), 64, 64) \
+        .astype(np.uint8)
+    h = imaging.phash64(img)
+    bright = np.clip(img.astype(np.int16) + 14, 0, 255).astype(np.uint8)
+    noisy = np.clip(img.astype(np.int16)
+                    + rng.integers(-2, 3, img.shape), 0, 255) \
+        .astype(np.uint8)
+    other = imaging.resize_bilinear(
+        rng.integers(0, 256, (8, 8)).astype(np.float32), 64, 64) \
+        .astype(np.uint8)
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(h, imaging.phash64(bright)) <= 2
+    assert ham(h, imaging.phash64(noisy)) <= 2
+    assert ham(h, imaging.phash64(other)) >= 10
+    assert imaging.phash64(img) == h  # deterministic
+
+
+def test_images_phash_neardup_planted_recall():
+    import json
+    from mail_deduplicate_ray.pipelines import images as im
+    sf = "/root/testdata/sf0.001"
+    path = im.images_path(sf)
+    truth = json.loads((im.CACHE_ROOT / f"{path.name}.truth.json")
+                       .read_text())["pairs"]
+    assert truth
+    got = {(r["a_id"], r["b_id"]) for r in
+           im.images_phash_neardup(sf).take_all()}
+    hits = sum((min(a, b), max(a, b)) in got for a, b, _k in truth)
+    assert hits / len(truth) >= 0.9, (hits, len(truth))
