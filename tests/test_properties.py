@@ -296,3 +296,56 @@ def test_tiny_embedding_brightness_invariant_property(seed, shift):
     a = imaging.tiny_embedding(img)
     b = imaging.tiny_embedding(img + shift)
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 2 ** 32 - 1), st.integers(10_000, 80_000))
+def test_cdc_cover_bounds_and_suffix_stability(seed, n):
+    """FastCDC properties on arbitrary payloads: chunks cover the
+    payload within [min, max] bounds, and appending data only disturbs
+    the LAST chunk's neighborhood (content-defined suffix stability)."""
+    from mail_deduplicate_ray.functions import cdc
+    rng = np.random.default_rng(seed)
+    data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+    ends = cdc.chunk_boundaries(data)
+    lens = np.diff(np.concatenate(([0], ends)))
+    assert ends[-1] == n
+    assert (lens[:-1] >= cdc.MIN_SIZE).all()
+    assert (lens <= cdc.MAX_SIZE).all()
+    # append suffix: every boundary strictly before the old final chunk
+    # must be preserved (the walk is deterministic left-to-right)
+    tail = rng.integers(0, 256, 5000, dtype=np.uint8).tobytes()
+    ends2 = cdc.chunk_boundaries(data + tail)
+    stable = ends[:-1]  # all but the final (length-forced) cut
+    assert set(stable).issubset(set(ends2.tolist()))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 2 ** 32 - 1), st.integers(8, 60),
+       st.integers(8, 60))
+def test_dtw_symmetry_and_nonnegativity(seed, n, m):
+    from mail_deduplicate_ray.functions import audio_dsp
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=n)
+    b = rng.normal(size=m)
+    ab = audio_dsp.dtw_cost(a, b)
+    ba = audio_dsp.dtw_cost(b, a)
+    assert ab >= 0
+    assert abs(ab - ba) < 1e-12  # band and recurrence are symmetric
+    assert audio_dsp.dtw_cost(a, a) == 0.0
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 2 ** 32 - 1))
+def test_phash_brightness_invariance_property(seed):
+    from mail_deduplicate_ray.functions import imaging
+    rng = np.random.default_rng(seed)
+    img = imaging.resize_bilinear(
+        rng.integers(30, 226, (8, 8)).astype(np.float32), 64, 64) \
+        .astype(np.uint8)
+    h = imaging.phash64(img)
+    for shift in (-20, -5, 5, 20):
+        shifted = np.clip(img.astype(np.int16) + shift, 0, 255) \
+            .astype(np.uint8)
+        d = bin(h ^ imaging.phash64(shifted)).count("1")
+        assert d <= 6, (shift, d)
