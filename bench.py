@@ -103,6 +103,12 @@ def run_bench() -> dict:
     n_clips = _n_rows(path)
     if not os.environ.get("MDR_BENCH_ONLY_FLAGSHIP"):
         clips.clips_path(SF_DIR)  # 1x corpus for the clips_* side queries
+        # image/video fixtures too: corpus generation is driver-side
+        # (serial JPEG/PNG encodes) and must not land inside a query time
+        from mail_deduplicate_ray.pipelines import images as _im
+        from mail_deduplicate_ray.pipelines import videos as _vi
+        _im.images_path(SF_DIR)
+        _vi.videos_path(SF_DIR)
 
     t0 = time.time()
     res = clips.flagship(SF_DIR, n_base=n_base)

@@ -162,7 +162,7 @@ def video_signatures(sf_dir: str) -> "ray.data.Dataset":
     sampled = ds.map_batches(
         VideoFrameSampleStage, fn_constructor_args=(8, _DIMS, True),
         batch_format="pyarrow",
-        batch_size=payload_batch_size(path, target_bytes=16 << 20),
+        batch_size=payload_batch_size(path, target_bytes=2 << 20),
         concurrency=bucketing.pool_size())
     return sampled.map_batches(
         _PooledSRP, batch_format="pyarrow", batch_size=1024,
