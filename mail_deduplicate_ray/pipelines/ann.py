@@ -96,22 +96,7 @@ def ann_bruteforce_topk(sf_dir: str, n_queries: int = 8,
         _TopKScorer, fn_constructor_args=(qref, k),
         batch_format="pyarrow", batch_size=4096,
         concurrency=_pool())
-
-    def make_final(k_final: int):
-        def final(g: pa.Table) -> pa.Table:
-            order = pc.sort_indices(
-                g, sort_keys=[("cosine", "descending"),
-                              ("vec_id", "ascending")])
-            k_eff = min(g.num_rows, k_final)
-            top = g.take(order[:k_eff])
-            return pa.table({
-                "query_id": top["query_id"],
-                "vec_id": top["vec_id"],
-                "rank": pa.array(range(1, k_eff + 1), pa.int64()),
-            })
-        return final
-
-    return partials.groupby("query_id").map_groups(make_final(k),
+    return partials.groupby("query_id").map_groups(_rank_final(k),
                                                    batch_format="pyarrow")
 
 
@@ -346,21 +331,7 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 10,
     parquet and the filter becomes a partition-pruned read — only
     probed cells leave storage.  Approximate by design: recall vs the
     exact baseline is gated in tests, not oracle-matched."""
-    import pyarrow.parquet as pq
-    # bounded SAMPLE for quantizer training (first batches only) — the
-    # corpus never lands on the driver whole
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    batches = []
-    got = 0
-    for b in pf.iter_batches(batch_size=8192,
-                             columns=["vec_id", "embedding"]):
-        batches.append(b)
-        got += b.num_rows
-        if got >= 65_536:
-            break
-    sample = pa.Table.from_batches(batches)
-    _, x = _to_matrix(sample)
-    cent = _kmeans(x, n_cells)
+    cent = _kmeans(_bounded_sample(sf_dir), n_cells)
     cent_ref = ray.put(cent)
 
     q_ids, q = _load_queries(sf_dir, n_queries)
@@ -379,17 +350,7 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 10,
     partials = pruned.map_batches(
         _TopKScorer, fn_constructor_args=(qref, k),
         batch_format="pyarrow", batch_size=4096, concurrency=_pool())
-
-    def final(g: pa.Table) -> pa.Table:
-        order = pc.sort_indices(g, sort_keys=[("cosine", "descending"),
-                                              ("vec_id", "ascending")])
-        k_eff = min(g.num_rows, k)
-        top = g.take(order[:k_eff])
-        return pa.table({"query_id": top["query_id"],
-                         "vec_id": top["vec_id"],
-                         "rank": pa.array(range(1, k_eff + 1), pa.int64())})
-
-    return partials.groupby("query_id").map_groups(final,
+    return partials.groupby("query_id").map_groups(_rank_final(k),
                                                    batch_format="pyarrow")
 
 
@@ -407,10 +368,10 @@ def ann_lsh_buckets(sf_dir: str, bits: int = 12) -> "ray.data.Dataset":
     ).select_columns(["bucket", "vec_id"])
 
 
-def _ivf_sample_centroids(sf_dir: str, n_cells: int) -> np.ndarray:
-    """Bounded-sample k-means centroids (the shared IVF quantizer
-    recipe: first <=65,536 rows, seeded k-means — deterministic, the
-    corpus never lands on the driver whole)."""
+def _bounded_sample(sf_dir: str, cap: int = 65_536) -> np.ndarray:
+    """First <= ``cap`` embedding rows as an (n, d) matrix — the shared
+    quantizer-training sample (deterministic; the corpus never lands on
+    the driver whole)."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
@@ -419,10 +380,31 @@ def _ivf_sample_centroids(sf_dir: str, n_cells: int) -> np.ndarray:
                              columns=["vec_id", "embedding"]):
         batches.append(b)
         got += b.num_rows
-        if got >= 65_536:
+        if got >= cap:
             break
     _, x = _to_matrix(pa.Table.from_batches(batches))
-    return _kmeans(x, n_cells)
+    return x
+
+
+def _rank_final(k: int):
+    """Per-query final ranking closure shared by every top-k query:
+    cosine desc, vec_id asc, rank 1-based — the tie-break rule the
+    recall gates compare across exact/IVF/PQ/IVFPQ baselines."""
+    def final(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("cosine", "descending"),
+                                              ("vec_id", "ascending")])
+        k_eff = min(g.num_rows, k)
+        top = g.take(order[:k_eff])
+        return pa.table({"query_id": top["query_id"],
+                         "vec_id": top["vec_id"],
+                         "rank": pa.array(range(1, k_eff + 1), pa.int64())})
+    return final
+
+
+def _ivf_sample_centroids(sf_dir: str, n_cells: int) -> np.ndarray:
+    """Bounded-sample k-means centroids (the shared IVF quantizer
+    recipe)."""
+    return _kmeans(_bounded_sample(sf_dir), n_cells)
 
 
 def semdedup_embeddings(sf_dir: str, n_cells: int = 16,
@@ -669,6 +651,7 @@ def _pq_train(sample: np.ndarray, m: int, ksub: int,
     n, d = sample.shape
     dsub = d // m
     assert m * dsub == d, f"dims {d} not divisible by m={m}"
+    ksub = min(ksub, n)  # _kmeans returns min(ksub, n) centroids
     books = np.empty((m, ksub, dsub), np.float64)
     for j in range(m):
         sub = np.ascontiguousarray(sample[:, j * dsub:(j + 1) * dsub])
@@ -757,16 +740,7 @@ def ann_pq_topk(sf_dir: str, n_queries: int = 8, k: int = 10,
     ``shortlist`` ADC candidates makes the final ranking exact within
     the shortlist, so output ranks are true cosines, never ADC
     estimates).  Output: (query_id, vec_id, rank)."""
-    import pyarrow.parquet as pq
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    batches, got = [], 0
-    for b in pf.iter_batches(batch_size=8192,
-                             columns=["vec_id", "embedding"]):
-        batches.append(b)
-        got += b.num_rows
-        if got >= 65_536:
-            break
-    _, x = _to_matrix(pa.Table.from_batches(batches))
+    x = _bounded_sample(sf_dir)
     books = _pq_train(_norm(x), m, min(ksub, max(16, len(x) // 4)))
     books_ref = ray.put(books)
     qref = ray.put(_load_queries(sf_dir, n_queries))
@@ -774,17 +748,7 @@ def ann_pq_topk(sf_dir: str, n_queries: int = 8, k: int = 10,
     partials = _read(sf_dir).map_batches(
         _PQScorer, fn_constructor_args=(books_ref, qref, k, shortlist),
         batch_format="pyarrow", batch_size=4096, concurrency=_pool())
-
-    def final(g: pa.Table) -> pa.Table:
-        order = pc.sort_indices(g, sort_keys=[("cosine", "descending"),
-                                              ("vec_id", "ascending")])
-        k_eff = min(g.num_rows, k)
-        top = g.take(order[:k_eff])
-        return pa.table({"query_id": top["query_id"],
-                         "vec_id": top["vec_id"],
-                         "rank": pa.array(range(1, k_eff + 1), pa.int64())})
-
-    return partials.groupby("query_id").map_groups(final,
+    return partials.groupby("query_id").map_groups(_rank_final(k),
                                                    batch_format="pyarrow")
 
 
@@ -805,16 +769,7 @@ def ann_ivfpq_topk(sf_dir: str, n_queries: int = 8, k: int = 10,
     ``map_batches`` stages; the groupby merge sees only tiny per-batch
     partials.  Recall vs the exact baseline is test-gated like IVF and
     PQ individually.  Output: (query_id, vec_id, rank)."""
-    import pyarrow.parquet as pq
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    batches, got = [], 0
-    for b in pf.iter_batches(batch_size=8192,
-                             columns=["vec_id", "embedding"]):
-        batches.append(b)
-        got += b.num_rows
-        if got >= 65_536:
-            break
-    _, x = _to_matrix(pa.Table.from_batches(batches))
+    x = _bounded_sample(sf_dir)
     cent = _kmeans(x, n_cells)
     cent_ref = ray.put(cent)
     books = _pq_train(_norm(x), m, min(ksub, max(16, len(x) // 4)))
@@ -836,15 +791,5 @@ def ann_ivfpq_topk(sf_dir: str, n_queries: int = 8, k: int = 10,
     partials = pruned.map_batches(
         _PQScorer, fn_constructor_args=(books_ref, qref, k, shortlist),
         batch_format="pyarrow", batch_size=4096, concurrency=_pool())
-
-    def final(g: pa.Table) -> pa.Table:
-        order = pc.sort_indices(g, sort_keys=[("cosine", "descending"),
-                                              ("vec_id", "ascending")])
-        k_eff = min(g.num_rows, k)
-        top = g.take(order[:k_eff])
-        return pa.table({"query_id": top["query_id"],
-                         "vec_id": top["vec_id"],
-                         "rank": pa.array(range(1, k_eff + 1), pa.int64())})
-
-    return partials.groupby("query_id").map_groups(final,
+    return partials.groupby("query_id").map_groups(_rank_final(k),
                                                    batch_format="pyarrow")

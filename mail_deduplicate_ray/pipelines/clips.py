@@ -430,9 +430,11 @@ def clips_tiered_dedup(sf_dir: str) -> "ray.data.Dataset":
             "norm_key": _sha_col(
                 [v or "" for v in norm.to_pylist()], ids)})
 
-    meta = read_clips(sf_dir).map_batches(
-        lambda t: t.select(["clip_id", "transcript"]),
-        batch_format="pyarrow")
+    # COLUMN-PRUNED scan for the hash tiers: only (clip_id, transcript)
+    # leave storage — the payload bytes are first read in tier 3
+    from mail_deduplicate_ray.sources.clips_io import read_clips_fast
+    meta = read_clips_fast(str(clips_path(sf_dir)),
+                           columns=["clip_id", "transcript"])
     keyed = meta.map_batches(keys, batch_format="pyarrow")
 
     def t1(df) -> "pa.Table":
@@ -491,8 +493,19 @@ def clips_tiered_dedup(sf_dir: str) -> "ray.data.Dataset":
         lambda t: t.filter(pc.invert(t["rejected"])), batch_format="pyarrow")
     tier3_channels = tuple(c for c in candidates.ALL_CHANNELS
                            if c != "exact")
-    edges = candidates.dedup_edges(
+    deduped = candidates.dedup_edges(
         candidates.candidate_edges(usable, cfg, channels=tier3_channels))
+    # substring rows are unverified CANDIDATES until the suffix-array
+    # verify (the flagship's own rule, neardup.dedup_clips) — without it
+    # minimizer-bucket collisions become false tier-3 removals
+    deduped = candidates.verify_substring_edges(deduped, usable, cfg) \
+        .materialize()
+    edges, overflow = candidates.split_edges(deduped)
+    if overflow:  # reported, never silent (the overflow contract)
+        import logging
+        logging.getLogger(__name__).warning(
+            "clips_tiered_dedup: %d candidate rows dropped by bucket caps",
+            overflow)
     labels = components.connected_components(edges, cfg.cc_max_rounds,
                                              method=cfg.cc_method)
     labeled = components.attach_cluster_ids(

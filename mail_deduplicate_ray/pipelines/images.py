@@ -132,8 +132,10 @@ def images_path(sf_dir: str, n_base: int | None = None,
 
 
 def image_hashes(sf_dir: str) -> "ray.data.Dataset":
-    """(img_id, dhash, decode_ok) via the REAL decode actor pool —
-    payload-bearing rows in small batches, bytes dropped on exit."""
+    """(img_id, dhash, phash, decode_ok) via the REAL decode actor
+    pool — ONE decode pass computes both fingerprints (the stage emits
+    them together); payload-bearing rows in small batches, bytes
+    dropped on exit."""
     from mail_deduplicate_ray.sources.clips_io import payload_batch_size
 
     path = images_path(sf_dir)
@@ -142,7 +144,7 @@ def image_hashes(sf_dir: str) -> "ray.data.Dataset":
         ImageDecodeStage, fn_constructor_args=(64, True),
         batch_format="pyarrow", batch_size=payload_batch_size(path),
         concurrency=bucketing.pool_size()) \
-        .select_columns(["img_id", "dhash", "decode_ok"])
+        .select_columns(["img_id", "dhash", "phash", "decode_ok"])
 
 
 def images_dhash_neardup(sf_dir: str,
@@ -170,16 +172,7 @@ def images_phash_neardup(sf_dir: str,
     primitive, wider key.  One decode pass computes BOTH hashes."""
     from mail_deduplicate_ray.pipelines.fingerprints import \
         exact_hamming_pairs
-    from mail_deduplicate_ray.sources.clips_io import payload_batch_size
-    from mail_deduplicate_ray.stages.multimodal import ImageDecodeStage
-
-    path = images_path(sf_dir)
-    ds = ray.data.read_parquet(str(path))
-    hashes = ds.map_batches(
-        ImageDecodeStage, fn_constructor_args=(64, True),
-        batch_format="pyarrow", batch_size=payload_batch_size(path),
-        concurrency=bucketing.pool_size()) \
-        .map_batches(lambda t: t.filter(t["decode_ok"]),
-                     batch_format="pyarrow") \
+    hashes = image_hashes(sf_dir).map_batches(
+        lambda t: t.filter(t["decode_ok"]), batch_format="pyarrow") \
         .select_columns(["img_id", "phash"])
     return exact_hamming_pairs(hashes, "img_id", "phash", max_hamming)

@@ -204,30 +204,6 @@ class MelEmbeddingStage:
                                           pa.list_(pa.float32(), dims)))
                 .append_column("audio_ok", pa.array(ok)))
 
-
-class EnvelopeStage:
-    """Per-clip energy envelope for DTW alignment: (clip_id, envelope
-    list<float32>, audio_ok); payload dropped on exit (dehydration
-    rule).  Fixed 32 ms frames — stretched copies produce stretched
-    envelopes, which the DTW verify aligns."""
-
-    def __init__(self, frame_ms: int = 32) -> None:
-        self.frame_ms = frame_ms
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        envs: list[list[float]] = [[] for _ in range(n)]
-        ok = np.zeros(n, dtype=bool)
-        for i, pcm, sr in iter_decoded(batch):
-            ok[i] = True
-            envs[i] = audio_dsp.energy_envelope(
-                pcm, sr, self.frame_ms).tolist()
-        out = batch.drop_columns(["bytes"])
-        return (out.append_column(
-                    "envelope", pa.array(envs, pa.list_(pa.float32())))
-                .append_column("audio_ok", pa.array(ok)))
-
-
 class MelEnvelopeStage:
     """ONE decode pass producing BOTH per-clip features the DTW pair
     pipeline needs — log-mel embedding (candidate signal) and energy
