@@ -1238,6 +1238,34 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id <> e.vec_id)
             WHERE rank <= 5
         """,
+        # per-node triangle counts over the undirected kNN graph (same
+        # ranking CTE; wedge join closed against the edge set)
+        "knn_triangles_embeddings": """
+            WITH knn AS (
+                SELECT vec_id, neighbor_id FROM (
+                    SELECT q.vec_id AS vec_id, e.vec_id AS neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(
+                                            q.embedding, e.embedding) DESC,
+                                        e.vec_id ASC) AS rank
+                    FROM embeddings q, embeddings e
+                    WHERE q.vec_id <> e.vec_id)
+                WHERE rank <= 5),
+            und AS (
+                SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+                                greatest(vec_id, neighbor_id) AS b
+                FROM knn),
+            adj AS (SELECT a AS u, b AS v FROM und
+                    UNION ALL SELECT b, a FROM und),
+            wedge AS (
+                SELECT e1.u AS c, e1.v AS x, e2.v AS y
+                FROM adj e1 JOIN adj e2
+                  ON e1.u = e2.u AND e1.v < e2.v)
+            SELECT w.c AS vec_id, count(*) AS n_triangles
+            FROM wedge w JOIN und e ON w.x = e.a AND w.y = e.b
+            GROUP BY w.c ORDER BY vec_id
+        """,
         # the LSH-bucketed scale path must produce the SAME pair set as
         # the all-pairs truth (banded SRP, recall 1.0 at these scales)
         "embedding_neardup_pairs_lsh": """

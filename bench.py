@@ -65,7 +65,7 @@ BENCH_QUERIES = [
     "clips_tiered_dedup", "ann_pq_top10", "clips_cdc_chunks",
     "bpe_apply_docs", "ann_ivfpq_top10", "boilerplate_prefix_docs",
     "overlap_pairs_docs", "clips_dtw_pairs", "clips_quality_gate",
-    "images_phash_neardup",
+    "images_phash_neardup", "knn_triangles_embeddings",
 ]
 
 

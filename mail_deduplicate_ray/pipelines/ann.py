@@ -793,3 +793,87 @@ def ann_ivfpq_topk(sf_dir: str, n_queries: int = 8, k: int = 10,
         batch_format="pyarrow", batch_size=4096, concurrency=_pool())
     return partials.groupby("query_id").map_groups(_rank_final(k),
                                                    batch_format="pyarrow")
+
+
+def knn_triangles_embeddings(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
+    """Per-node TRIANGLE counts over the undirected kNN similarity
+    graph — the local-clustering signal graph-based curation uses to
+    find tight semantic communities (and the classic degree-bounded
+    graph-analytics shape: Suri & Vassilvitskii's node-iterator).
+    Output: (vec_id, n_triangles) for every node in >= 1 triangle,
+    vec_id ascending.
+
+    Scale shape: the kNN graph bounds every degree by <= 2k, so the
+    wedge explosion is <= C(2k, 2) rows per node — linear in nodes, not
+    quadratic; wedges close via ONE bucketed semi-join against the
+    undirected edge set (fused "a:b" key, distinct-key side shuffles)
+    and a bucketed per-center fold.  Nothing is broadcast.  Fully
+    SQL-oracled (same kNN ranking CTE as knn_graph_embeddings +
+    wedge/close joins)."""
+    import pandas as pd
+
+    from mail_deduplicate_ray.stages import bucketing
+    from mail_deduplicate_ray.stages.joins import semi_anti_join
+
+    knn = knn_graph_embeddings(sf_dir, k=k)
+
+    def undirect(t: pa.Table) -> pa.Table:
+        a = t["vec_id"].to_numpy(zero_copy_only=False)
+        b = t["neighbor_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array(np.minimum(a, b), pa.int64()),
+                         "b": pa.array(np.maximum(a, b), pa.int64())})
+
+    # distinct undirected edges (u->v and v->u in the kNN collapse here);
+    # consumed twice (adjacency + closing join) -> materialize, it's
+    # <= n*k rows of two ints
+    und = bucketing.grouped(
+        knn.map_batches(undirect, batch_format="pyarrow"), "a",
+        lambda df: df.drop_duplicates()).materialize()
+
+    def adjacency(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(np.concatenate([a, b]), pa.int64()),
+            "v": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    adj = und.map_batches(adjacency, batch_format="pyarrow")
+
+    def wedges(df: "pd.DataFrame") -> pa.Table:
+        cs, xs, ys = [], [], []
+        for c, g in df.groupby("u", sort=False):
+            nb = np.unique(g["v"].to_numpy())
+            d = len(nb)
+            if d < 2:
+                continue
+            i, j = np.triu_indices(d, 1)
+            cs.append(np.full(len(i), c))
+            xs.append(nb[i])
+            ys.append(nb[j])
+        if not cs:
+            return pa.table({"c": pa.array([], pa.int64()),
+                             "key": pa.array([], pa.string())})
+        c = np.concatenate(cs)
+        x = np.concatenate(xs)
+        y = np.concatenate(ys)
+        key = pd.Series(x).astype(str) + ":" + pd.Series(y).astype(str)
+        return pa.table({"c": pa.array(c, pa.int64()),
+                         "key": pa.array(key.to_numpy(), pa.string())})
+
+    wedge_rows = bucketing.grouped(adj, "u", wedges)
+
+    edge_keys = und.map_batches(
+        lambda t: pa.table({"key": pc.binary_join_element_wise(
+            pc.cast(t["a"], pa.string()), pc.cast(t["b"], pa.string()),
+            ":")}),
+        batch_format="pyarrow")
+
+    closed = semi_anti_join(wedge_rows, edge_keys, "key", "key")
+
+    def fold(df: "pd.DataFrame") -> pa.Table:
+        g = df.groupby("c", sort=False).size().reset_index(name="n")
+        return pa.table({
+            "vec_id": pa.array(g["c"].to_numpy(), pa.int64()),
+            "n_triangles": pa.array(g["n"].to_numpy(), pa.int64())})
+
+    return bucketing.grouped(closed, "c", fold).sort("vec_id")

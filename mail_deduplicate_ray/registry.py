@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivfpq_top10": ann.ann_ivfpq_topk,      # rows-only (recall-gated)
         "semdedup_embeddings": ann.semdedup_embeddings,  # rows-only (brute-force parity-tested)
         "knn_graph_embeddings": ann.knn_graph_embeddings,
+        "knn_triangles_embeddings": ann.knn_triangles_embeddings,
         "kcenter_sample_embeddings": ann.kcenter_sample_embeddings,
         # --- clips flagship (non-SQL: synthesized audio corpus) ---
         "clips_flagship": clips.flagship_clusters,          # rows-only
