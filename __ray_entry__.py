@@ -597,6 +597,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # cross-document duplicate 5-gram fraction: gram occurrence is
         # dup when its gram spans >= 2 distinct docs
+        # boilerplate template mining: frequent word 5-grams with
+        # document frequency (shared token-n-gram recipe)
+        "frequent_templates_docs": """
+            WITH tok AS (SELECT doc_id,
+                    regexp_split_to_array(trim(text), '\\s+') AS ts
+                FROM documents),
+            g AS (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(ts)-4),
+                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                             || ' ' || ts[i+3] || ' ' || ts[i+4])) AS gram
+                  FROM tok WHERE len(ts) >= 5)
+            SELECT gram, count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_occurrences
+            FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 3
+            ORDER BY n_docs DESC, gram ASC
+        """,
         "dup_ngram_fraction_docs": """
             WITH tok AS (SELECT doc_id,
                     regexp_split_to_array(trim(text), '\\s+') AS ts

@@ -2990,3 +2990,68 @@ def overlap_pairs_docs(sf_dir: str, k: int = 12) -> "ray.data.Dataset":
                          "b_id": pa.array(b.astype(np.int64), pa.int64())})
 
     return grouped(keyed, "key", part).sort(["a_id", "b_id"])
+
+
+def frequent_templates_docs(sf_dir: str, n: int = 5,
+                            min_docs: int = 3) -> "ray.data.Dataset":
+    """Boilerplate TEMPLATE mining (the C4 "most common lines" analogue
+    for a corpus without line structure): every word ``n``-gram that
+    appears in >= ``min_docs`` DISTINCT documents, with its document
+    frequency and total occurrence count — the template list a curation
+    pass strips or caps.  Output: (gram, n_docs, n_occurrences),
+    n_docs desc / gram asc.
+
+    Scale shape: combiner-first like ``top_trigrams`` — each batch
+    emits one (gram, n_docs_partial, n_occ_partial) row per DISTINCT
+    gram in the batch (documents within a batch pre-aggregate), so the
+    shuffle moves distinct-gram partials; one bucketed fold sums both
+    counts and applies the HAVING.  SQL-oracled with the shared
+    token-n-gram recipe.  The distinct-doc count is exact because a
+    doc's grams live in exactly one batch row-group — each (gram, doc)
+    pair contributes once to one partial."""
+    import pandas as pd
+
+    from mail_deduplicate_ray.stages.bucketing import grouped
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows: dict[str, list[int]] = {}
+        for text in t["text"].to_pylist():
+            toks = (text or "").split()
+            if len(toks) < n:
+                continue
+            per_doc: dict[str, int] = {}
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i:i + n])
+                per_doc[g] = per_doc.get(g, 0) + 1
+            for g, c in per_doc.items():
+                slot = rows.get(g)
+                if slot is None:
+                    rows[g] = [1, c]
+                else:
+                    slot[0] += 1
+                    slot[1] += c
+        if not rows:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "nd": pa.array([], pa.int64()),
+                             "no": pa.array([], pa.int64())})
+        import numpy as np
+        v = np.asarray(list(rows.values()), np.int64)
+        return pa.table({"gram": pa.array(list(rows.keys()), pa.string()),
+                         "nd": pa.array(v[:, 0], pa.int64()),
+                         "no": pa.array(v[:, 1], pa.int64())})
+
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        g = (df.groupby("gram", sort=False, as_index=False)
+               .agg(n_docs=("nd", "sum"), n_occurrences=("no", "sum")))
+        g = g[g["n_docs"] >= min_docs]
+        return pa.table({
+            "gram": pa.array(g["gram"], pa.string()),
+            "n_docs": pa.array(g["n_docs"].to_numpy(), pa.int64()),
+            "n_occurrences": pa.array(g["n_occurrences"].to_numpy(),
+                                      pa.int64())})
+
+    return grouped(partials, "gram", fold).sort(
+        ["n_docs", "gram"], descending=[True, False])

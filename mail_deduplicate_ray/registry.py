@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_k_per_lang": docs.sample_k_per_lang,
         "top_trigrams": docs.top_trigrams,
         "heavy_tokens": docs.heavy_tokens,
+        "frequent_templates_docs": docs.frequent_templates_docs,
         "decontaminate_docs": docs.decontaminate_docs,
         "substring_pairs": docs.substring_pairs,
         "scrub_docs": docs.scrub_docs,
