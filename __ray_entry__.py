@@ -95,6 +95,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         # exact character-trigram-set Jaccard >= 0.6; the size-ratio join
         # predicate is an EXACT bound (J <= min/max set size), pure pruning
+        # per-doc top-3 most-similar by exact trigram Jaccard (both
+        # engines rank by the correctly-rounded double i/u from the same
+        # integers, ties -> similar_id asc)
+        "similar_docs_topk": """
+            WITH s AS (SELECT doc_id, list_distinct(list_transform(
+                           generate_series(1, greatest(length(text) - 2, 1)),
+                           i -> substr(text, i, 3))) AS grams
+                       FROM documents),
+            p AS (SELECT a.doc_id AS doc_id, b.doc_id AS similar_id,
+                         len(list_intersect(a.grams, b.grams)) AS i,
+                         len(a.grams) + len(b.grams)
+                           - len(list_intersect(a.grams, b.grams)) AS u
+                  FROM s a JOIN s b ON a.doc_id <> b.doc_id),
+            r AS (SELECT doc_id, similar_id,
+                         row_number() OVER (PARTITION BY doc_id
+                             ORDER BY CAST(i AS DOUBLE)/u DESC,
+                                      similar_id ASC) AS rank
+                  FROM p WHERE i >= 1)
+            SELECT doc_id, similar_id, rank FROM r WHERE rank <= 3
+            ORDER BY doc_id, rank
+        """,
         "ngram_jaccard_pairs": """
             WITH s AS (
                 SELECT doc_id,

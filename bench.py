@@ -66,7 +66,7 @@ BENCH_QUERIES = [
     "bpe_apply_docs", "ann_ivfpq_top10", "boilerplate_prefix_docs",
     "overlap_pairs_docs", "clips_dtw_pairs", "clips_quality_gate",
     "images_phash_neardup", "knn_triangles_embeddings",
-    "frequent_templates_docs",
+    "frequent_templates_docs", "similar_docs_topk",
 ]
 
 

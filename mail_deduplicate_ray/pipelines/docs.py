@@ -3055,3 +3055,145 @@ def frequent_templates_docs(sf_dir: str, n: int = 5,
 
     return grouped(partials, "gram", fold).sort(
         ["n_docs", "gram"], descending=[True, False])
+
+
+def similar_docs_topk(sf_dir: str, k: int = 3,
+                      n_blocks: int = 8) -> "ray.data.Dataset":
+    """Per-document top-``k`` MOST SIMILAR documents by exact
+    character-trigram Jaccard — the similar-item retrieval surface
+    (dedup's ranking sibling: no threshold, a full ranking per doc).
+    Output: (doc_id, similar_id, rank), J desc / similar_id asc, only
+    pairs sharing >= 1 trigram.
+
+    Scale shape: the same distributed block self-join as
+    ``knn_graph_embeddings`` — docs hash into ``n_blocks`` id blocks,
+    each unordered block pair is scored by exactly ONE partition task
+    (per-partition gram-code matrix, ONE integer matmul for all
+    intersections), per-row partial top-k emitted in both directions,
+    then a doc-bucketed merge sees <= k x n_blocks candidates per doc.
+    Threshold-free top-k is inherently all-pairs work (prefix filters
+    need a threshold to prune) — this is the exact-oracle baseline;
+    at 10^12 scale the MinHash/LSH channels bound candidates and this
+    ranking runs over those candidates instead.  SQL-oracled (both
+    engines compute correctly-rounded double J from the same integer
+    inter/union, so ranking + ties agree exactly)."""
+    import numpy as np
+
+    from mail_deduplicate_ray.stages import bucketing
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sets = list(_gram_sets(t))
+        n = len(ids)
+        blk = (ids % n_blocks).astype(np.int64)
+        reps = np.repeat(np.arange(n), n_blocks)
+        other = np.tile(np.arange(n_blocks, dtype=np.int64), n)
+        mine = blk[reps]
+        lo = np.minimum(mine, other)
+        hi = np.maximum(mine, other)
+        return pa.table({
+            "doc_id": pa.array(ids[reps], pa.int64()),
+            "blk": pa.array(blk[reps], pa.int64()),
+            "grams": pa.array([sets[i].tolist() for i in reps],
+                              pa.list_(pa.uint64())),
+            "pk": pa.array(lo * n_blocks + hi, pa.int64())})
+
+    exploded = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow", batch_size=2048)
+
+    def _matrix(sets, universe):
+        m = np.zeros((len(sets), len(universe)), np.int32)
+        for r, s in enumerate(sets):
+            m[r, np.searchsorted(universe, s)] = 1
+        return m
+
+    def _partial_topk(inter, sizes_a, sizes_b, ids_a, ids_b):
+        union = sizes_a[:, None] + sizes_b[None, :] - inter
+        j = inter / union                      # correctly-rounded double
+        j[inter == 0] = -1.0                  # only sharing pairs rank
+        kk = min(k, j.shape[1])
+        # stable argsort on (-J) with id-ascending columns keeps the
+        # lowest-id winner on exact double ties (the oracle's rule)
+        order = np.argsort(-j, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(ids_a, kk)
+        cols = ids_b[order].ravel()
+        vals = np.take_along_axis(j, order, axis=1).ravel()
+        keep = vals >= 0
+        return rows[keep], cols[keep], vals[keep]
+
+    def part(df) -> "pa.Table":
+        ids_all = df["doc_id"].to_numpy()
+        blk_all = df["blk"].to_numpy()
+        sets_all = [np.asarray(g, np.uint64) for g in df["grams"]]
+        pks = df["pk"].to_numpy()
+        out_d, out_s, out_j = [], [], []
+        order = np.argsort(pks, kind="stable")
+        p_sorted = pks[order]
+        bounds = np.flatnonzero(np.concatenate(
+            ([True], p_sorted[1:] != p_sorted[:-1], [True])))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            idx = order[s:e]
+            pk = int(p_sorted[s])
+            i, j_blk = pk // n_blocks, pk % n_blocks
+            sub_a = idx[blk_all[idx] == i]
+            sub_a = sub_a[np.argsort(ids_all[sub_a])]
+            if i == j_blk:
+                if len(sub_a) < 2:
+                    continue
+                sets = [sets_all[x] for x in sub_a]
+                uni = np.unique(np.concatenate(sets))
+                m = _matrix(sets, uni)
+                inter = m @ m.T
+                np.fill_diagonal(inter, 0)
+                sizes = np.array([len(s_) for s_ in sets])
+                # self-pair exclusion: J of self set to -1 via inter=0
+                r, c, v = _partial_topk(inter, sizes, sizes,
+                                        ids_all[sub_a], ids_all[sub_a])
+                out_d.append(r); out_s.append(c); out_j.append(v)
+            else:
+                sub_b = idx[blk_all[idx] == j_blk]
+                sub_b = sub_b[np.argsort(ids_all[sub_b])]
+                if not len(sub_a) or not len(sub_b):
+                    continue
+                sa = [sets_all[x] for x in sub_a]
+                sb = [sets_all[x] for x in sub_b]
+                uni = np.unique(np.concatenate(sa + sb))
+                ma, mb = _matrix(sa, uni), _matrix(sb, uni)
+                inter = ma @ mb.T
+                za = np.array([len(s_) for s_ in sa])
+                zb = np.array([len(s_) for s_ in sb])
+                r, c, v = _partial_topk(inter, za, zb,
+                                        ids_all[sub_a], ids_all[sub_b])
+                out_d.append(r); out_s.append(c); out_j.append(v)
+                r, c, v = _partial_topk(np.ascontiguousarray(inter.T),
+                                        zb, za,
+                                        ids_all[sub_b], ids_all[sub_a])
+                out_d.append(r); out_s.append(c); out_j.append(v)
+        if not out_d:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "similar_id": pa.array([], pa.int64()),
+                             "jac": pa.array([], pa.float64())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_d).astype(np.int64)),
+            "similar_id": pa.array(np.concatenate(out_s).astype(np.int64)),
+            "jac": pa.array(np.concatenate(out_j), pa.float64())})
+
+    nb = max(8, (n_blocks * (n_blocks + 1)) // 2)
+    partials = bucketing.grouped(exploded, "pk", part, nbuckets=nb,
+                                 batch_format="pandas")
+
+    def merge(df) -> "pa.Table":
+        df = df.sort_values(["doc_id", "jac", "similar_id"],
+                            ascending=[True, False, True],
+                            kind="stable")
+        df = df.drop_duplicates(subset=["doc_id", "similar_id"])
+        df["rank"] = df.groupby("doc_id", sort=False).cumcount() + 1
+        out = df[df["rank"] <= k]
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+            "similar_id": pa.array(out["similar_id"].to_numpy(),
+                                   pa.int64()),
+            "rank": pa.array(out["rank"].to_numpy(), pa.int64())})
+
+    return bucketing.grouped(partials, "doc_id", merge).sort(
+        ["doc_id", "rank"])

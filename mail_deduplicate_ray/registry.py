@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup_pairs": docs.simhash_neardup_pairs,  # rows-only (exact-banding parity-tested)
         "minhash_clusters_docs": docs.minhash_clusters_docs,  # rows-only
         "ngram_jaccard_pairs": docs.ngram_jaccard_pairs,
+        "similar_docs_topk": docs.similar_docs_topk,
         "levenshtein_neardup_pairs": docs.levenshtein_neardup_pairs,
         "levenshtein_clusters": docs.levenshtein_clusters,
         "incremental_neardup_docs": docs.incremental_neardup_docs,
