@@ -105,12 +105,11 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents),
             p AS (SELECT a.doc_id AS doc_id, b.doc_id AS similar_id,
                          len(list_intersect(a.grams, b.grams)) AS i,
-                         len(a.grams) + len(b.grams)
-                           - len(list_intersect(a.grams, b.grams)) AS u
+                         len(a.grams) + len(b.grams) AS sz
                   FROM s a JOIN s b ON a.doc_id <> b.doc_id),
             r AS (SELECT doc_id, similar_id,
                          row_number() OVER (PARTITION BY doc_id
-                             ORDER BY CAST(i AS DOUBLE)/u DESC,
+                             ORDER BY CAST(i AS DOUBLE)/(sz - i) DESC,
                                       similar_id ASC) AS rank
                   FROM p WHERE i >= 1)
             SELECT doc_id, similar_id, rank FROM r WHERE rank <= 3

@@ -182,3 +182,55 @@ def bloom_fp_rate(bits: np.ndarray) -> float:
     """Current false-positive probability estimate: (fill ratio)^k."""
     ones = int(np.unpackbits(bits.view(np.uint8)).sum())
     return (ones / (len(bits) << 6)) ** BLOOM_K
+
+
+# ---------------- mergeable quantile summary ----------------
+#
+# Deterministic block-quantile summary (the uniform-grid member of the
+# GK/KLL family): each data block compresses to <= QS_GRID evenly-ranked
+# (value, weight) points; summaries merge by concatenation; quantiles of
+# the pooled weighted points carry rank error <= N / (2 * QS_GRID)
+# (each block's grid misplaces <= n_i/(2*GRID) ranks; errors add).
+# Unlike KLL there is NO randomness — output is independent of block
+# order and parallelism (the engine's determinism contract) at the cost
+# of a linearly-growing (but tiny: GRID floats per block) merge state;
+# the driver fold sees one grid per BLOCK, not per row.
+
+QS_GRID = 128
+
+
+def qs_partial(values: "np.ndarray") -> "np.ndarray":
+    """One block -> (k, 2) [value, weight] summary, k <= QS_GRID.
+    Points sit at the midpoints of k equal-mass rank strata (the
+    type-1 midpoint rule), each carrying weight n/k."""
+    v = np.sort(np.asarray(values, np.float64))
+    n = len(v)
+    if n == 0:
+        return np.empty((0, 2), np.float64)
+    if n <= QS_GRID:
+        return np.stack([v, np.ones(n)], axis=1)
+    idx = ((np.arange(QS_GRID) + 0.5) * n / QS_GRID).astype(np.int64)
+    return np.stack([v[idx], np.full(QS_GRID, n / QS_GRID)], axis=1)
+
+
+def qs_merge(parts: "list[np.ndarray]") -> "np.ndarray":
+    """Concatenate block summaries (order-independent by construction —
+    the quantile query sorts by value)."""
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return np.empty((0, 2), np.float64)
+    return np.concatenate(parts, axis=0)
+
+
+def qs_quantile(summary: "np.ndarray", q: float) -> float:
+    """Weighted lower-quantile of the pooled summary points (value
+    ascending, cumulative weight >= q * total)."""
+    if not len(summary):
+        return float("nan")
+    order = np.argsort(summary[:, 0], kind="stable")
+    vals = summary[order, 0]
+    wts = summary[order, 1]
+    cum = np.cumsum(wts)
+    target = q * cum[-1]
+    i = int(np.searchsorted(cum, target, side="left"))
+    return float(vals[min(i, len(vals) - 1)])

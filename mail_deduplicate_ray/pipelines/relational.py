@@ -1807,3 +1807,47 @@ def busiest_user_per_day(sf_dir: str) -> "ray.data.Dataset":
         return out.rename(columns={"n": "n_events"})
 
     return grouped(counts, "day", part).sort("day")
+
+
+def order_price_quantiles_sketch(sf_dir: str) -> "ray.data.Dataset":
+    """APPROXIMATE order-price quantiles via the deterministic mergeable
+    block-quantile summary (functions/sketch.py qs_*) — the quantile
+    operator for UNBOUNDED-cardinality value columns where the exact
+    value-count compression of ``order_price_quantiles`` stops helping
+    (raw floats, high-cardinality metrics).  Output: one row per
+    quantile — (q_pct, est_cents), rank error <= N / (2 * 128) + B.
+
+    Scale shape: each batch folds to a <= 128-point weighted grid (one
+    tiny list row), the driver pools B grids (B = number of batches,
+    KB each — never the data), and the quantile reads the pooled
+    weighted points.  Deterministic and merge-order independent — NO
+    randomness, unlike sampled KLL — so output is stable at any
+    parallelism.  Rows-only query (approximate by design); the kernel's
+    error bound and order independence are unit-tested, and the
+    pipeline test gates the estimate against the exact quantiles."""
+    import numpy as np
+
+    import ray as _ray
+
+    from mail_deduplicate_ray.functions import sketch
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        grid = sketch.qs_partial(cents.astype(np.float64))
+        return pa.table({"grid": pa.array([grid.ravel().tolist()],
+                                          pa.list_(pa.float64()))})
+
+    parts = []
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for row in b["grid"].to_pylist():
+            parts.append(np.asarray(row, np.float64).reshape(-1, 2))
+    summary = sketch.qs_merge(parts)
+    qs = ((25, 0.25), (50, 0.5), (75, 0.75), (95, 0.95))
+    return ray.data.from_arrow(pa.table({
+        "q_pct": pa.array([p for p, _ in qs], pa.int64()),
+        "est_cents": pa.array(
+            [int(sketch.qs_quantile(summary, q)) for _, q in qs],
+            pa.int64())}))

@@ -569,3 +569,46 @@ class TestCDC:
         assert len(cdc.chunk_boundaries(b"")) == 0
         ends = cdc.chunk_boundaries(b"abc")
         assert list(ends) == [3]
+
+
+class TestQuantileSummary:
+    def test_error_bound_vs_exact(self):
+        import numpy as np
+        from mail_deduplicate_ray.functions import sketch
+        rng = np.random.default_rng(51)
+        data = rng.lognormal(size=50_000)
+        blocks = np.array_split(data, 37)
+        summary = sketch.qs_merge([sketch.qs_partial(b) for b in blocks])
+        srt = np.sort(data)
+        n = len(data)
+        for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+            est = sketch.qs_quantile(summary, q)
+            # rank of the estimate in the true data
+            r = np.searchsorted(srt, est)
+            bound = n / (2 * sketch.QS_GRID) * 1.0 + len(blocks)
+            assert abs(r - q * n) <= bound, (q, r, q * n, bound)
+
+    def test_merge_order_independence(self):
+        import numpy as np
+        from mail_deduplicate_ray.functions import sketch
+        rng = np.random.default_rng(52)
+        blocks = [rng.normal(size=rng.integers(10, 3000))
+                  for _ in range(11)]
+        parts = [sketch.qs_partial(b) for b in blocks]
+        a = sketch.qs_merge(parts)
+        b = sketch.qs_merge(parts[::-1])
+        for q in (0.1, 0.5, 0.9):
+            assert sketch.qs_quantile(a, q) == sketch.qs_quantile(b, q)
+
+    def test_small_block_is_exact(self):
+        import numpy as np
+        from mail_deduplicate_ray.functions import sketch
+        v = np.array([5.0, 1.0, 3.0])
+        s = sketch.qs_partial(v)
+        assert sketch.qs_quantile(s, 0.0) == 1.0
+        assert sketch.qs_quantile(s, 1.0) == 5.0
+        assert sketch.qs_quantile(s, 0.5) == 3.0
+        assert len(sketch.qs_partial(np.empty(0))) == 0
+        import math
+        assert math.isnan(sketch.qs_quantile(
+            np.empty((0, 2)), 0.5))

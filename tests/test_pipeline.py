@@ -1537,3 +1537,28 @@ def test_clips_quality_gate():
             assert r["gate_reason"] == "undecodable"
     kept = sum(r["keep"] for r in rows)
     assert 0 < kept  # gate passes a nonzero fraction
+
+
+def test_order_price_quantiles_sketch_vs_exact():
+    # the deterministic summary's estimates must sit within the rank
+    # bound of the exact per-status-free quantiles
+    import numpy as np
+    import pyarrow.parquet as pq
+    from mail_deduplicate_ray.pipelines import relational as rel
+
+    d = "/root/testdata/sf0.001"
+    got = {r["q_pct"]: r["est_cents"]
+           for r in rel.order_price_quantiles_sketch(d).take_all()}
+    prices = pq.read_table(f"{d}/orders.parquet",
+                           columns=["o_totalprice"])["o_totalprice"]
+    cents = np.sort(np.round(
+        np.asarray(prices.to_pylist(), np.float64) * 100).astype(np.int64))
+    n = len(cents)
+    for pct, q in ((25, .25), (50, .5), (75, .75), (95, .95)):
+        est = got[pct]
+        r = np.searchsorted(cents, est)
+        assert abs(r - q * n) <= n / 256 + 64, (pct, r, q * n)
+    # determinism across runs
+    again = {r["q_pct"]: r["est_cents"]
+             for r in rel.order_price_quantiles_sketch(d).take_all()}
+    assert again == got
