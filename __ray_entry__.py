@@ -93,8 +93,6 @@ def oracle_sql() -> dict[str, str]:
                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS n_bpe_tokens
             FROM documents
         """,
-        # exact character-trigram-set Jaccard >= 0.6; the size-ratio join
-        # predicate is an EXACT bound (J <= min/max set size), pure pruning
         # per-doc top-3 most-similar by exact trigram Jaccard (both
         # engines rank by the correctly-rounded double i/u from the same
         # integers, ties -> similar_id asc)
@@ -115,6 +113,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, similar_id, rank FROM r WHERE rank <= 3
             ORDER BY doc_id, rank
         """,
+        # exact character-trigram-set Jaccard >= 0.6; the size-ratio join
+        # predicate is an EXACT bound (J <= min/max set size), pure pruning
         "ngram_jaccard_pairs": """
             WITH s AS (
                 SELECT doc_id,
@@ -615,8 +615,6 @@ def oracle_sql() -> dict[str, str]:
                        0) // 2048 AS BIGINT) AS chunk_id
             FROM t
         """,
-        # cross-document duplicate 5-gram fraction: gram occurrence is
-        # dup when its gram spans >= 2 distinct docs
         # boilerplate template mining: frequent word 5-grams with
         # document frequency (shared token-n-gram recipe)
         "frequent_templates_docs": """
@@ -633,6 +631,8 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 3
             ORDER BY n_docs DESC, gram ASC
         """,
+        # cross-document duplicate 5-gram fraction: gram occurrence is
+        # dup when its gram spans >= 2 distinct docs
         "dup_ngram_fraction_docs": """
             WITH tok AS (SELECT doc_id,
                     regexp_split_to_array(trim(text), '\\s+') AS ts

@@ -192,7 +192,8 @@ def bloom_fp_rate(bits: np.ndarray) -> float:
 # the pooled weighted points carry rank error <= N / (2 * QS_GRID)
 # (each block's grid misplaces <= n_i/(2*GRID) ranks; errors add).
 # Unlike KLL there is NO randomness — output is independent of block
-# order and parallelism (the engine's determinism contract) at the cost
+# ORDER (merge commutes; the quantile sorts pooled points by value) at
+# the cost
 # of a linearly-growing (but tiny: GRID floats per block) merge state;
 # the driver fold sees one grid per BLOCK, not per row.
 

@@ -803,13 +803,17 @@ def knn_triangles_embeddings(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
     Output: (vec_id, n_triangles) for every node in >= 1 triangle,
     vec_id ascending.
 
-    Scale shape: the kNN graph bounds every degree by <= 2k, so the
-    wedge explosion is <= C(2k, 2) rows per node — linear in nodes, not
-    quadratic; wedges close via ONE bucketed semi-join against the
-    undirected edge set (fused "a:b" key, distinct-key side shuffles)
-    and a bucketed per-center fold.  Nothing is broadcast.  Fully
-    SQL-oracled (same kNN ranking CTE as knn_graph_embeddings +
-    wedge/close joins)."""
+    Scale shape: OUT-degree is k by construction; IN-degree is
+    unbounded (a centroid-like hub can appear in many nodes' top-k), so
+    wedge work is sum_v deg(v)^2 — typically ~C(2k, 2) per node, with
+    hubs the known worst case (the standard mitigation at extreme
+    scale is Suri & Vassilvitskii's degree-split: route high-degree
+    centers through the edge-iterator side; documented here, not
+    needed at the observed degree distributions).  Wedges close via
+    ONE bucketed semi-join against the undirected edge set (packed
+    int64 (a << 32) | b keys — ids are asserted < 2^32) and a bucketed
+    per-center fold.  Nothing is broadcast.  Fully SQL-oracled (same
+    kNN ranking CTE as knn_graph_embeddings + wedge/close joins)."""
     import pandas as pd
 
     from mail_deduplicate_ray.stages import bucketing
@@ -852,21 +856,26 @@ def knn_triangles_embeddings(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
             ys.append(nb[j])
         if not cs:
             return pa.table({"c": pa.array([], pa.int64()),
-                             "key": pa.array([], pa.string())})
+                             "key": pa.array([], pa.int64())})
         c = np.concatenate(cs)
         x = np.concatenate(xs)
         y = np.concatenate(ys)
-        key = pd.Series(x).astype(str) + ":" + pd.Series(y).astype(str)
+        if x.size and (x.max() >= 1 << 32 or y.max() >= 1 << 32):
+            raise ValueError("vec_id >= 2^32: widen the packed join key")
+        key = (x.astype(np.int64) << 32) | y.astype(np.int64)
         return pa.table({"c": pa.array(c, pa.int64()),
-                         "key": pa.array(key.to_numpy(), pa.string())})
+                         "key": pa.array(key, pa.int64())})
 
     wedge_rows = bucketing.grouped(adj, "u", wedges)
 
-    edge_keys = und.map_batches(
-        lambda t: pa.table({"key": pc.binary_join_element_wise(
-            pc.cast(t["a"], pa.string()), pc.cast(t["b"], pa.string()),
-            ":")}),
-        batch_format="pyarrow")
+    def pack_edges(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if a.size and (a.max() >= 1 << 32 or b.max() >= 1 << 32):
+            raise ValueError("vec_id >= 2^32: widen the packed join key")
+        return pa.table({"key": pa.array((a << 32) | b, pa.int64())})
+
+    edge_keys = und.map_batches(pack_edges, batch_format="pyarrow")
 
     closed = semi_anti_join(wedge_rows, edge_keys, "key", "key")
 

@@ -3091,11 +3091,19 @@ def similar_docs_topk(sf_dir: str, k: int = 3,
         mine = blk[reps]
         lo = np.minimum(mine, other)
         hi = np.maximum(mine, other)
+        # gram list column built ONCE from the flat uint64 buffer, then
+        # replicated zero-copy-ish via take (no per-replica Python int
+        # boxing — the knn_graph explode discipline)
+        flat = (np.concatenate(sets) if sets
+                else np.empty(0, np.uint64))
+        offs = np.zeros(n + 1, np.int32)
+        np.cumsum([len(x) for x in sets], out=offs[1:])
+        grams_once = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(flat, pa.uint64()))
         return pa.table({
             "doc_id": pa.array(ids[reps], pa.int64()),
             "blk": pa.array(blk[reps], pa.int64()),
-            "grams": pa.array([sets[i].tolist() for i in reps],
-                              pa.list_(pa.uint64())),
+            "grams": grams_once.take(pa.array(reps, pa.int64())),
             "pk": pa.array(lo * n_blocks + hi, pa.int64())})
 
     exploded = _docs(sf_dir, ["doc_id", "text"]).map_batches(

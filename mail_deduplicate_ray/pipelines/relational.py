@@ -1820,14 +1820,15 @@ def order_price_quantiles_sketch(sf_dir: str) -> "ray.data.Dataset":
     Scale shape: each batch folds to a <= 128-point weighted grid (one
     tiny list row), the driver pools B grids (B = number of batches,
     KB each — never the data), and the quantile reads the pooled
-    weighted points.  Deterministic and merge-order independent — NO
-    randomness, unlike sampled KLL — so output is stable at any
-    parallelism.  Rows-only query (approximate by design); the kernel's
+    weighted points.  No randomness and merge-order independent (unlike
+    sampled KLL) — repeated runs at the SAME block layout are
+    bit-identical; a different cluster size changes block boundaries
+    and so the (within-bound) estimate, which is the one determinism
+    caveat of any block-summary sketch.  Rows-only query (approximate
+    by design); the kernel's
     error bound and order independence are unit-tested, and the
     pipeline test gates the estimate against the exact quantiles."""
     import numpy as np
-
-    import ray as _ray
 
     from mail_deduplicate_ray.functions import sketch
 
