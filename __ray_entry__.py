@@ -1224,6 +1224,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             GROUP BY user_id ORDER BY user_id
         """,
+        # per-order global rank stats, integer-exact: n_less = rank()-1
+        # over price cents (ties share), n_total = corpus size
+        "order_price_rank_stats": """
+            SELECT o_orderkey,
+                   CAST(rank() OVER (ORDER BY round(o_totalprice * 100))
+                        - 1 AS BIGINT) AS n_less,
+                   CAST(count(*) OVER () AS BIGINT) AS n_total
+            FROM orders ORDER BY o_orderkey
+        """,
         "order_price_quantiles": """
             SELECT o_orderstatus,
                    CAST(unnest([25, 50, 75, 95]) AS BIGINT) AS q_pct,

@@ -1852,3 +1852,57 @@ def order_price_quantiles_sketch(sf_dir: str) -> "ray.data.Dataset":
         "est_cents": pa.array(
             [int(sketch.qs_quantile(summary, q)) for _, q in qs],
             pa.int64())}))
+
+
+def order_price_rank_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Global PERCENTILE-RANK statistics per order, integer-exact:
+    (o_orderkey, n_less, n_total) where ``n_less`` = orders with
+    strictly smaller price-in-cents (= SQL ``rank() - 1`` with ties
+    sharing a rank) and ``n_total`` = corpus size — the numerator /
+    denominator pair every rank-normalized score (percent_rank,
+    cume_dist) derives from, kept as BIGINTs so hashes are exact.
+
+    Scale shape: the same value-count compression as the exact quantile
+    operators — per-batch (cents, count) partials, one bucketed fold,
+    then the DISTINCT-VALUE table (bounded by the price domain, not the
+    row count) sorts on the driver into an exclusive-cumsum rank map
+    that broadcasts via ``ray.put``; a stateless map attaches
+    (n_less, n_total) per row.  No row-level sort, no window shuffle."""
+    import numpy as np
+
+    import ray as _ray
+
+    from mail_deduplicate_ray.stages.bucketing import grouped_sum
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"cents": _cents(t["o_totalprice"])}) \
+            .group_by("cents").aggregate([("cents", "count")])
+        return pa.table({"cents": g["cents"],
+                         "n": pc.cast(g["cents_count"], pa.int64())})
+
+    counts = grouped_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["cents"], {"n": "n"})
+    cents_list, n_list = [], []
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        cents_list.append(b["cents"].to_numpy(zero_copy_only=False))
+        n_list.append(b["n"].to_numpy(zero_copy_only=False))
+    cents = np.concatenate(cents_list) if cents_list else np.empty(0, np.int64)
+    ns = np.concatenate(n_list) if n_list else np.empty(0, np.int64)
+    order = np.argsort(cents, kind="stable")
+    cents, ns = cents[order], ns[order]
+    n_less = np.concatenate(([0], np.cumsum(ns[:-1])))
+    total = int(ns.sum())
+    ref = _ray.put((cents, n_less))
+
+    def attach(t: pa.Table, ref=ref) -> pa.Table:
+        c_sorted, less = _ray.get(ref)
+        c = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(c_sorted, c)
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "n_less": pa.array(less[idx], pa.int64()),
+            "n_total": pa.array(np.full(len(c), total), pa.int64())})
+
+    return ds.map_batches(attach, batch_format="pyarrow").sort("o_orderkey")

@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "day_retention_matrix": relational.day_retention_matrix,
         "order_price_quantiles": relational.order_price_quantiles,
         "order_price_quantiles_sketch": relational.order_price_quantiles_sketch,  # rows-only (error-bound-tested)
+        "order_price_rank_stats": relational.order_price_rank_stats,
         "order_quartiles_ntile": relational.order_quartiles_ntile,
         # --- similarity search ---
         "ann_bruteforce_top10": ann.ann_bruteforce_topk,
