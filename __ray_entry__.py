@@ -883,6 +883,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM events)
             WHERE ts = mn
         """,
+        # TPC-H Q6 shape, integer-exact (cents x basis points)
+        "forecast_revenue": """
+            SELECT CAST(COALESCE(sum(round(l_extendedprice * 100)
+                                     * round(l_discount * 100)), 0)
+                        AS BIGINT) AS revenue_cents_bp,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_quantity < 24
+              AND l_discount BETWEEN 0.05 AND 0.07
+        """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -67,7 +67,7 @@ BENCH_QUERIES = [
     "overlap_pairs_docs", "clips_dtw_pairs", "clips_quality_gate",
     "images_phash_neardup", "knn_triangles_embeddings",
     "frequent_templates_docs", "similar_docs_topk",
-    "order_price_rank_stats",
+    "order_price_rank_stats", "forecast_revenue",
 ]
 
 

@@ -1906,3 +1906,51 @@ def order_price_rank_stats(sf_dir: str) -> "ray.data.Dataset":
             "n_total": pa.array(np.full(len(c), total), pa.int64())})
 
     return ds.map_batches(attach, batch_format="pyarrow").sort("o_orderkey")
+
+
+def forecast_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q6-shaped forecast-revenue scan, integer-exact: ONE row —
+    the potential revenue increase from eliminating small-quantity
+    discounts in a ship-year (sum of extendedprice x discount over
+    discount in [5%, 7%], quantity < 24, shipdate in 1996).
+
+    The pruned-scan showcase: only three columns leave storage
+    (``columns=``), the predicate is a vectorized arrow filter whose
+    ``filter=`` pushdown prunes row groups by min/max stats at scale,
+    and each batch folds to one (cents, n) partial — the driver reduces
+    n_batches rows.  Cents x basis-points arithmetic keeps the sum a
+    BIGINT (hash-exact vs the oracle)."""
+    import datetime
+
+    import numpy as np
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi))),
+            pc.and_(pc.less(t["l_quantity"], 24.0),
+                    pc.and_(pc.greater_equal(t["l_discount"], 0.05),
+                            pc.less_equal(t["l_discount"], 0.07))))
+        m = t.filter(keep)
+        cents = _cents(m["l_extendedprice"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bp = pc.cast(pc.round(pc.multiply(m["l_discount"], 100.0)),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "rev": pa.array([int((cents * bp).sum())], pa.int64()),
+            "n": pa.array([m.num_rows], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return ray.data.from_arrow(pa.table({
+        "revenue_cents_bp": pa.array([sum(r["rev"] for r in parts)],
+                                     pa.int64()),
+        "n_lineitems": pa.array([sum(r["n"] for r in parts)],
+                                pa.int64())}))

@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dedup_burst": relational.events_dedup_burst,
         "keep_oldest_per_user": relational.keep_oldest_per_user,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
+        "forecast_revenue": relational.forecast_revenue,
         "orders_by_status": relational.orders_by_status,
         "top_spenders": relational.top_spenders,
         # --- joins (stages/joins.py: broadcast / shuffle / semi / anti) ---
