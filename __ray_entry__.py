@@ -440,7 +440,8 @@ def oracle_sql() -> dict[str, str]:
         # normalized_dedup_docs, first-16-char key, groups of >= 2
         "boilerplate_prefix_docs": """
             SELECT substr(lower(trim(regexp_replace(
-                       text, '\\s+', ' ', 'g'))), 1, 16) AS prefix,
+                       coalesce(text, ''), '\\s+', ' ', 'g'))), 1, 16)
+                       AS prefix,
                    count(*) AS n_docs, min(doc_id) AS min_doc_id
             FROM documents
             GROUP BY 1 HAVING count(*) >= 2

@@ -68,6 +68,10 @@ class _TopKScorer:
         self.k = k
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # kth=-1 raises on numpy>=2 (ADVICE r3)
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         ids, emb = _to_matrix(t)
         sims = _norm(emb) @ self.qn.T           # (n, Q)
         n, q = sims.shape
@@ -696,6 +700,11 @@ class _PQScorer:
                              self.books)          # (Q, m, ksub)
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # IVFPQ cell pruning can yield empty batches;
+            # kth=-1 raises on numpy>=2 (ADVICE r3)
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         ids, emb = _to_matrix(t)
         emb_n = _norm(emb)
         codes = _pq_encode(emb_n, self.books)     # (n, m)

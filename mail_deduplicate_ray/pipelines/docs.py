@@ -2913,7 +2913,8 @@ def boilerplate_prefix_docs(sf_dir: str, k: int = 16) -> "ray.data.Dataset":
     from mail_deduplicate_ray.stages.bucketing import grouped
 
     def key(t: pa.Table) -> pa.Table:
-        norm = normalize.collapse_whitespace(pc.utf8_lower(t["text"]))
+        text = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        norm = normalize.collapse_whitespace(pc.utf8_lower(text))
         return pa.table({
             "doc_id": t["doc_id"],
             "prefix": pc.utf8_slice_codeunits(norm, 0, k)})
@@ -3076,7 +3077,14 @@ def similar_docs_topk(sf_dir: str, k: int = 3,
     at 10^12 scale the MinHash/LSH channels bound candidates and this
     ranking runs over those candidates instead.  SQL-oracled (both
     engines compute correctly-rounded double J from the same integer
-    inter/union, so ranking + ties agree exactly)."""
+    inter/union, so ranking + ties agree exactly).
+
+    Collision caveat (shared with ``ngram_jaccard_pairs``): intersections
+    count 64-bit gram HASHES (``_gram_sets``), the string-set oracle
+    counts trigram strings — a cross-trigram xxhash64 collision within a
+    doc pair would inflate the engine's intersection.  Accepted at
+    ~2^-64 per pair; the oracle green run is the evidence it does not
+    occur on the fixture."""
     import numpy as np
 
     from mail_deduplicate_ray.stages import bucketing

@@ -1942,7 +1942,8 @@ def forecast_revenue(sf_dir: str) -> "ray.data.Dataset":
         m = t.filter(keep)
         cents = _cents(m["l_extendedprice"]).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        bp = pc.cast(pc.round(pc.multiply(m["l_discount"], 100.0)),
+        bp = pc.cast(pc.round(pc.multiply(m["l_discount"], 100.0),
+                              round_mode="half_towards_infinity"),
                      pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table({
             "rev": pa.array([int((cents * bp).sum())], pa.int64()),

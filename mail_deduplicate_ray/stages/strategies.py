@@ -16,7 +16,6 @@ aliases resolved in config.canonicalize_strategies.
 from __future__ import annotations
 
 import hashlib
-import re
 from dataclasses import dataclass
 
 import numpy as np
@@ -65,8 +64,7 @@ def select_biggest(df, ctx):  return df["dur_ms"] == df["dur_ms"].max()  # noqa:
 def select_matching_path(df, ctx):
     if not ctx.regexp:
         return pd.Series(False, index=df.index)
-    pat = re.compile(ctx.regexp)
-    return df["clip_id"].map(lambda p: bool(pat.search(p)))
+    return df["clip_id"].str.contains(ctx.regexp, regex=True, na=False)
 
 
 def select_non_matching_path(df, ctx):
@@ -86,9 +84,8 @@ def select_highest_sr(df, ctx):
 def select_matching_transcript(df, ctx):
     if not ctx.regexp:
         return pd.Series(False, index=df.index)
-    pat = re.compile(ctx.regexp)
-    return df["transcript_norm"].map(
-        lambda s: bool(pat.search(s or "")))
+    return df["transcript_norm"].str.contains(ctx.regexp, regex=True,
+                                              na=False)
 
 
 def _det_pick(df: pd.DataFrame, ctx: StrategyCtx) -> int:
