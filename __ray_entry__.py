@@ -113,6 +113,84 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, similar_id, rank FROM r WHERE rank <= 3
             ORDER BY doc_id, rank
         """,
+        # BFF incremental dedup — the engine's k=4 bloom probes are four
+        # disjoint 20-bit sha256 hex slices, so SQL replays every bloom
+        # decision exactly: base probe-set union via DISTINCT, a new doc
+        # is kept iff >= 1 probe bit is absent from the union.
+        "bloom_incremental_dedup_docs": """
+            WITH basep AS (
+              SELECT DISTINCT pos FROM (
+                SELECT unnest([('0x' || substr(h, 1, 5))::BIGINT,
+                               ('0x' || substr(h, 6, 5))::BIGINT,
+                               ('0x' || substr(h, 11, 5))::BIGINT,
+                               ('0x' || substr(h, 16, 5))::BIGINT]) AS pos
+                FROM (SELECT sha256(coalesce(text, '')) AS h
+                      FROM documents WHERE doc_id % 7 <> 0))
+            ),
+            newd AS (
+              SELECT doc_id, n_chars, sha256(coalesce(text, '')) AS h
+              FROM documents WHERE doc_id % 7 = 0
+            ),
+            newp AS (
+              SELECT doc_id,
+                     unnest([('0x' || substr(h, 1, 5))::BIGINT,
+                             ('0x' || substr(h, 6, 5))::BIGINT,
+                             ('0x' || substr(h, 11, 5))::BIGINT,
+                             ('0x' || substr(h, 16, 5))::BIGINT]) AS pos
+              FROM newd
+            )
+            SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+            FROM newd d
+            JOIN (SELECT DISTINCT doc_id FROM newp
+                  WHERE pos NOT IN (SELECT pos FROM basep)) k
+              USING (doc_id)
+            ORDER BY doc_id
+        """,
+        # SimHash Hamming<=3 pairs — the SQL replays the ENGINE's exact
+        # fingerprint (FNV-style token fold, per-bit majority vote: see
+        # functions/shingles.py token_hashes + simhash.token_simhash) in
+        # DuckDB HUGEINT arithmetic, then bit_count(xor()) over a
+        # self-join replays the exact Hamming predicate (the engine's
+        # pigeonhole banding has recall 1.0, so all-pairs == banded).
+        "simhash_neardup_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(
+                         trim(lower(text)), '\s+')) AS tok
+              FROM documents WHERE trim(coalesce(text,'')) <> ''
+            ),
+            th AS (
+              SELECT doc_id,
+                list_reduce(
+                  [14695981039346656037::HUGEINT] ||
+                  list_transform(range(1, length(tok)+1),
+                                 i -> unicode(tok[i])::HUGEINT),
+                  (acc, x) -> (acc * 1099511628211 + x)
+                              % 18446744073709551616::HUGEINT
+                ) AS h
+              FROM toks
+            ),
+            bits AS (
+              SELECT doc_id, b.b AS b,
+                     sum(CASE WHEN (h // (2::HUGEINT ^ b.b)::HUGEINT)
+                                   % 2 = 1
+                              THEN 1 ELSE -1 END) AS vote
+              FROM th, (SELECT unnest(range(64)) AS b) b
+              GROUP BY doc_id, b.b
+            ),
+            fps AS (
+              SELECT d.doc_id, coalesce(f.fp, 0::HUGEINT)::UBIGINT AS fp
+              FROM documents d LEFT JOIN (
+                SELECT doc_id,
+                       sum(CASE WHEN vote >= 0
+                                THEN (2::HUGEINT ^ b)::HUGEINT
+                                ELSE 0::HUGEINT END) AS fp
+                FROM bits GROUP BY doc_id) f USING (doc_id)
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 3
+            ORDER BY a_id, b_id
+        """,
         # exact character-trigram-set Jaccard >= 0.6; the size-ratio join
         # predicate is an EXACT bound (J <= min/max set size), pure pruning
         "ngram_jaccard_pairs": """

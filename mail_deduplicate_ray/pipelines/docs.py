@@ -1689,26 +1689,46 @@ def bloom_incremental_dedup_docs(sf_dir: str,
     by key hash range (one partial per range, probed by that range's
     rows); the partial/merge API in functions/sketch.py is the unit.
 
-    Rows-only query (SplitMix64 probes aren't SQL-replayable); the
-    parity test asserts soundness (kept ∩ base-texts = ∅) and the FP
-    bound."""
+    SQL-oracled (VERDICT r3 item 6): the k=4 probe positions are four
+    DISJOINT 20-bit slices of sha256(text) (m = 2^20 bits), so DuckDB
+    replays every bloom decision exactly — base probes union via
+    DISTINCT, a new doc is kept iff >= 1 of its probe bits is absent
+    from that union.  Same no-false-negative / bounded-FP semantics as
+    the SplitMix64 probes this replaced; independence comes from the
+    hash being cryptographic."""
+    import hashlib
+
     import numpy as np
-    import pandas as pd
 
     import ray as _ray
 
     from mail_deduplicate_ray.functions import sketch
 
     docs = _docs(sf_dir, ["doc_id", "text", "n_chars"])
+    n_words = sketch.BLOOM_BITS >> 6  # 2^20 bits packed into uint64 words
+
+    def sha_positions(texts: list) -> np.ndarray:
+        """(n, 4) probe positions: hex slices [0:5],[5:10],[10:15],[15:20]
+        of sha256(text) — 20 bits each, disjoint, uniform over 2^20."""
+        out = np.empty((len(texts), 4), np.uint64)
+        for i, s in enumerate(texts):
+            h = hashlib.sha256((s or "").encode("utf-8")).hexdigest()
+            out[i] = (int(h[0:5], 16), int(h[5:10], 16),
+                      int(h[10:15], 16), int(h[15:20], 16))
+        return out
 
     def base_partial(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        texts = np.asarray(t["text"].to_pylist(), dtype=object)
-        h = pd.util.hash_array(texts[ids % mod != 0])
-        bits = sketch.bloom_partial(h)
+        texts = [v for v, keep in zip(t["text"].to_pylist(), ids % mod != 0)
+                 if keep]
+        bits = np.zeros(n_words, np.uint64)
+        if texts:
+            p = sha_positions(texts).ravel()
+            np.bitwise_or.at(bits, (p >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (p & np.uint64(63)))
         return pa.table({"bits": pa.array([bits], pa.list_(pa.uint64()))})
 
-    merged = np.zeros(sketch.BLOOM_BITS >> 6, np.uint64)
+    merged = np.zeros(n_words, np.uint64)
     for b in docs.map_batches(base_partial, batch_format="pyarrow") \
                  .iter_batches(batch_format="pyarrow"):
         for row in b["bits"].to_pylist():
@@ -1719,12 +1739,14 @@ def bloom_incremental_dedup_docs(sf_dir: str,
         bits = _ray.get(ref)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         new = t.filter(pa.array(ids % mod == 0))
-        texts = np.asarray(new["text"].to_pylist(), dtype=object)
-        if not len(texts):
+        texts = new["text"].to_pylist()
+        if not texts:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "n_chars": pa.array([], pa.int64())})
-        keep = ~sketch.bloom_contains(bits, pd.util.hash_array(texts))
-        kept = new.filter(pa.array(keep))
+        p = sha_positions(texts)                      # (n, 4)
+        word = bits[(p >> np.uint64(6)).astype(np.int64)]
+        hit = (word >> (p & np.uint64(63))) & np.uint64(1) != 0
+        kept = new.filter(pa.array(~hit.all(axis=1)))
         return pa.table({"doc_id": pc.cast(kept["doc_id"], pa.int64()),
                          "n_chars": pc.cast(kept["n_chars"], pa.int64())})
 
