@@ -43,7 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--size-threshold", type=int, default=512)
     d.add_argument("--content-threshold", type=int, default=768)
     d.add_argument("--channels",
-                   default="exact,minhash,audio,containment,substring")
+                   default="exact,minhash,audio,containment,substring,"
+                           "stretch")
     d.add_argument("--cc-method", default=None,
                    choices=["hashmin", "star"],
                    help="distributed connected-components engine: hashmin "

@@ -139,6 +139,25 @@ class DedupConfig:
     spectral_dims: int = 48
     audio_seed: int = 0xBEEF
 
+    # stretch channel (functions/stretchmatch.py): time-stretched /
+    # padded copies — Hann-windowed spectral peak table, stretch-invariant
+    # log-ratio bucket keys, global-shift peak-consensus verify + DTW
+    # envelope confirm.  Peak-table knobs are signature-affecting;
+    # verify thresholds are edge-affecting.
+    stretch_peaks: int = 6         # max peaks kept per clip
+    stretch_amp_floor: float = 0.05  # drop peaks below this (max-normalized)
+    stretch_env_frame_ms: int = 32   # envelope frame for the DTW confirm
+    stretch_qstep: float = 0.02    # key quantization (log-freq units)
+    stretch_tol: float = 0.004     # peak match tolerance (log-freq units)
+    stretch_score_min: float = 0.8  # matched-mass verify floor
+    stretch_max_shift: float = 0.59  # ln(1.8): widest stretch considered
+    stretch_dtw_max: float = 0.8   # DTW envelope confirm ceiling
+
+    # enabled candidate channels (the dedup_clips default; an explicit
+    # channels= argument overrides, e.g. the bench's exact-only run)
+    channels: tuple[str, ...] = ("exact", "minhash", "audio",
+                                 "containment", "substring", "stretch")
+
     # ---- grouping / selection config (not fingerprinted) ----
     # which column time strategies read (≙ TimeSource date-header vs ctime
     # switch, ref: mail.py:51-64): any float64 epoch-seconds column, or
@@ -190,6 +209,11 @@ class DedupConfig:
         if self.cc_method not in ("hashmin", "star"):
             raise ValueError(f"bad cc_method {self.cc_method!r} "
                              "(hashmin | star)")
+        known = {"exact", "minhash", "audio", "containment", "substring",
+                 "stretch"}
+        bad = set(self.channels) - known
+        if bad:
+            raise ValueError(f"unknown channels: {sorted(bad)}")
 
     # fields whose change invalidates SIGNATURE checkpoints (what the
     # decode+signature actors compute); verification thresholds live in
@@ -209,6 +233,10 @@ class DedupConfig:
         "audio_bands",
         "spectral_dims",
         "audio_seed",
+        "stretch_peaks",
+        "stretch_amp_floor",
+        "stretch_env_frame_ms",
+        "channels",  # decode computes stretch columns only when enabled
     )
 
     # fields that change which candidate pairs verify -> edge checkpoints
@@ -223,14 +251,20 @@ class DedupConfig:
         "substring_k",
         "substring_min_len",
         "substring_probes",
+        "stretch_qstep",
+        "stretch_tol",
+        "stretch_score_min",
+        "stretch_max_shift",
+        "stretch_dtw_max",
     )
 
     # bump whenever the signature FORMAT changes outside config (feature
     # definition, checkpoint schema, hash kernels) — the fingerprint then
     # invalidates old checkpoints instead of crashing on missing columns
     # or silently mixing incompatible features.  v2: 8192-sample zero-pad
-    # FFT window + n_bytes staleness column.
-    SIG_FORMAT_VERSION = 2
+    # FFT window + n_bytes staleness column.  v3: stretch-channel peak
+    # table + envelope columns.
+    SIG_FORMAT_VERSION = 3
 
     def fingerprint(self) -> str:
         """sha256 of the signature-affecting config (ref: cache.py:103-109)."""
@@ -269,7 +303,7 @@ class DedupConfig:
         unknown = set(data) - known
         if unknown:
             raise ValueError(f"unknown config keys: {sorted(unknown)}")
-        for k in ("key_columns", "strategies"):
+        for k in ("key_columns", "strategies", "channels"):
             if k in data:
                 data[k] = tuple(data[k])
         data.update(overrides)

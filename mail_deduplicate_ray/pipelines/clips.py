@@ -38,7 +38,7 @@ def clips_path(sf_dir: str, n_base: int | None = None, seed: int = 42) -> Path:
     texts = _doc_texts(sf_dir)
     n = n_base or len(texts)
     tag = Path(sf_dir).name or "sf"
-    out = CACHE_ROOT / f"clips-{tag}-{n}-{seed}"
+    out = CACHE_ROOT / f"clips-{tag}-{n}-{seed}-g{synth.GEN_VERSION}"
     if not out.exists():
         CACHE_ROOT.mkdir(parents=True, exist_ok=True)
         import ray

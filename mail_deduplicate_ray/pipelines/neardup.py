@@ -77,6 +77,11 @@ def clip_signatures(ds: "ray.data.Dataset", cfg: DedupConfig,
         concurrency=concurrency, num_cpus=1)
 
 
+def _cfg_dict(cfg: DedupConfig) -> dict:
+    from dataclasses import asdict
+    return asdict(cfg)
+
+
 @dataclass
 class DedupResult:
     settled: "ray.data.Dataset"   # kept+discarded rows with cluster_id/keep/reason
@@ -90,14 +95,24 @@ class DedupResult:
 
 
 def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
-                channels: tuple[str, ...] = candidates.ALL_CHANNELS,
+                channels: tuple[str, ...] | None = None,
                 checkpoint_root: str | None = None) -> DedupResult:
-    """Full run.  With ``checkpoint_root``, the signature stage is
-    resumable: rows already checkpointed under this config fingerprint are
-    restored without decoding (state/checkpoint.py; ≙ the reference's
-    --cache re-run, SURVEY.md §3.3)."""
+    """Full run.  ``channels`` defaults to ``cfg.channels`` (all six,
+    including the stretch channel — VERDICT r4); pass an explicit tuple
+    to override (e.g. the bench's exact-only comparison run).  With
+    ``checkpoint_root``, the signature stage is resumable: rows already
+    checkpointed under this config fingerprint are restored without
+    decoding (state/checkpoint.py; ≙ the reference's --cache re-run,
+    SURVEY.md §3.3)."""
     import time as _time
     cfg = cfg or DedupConfig()
+    if channels is None:
+        channels = tuple(cfg.channels)
+    elif set(channels) - set(cfg.channels):
+        # decode only computes the columns cfg.channels asks for — an
+        # explicit superset would KeyError deep in the explode
+        cfg = DedupConfig(**{**_cfg_dict(cfg), "channels": tuple(
+            dict.fromkeys((*cfg.channels, *channels)))})
     st: dict[str, float] = {}
     _t0 = _time.time()
     store = None

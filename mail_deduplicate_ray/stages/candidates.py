@@ -66,7 +66,8 @@ _EMPTY = pd.DataFrame({"src": pd.Series(dtype=str),
                        "channel": pd.Series(dtype=str),
                        "dropped": pd.Series(dtype="int64")})
 
-ALL_CHANNELS = ("exact", "minhash", "audio", "containment", "substring")
+ALL_CHANNELS = ("exact", "minhash", "audio", "containment", "substring",
+                "stretch")
 
 # substring-verify regime switch (see verify_substring_edges): broadcast
 # the participating texts when pairs and pruned text bytes are small;
@@ -76,7 +77,16 @@ _TEXT_BYTES_CAP = 1 << 30
 
 # channel codes in the fused explode (uint8 column)
 _CH = {"exact": 0, "minhash": 1, "audio": 2, "containment": 3,
-       "substring": 4}
+       "substring": 4, "stretch": 5}
+
+# stretch payload: envelope frames capped here (32 frames = the full
+# 8192-sample prefix at 8 kHz / 32 ms frames; higher rates yield fewer)
+_STRETCH_ENV_CAP = 32
+
+
+def _stretch_payload_width(cfg: DedupConfig) -> int:
+    # n_peaks u8 | n_env u8 | dur i32 | logf P*f32 | amp P*f16 | env 32*f16
+    return 2 + 4 + 6 * cfg.stretch_peaks + 2 * _STRETCH_ENV_CAP
 
 
 def _edges_df(pairs: list[tuple[str, str]], channel: str,
@@ -410,6 +420,54 @@ def explode_all(batch: pa.Table, cfg: DedupConfig,
                 out_pay.append(np.ascontiguousarray(pay).tobytes())
                 out_wid.append(np.full(ridx.size, 49, np.int32))
 
+    if "stretch" in channels and n:
+        from mail_deduplicate_ray.functions import stretchmatch
+        P = cfg.stretch_peaks
+        npk = np.asarray(batch["n_peaks"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        dok = np.asarray(batch["decode_ok"].to_numpy(zero_copy_only=False),
+                         dtype=bool)
+        el = np.flatnonzero(dok & (npk >= 2))
+        if el.size:
+            logf = (batch["peak_logf"].combine_chunks().flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .reshape(n, P)[el].astype(np.float64))
+            amp = (batch["peak_amp"].combine_chunks().flatten()
+                   .to_numpy(zero_copy_only=False)
+                   .reshape(n, P)[el].astype(np.float64))
+            dur = np.asarray(batch["dur_ms"].to_numpy(zero_copy_only=False),
+                             dtype=np.int32)[el]
+            envs = batch["envelope"].to_pylist()
+            key_list = [stretchmatch.bucket_keys(
+                logf[r, :npk[i]], amp[r, :npk[i]], cfg.stretch_qstep)
+                for r, i in enumerate(el.tolist())]
+            counts = np.fromiter((len(k) for k in key_list), np.int64,
+                                 count=el.size)
+            ridx = np.repeat(el, counts)
+            if ridx.size:
+                width = _stretch_payload_width(cfg)
+                pay = np.zeros((el.size, width), np.uint8)
+                pay[:, 0] = npk[el].astype(np.uint8)
+                pay[:, 2:6] = dur[:, None].view(np.uint8)
+                off = 6
+                pay[:, off:off + 4 * P] = \
+                    logf.astype(np.float32).view(np.uint8)
+                off += 4 * P
+                pay[:, off:off + 2 * P] = \
+                    amp.astype(np.float16).view(np.uint8)
+                off += 2 * P
+                for r, i in enumerate(el.tolist()):
+                    e = np.asarray(envs[i] or [],
+                                   np.float32)[:_STRETCH_ENV_CAP]
+                    pay[r, 1] = len(e)
+                    pay[r, off:off + 2 * len(e)] = \
+                        e.astype(np.float16).view(np.uint8)
+                out_idx.append(ridx)
+                out_ch.append(np.full(ridx.size, _CH["stretch"], np.uint8))
+                out_bkt.append(np.concatenate(key_list))
+                out_pay.append(np.repeat(pay, counts, axis=0).tobytes())
+                out_wid.append(np.full(ridx.size, width, np.int32))
+
     if not out_idx:
         return pa.table({"clip_id": pa.array([], pa.string()),
                          "channel": pa.array([], pa.uint8()),
@@ -511,6 +569,55 @@ def _audio_core(ids_all: np.ndarray, buckets: np.ndarray, fp_all: np.ndarray,
         pairs = _group_expand_edges(ids_all[idx], inv, adj, intra_pass=True)
         if pairs or dropped:
             out.append(_edges_df(pairs, "audio", dropped))
+    return pd.concat(out, ignore_index=True) if out else _EMPTY
+
+
+def _stretch_core(ids_all: np.ndarray, buckets: np.ndarray,
+                  mat: np.ndarray, cfg: DedupConfig) -> pd.DataFrame:
+    """Stretch-channel verify (functions/stretchmatch.py): global-shift
+    peak consensus (vectorized score matrix per bucket) + a banded-DTW
+    envelope confirm on surviving pairs.  Bucket keys are already
+    stretch-invariant, so this core only separates whole-peak-set
+    alignments (true stretched/padded copies) from chance key
+    collisions."""
+    from mail_deduplicate_ray.functions import audio_dsp, stretchmatch
+    P = cfg.stretch_peaks
+    dur_all = np.ascontiguousarray(mat[:, 2:6]).view(np.int32).ravel() \
+        .astype(np.float64)
+    logf_all = np.ascontiguousarray(mat[:, 6:6 + 4 * P]) \
+        .view(np.float32).reshape(-1, P).astype(np.float64)
+    amp_all = np.ascontiguousarray(mat[:, 6 + 4 * P:6 + 6 * P]) \
+        .view(np.float16).reshape(-1, P).astype(np.float64)
+    nenv_all = mat[:, 1].astype(np.int64)
+    env_all = np.ascontiguousarray(mat[:, 6 + 6 * P:]) \
+        .view(np.float16).reshape(-1, _STRETCH_ENV_CAP)
+    out: list[pd.DataFrame] = []
+    for idx, dropped in _bucket_slices(buckets, ids_all, cfg.max_bucket):
+        _, first, inv = np.unique(mat[idx], axis=0, return_index=True,
+                                  return_inverse=True)
+        rep = idx[first]
+        sc, nm = stretchmatch.score_matrix(
+            logf_all[rep], amp_all[rep], cfg.stretch_tol,
+            cfg.stretch_max_shift)
+        dur = dur_all[rep]
+        ratio = np.maximum(dur[:, None], dur[None, :]) / np.maximum(
+            np.minimum(dur[:, None], dur[None, :]), 1.0)
+        adj = (sc >= cfg.stretch_score_min) & (nm >= 2) & (ratio <= 3.0)
+        adj |= adj.T  # score sums over the anchor side's peaks: symmetrize
+        np.fill_diagonal(adj, False)
+        if adj.any():
+            # DTW envelope confirm — temporal alignment check the
+            # spectral consensus cannot see (pad/stretch must still be a
+            # monotone frame-to-frame warp)
+            iu, ju = np.nonzero(np.triu(adj, 1))
+            for i, j in zip(iu.tolist(), ju.tolist()):
+                ea = env_all[rep[i], :nenv_all[rep[i]]].astype(np.float64)
+                eb = env_all[rep[j], :nenv_all[rep[j]]].astype(np.float64)
+                if audio_dsp.dtw_cost(ea, eb) > cfg.stretch_dtw_max:
+                    adj[i, j] = adj[j, i] = False
+        pairs = _group_expand_edges(ids_all[idx], inv, adj, intra_pass=True)
+        if pairs or dropped:
+            out.append(_edges_df(pairs, "stretch", dropped))
     return pd.concat(out, ignore_index=True) if out else _EMPTY
 
 
@@ -712,6 +819,11 @@ def _fused_partition(df: pd.DataFrame, cfg: DedupConfig,
         sizes = (np.ascontiguousarray(mat[:, cfg.num_perm:])
                  .view(np.int64).ravel().astype(np.float64))
         out.append(_containment_core(ids[sel], bkt[sel], sig, sizes, cfg))
+
+    sel = np.flatnonzero(ch == _CH["stretch"])
+    if sel.size:
+        mat = _payload_matrix(pay[sel], _stretch_payload_width(cfg))
+        out.append(_stretch_core(ids[sel], bkt[sel], mat, cfg))
 
     sel = np.flatnonzero(ch == _CH["substring"])
     if sel.size:

@@ -32,6 +32,7 @@ class DecodeStage:
     def __init__(self, cfg: DedupConfig) -> None:
         self.cfg = cfg
         self.srp = simhash.SRP(cfg.spectral_dims, cfg.audio_bits, cfg.audio_seed)
+        self.stretch = "stretch" in cfg.channels
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -66,6 +67,7 @@ class DecodeStage:
         # never leaves the parquet-decoded buffer.
         pcm_rows = np.zeros((n, simhash._FFT_WINDOW), dtype=np.float64)
         srs = np.zeros(n, dtype=np.int64)
+        wlens = np.zeros(n, dtype=np.int64)  # true prefix sample counts
         for i in range(n):
             if valid is not None and not valid[i]:
                 reasons[i] = "decode_failed"
@@ -80,6 +82,7 @@ class DecodeStage:
                 w = min(len(pcm), simhash._FFT_WINDOW)
                 pcm_rows[i, :w] = pcm[:w]
                 srs[i] = sr
+                wlens[i] = w
                 ok[i] = True
             except NotImplementedError:
                 reasons[i] = "codec_unavailable"
@@ -93,9 +96,52 @@ class DecodeStage:
         out = batch.drop_columns(["bytes"])
         feat_arr = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.reshape(-1)), self.cfg.spectral_dims)
-        return (
+        out = (
             out.append_column("audio_fp", pa.array(fps))
             .append_column("audio_feat", feat_arr)
             .append_column("decode_ok", pa.array(ok))
             .append_column("decode_reason", pa.array(reasons, pa.string()))
+        )
+        if self.stretch:
+            out = self._stretch_columns(out, pcm_rows, srs, wlens, ok, n)
+        return out
+
+    def _stretch_columns(self, out: pa.Table, pcm_rows: np.ndarray,
+                         srs: np.ndarray, wlens: np.ndarray,
+                         ok: np.ndarray, n: int) -> pa.Table:
+        """Peak table + prefix energy envelope for the stretch channel
+        (functions/stretchmatch.py).  ONE extra batched rfft (Hann-
+        windowed; the unwindowed FFT above feeds audio_fp and its
+        scalloping makes peak amplitudes useless for matching) + a
+        vectorized per-row envelope."""
+        from mail_deduplicate_ray.functions import audio_dsp, stretchmatch
+        cfg = self.cfg
+        P = cfg.stretch_peaks
+        W = simhash._FFT_WINDOW
+        logf = np.zeros((n, P), np.float32)
+        amps = np.zeros((n, P), np.float32)
+        npk = np.zeros(n, np.int8)
+        env_list: list[np.ndarray] = [np.empty(0, np.float32)] * n
+        rows = np.flatnonzero(ok)
+        if rows.size:
+            mags = np.abs(np.fft.rfft(pcm_rows[rows]
+                                      * stretchmatch._hann(W), axis=1))
+            for r, i in enumerate(rows.tolist()):
+                lf, a = stretchmatch.peak_table(
+                    mags[r], int(srs[i]), W, P, cfg.stretch_amp_floor)
+                k = len(lf)
+                npk[i] = k
+                logf[i, :k] = lf
+                amps[i, :k] = a
+                env_list[i] = audio_dsp.energy_envelope(
+                    pcm_rows[i, :wlens[i]], int(srs[i]),
+                    cfg.stretch_env_frame_ms)
+        return (
+            out.append_column("peak_logf", pa.FixedSizeListArray.from_arrays(
+                pa.array(logf.reshape(-1)), P))
+            .append_column("peak_amp", pa.FixedSizeListArray.from_arrays(
+                pa.array(amps.reshape(-1)), P))
+            .append_column("n_peaks", pa.array(npk))
+            .append_column("envelope", pa.array(
+                [e.tolist() for e in env_list], pa.list_(pa.float32())))
         )

@@ -45,14 +45,25 @@ VOCAB = (
 SR_CHOICES = np.array([8000, 16000, 22050], dtype=np.int64)
 _BASE_TS = 1_600_000_000.0
 
+# generator version: bump whenever the corpus BYTES change for a given
+# (n, seed) — callers key caches on it (pipelines/clips.py clips_path).
+# v2: stretch duplicate kind (time-stretched/padded copies, empty
+# transcript) + 3-5 component waveforms (2-component clips are spectrally
+# degenerate: any single shared peak-pair ratio aliases them — rich
+# spectra are also the realistic regime).
+GEN_VERSION = 2
+
 KIND_P = {
-    "unique": 0.60,
+    "unique": 0.57,
     "exact": 0.10,
     "reencode": 0.08,
     "whitespace": 0.06,
     "nearedit": 0.06,
     "contained": 0.04,
     "outlier": 0.03,
+    # time-stretched (resampled 1.05-1.28x) and/or silence-padded copy
+    # with MISSING transcript — only the stretch channel can catch it
+    "stretch": 0.03,
     "sparse": 0.01,
     # remaining 0.02: exact group with all-null timestamps
     "nullts": 0.02,
@@ -69,7 +80,7 @@ def _waveform(rng: np.random.Generator, sr_hz: int, dur_ms: int) -> np.ndarray:
     n = max(1, int(sr_hz * dur_ms / 1000))
     t = np.arange(n, dtype=np.float64) / sr_hz
     x = np.zeros(n)
-    for _ in range(int(rng.integers(2, 5))):
+    for _ in range(int(rng.integers(3, 6))):
         f = float(rng.uniform(80.0, min(2000.0, sr_hz / 4)))
         a = float(rng.uniform(0.1, 0.3))
         ph = float(rng.uniform(0, 2 * np.pi))
@@ -229,6 +240,15 @@ def generate_clips_range(
                 w2 = wave if j % 2 else _waveform(rng, sr, dur_ms)
                 b.add(cid, w2, sr, codec, _edit_one_token(rng, text), cts)
                 b.pairs.append((base_id, cid, "nearedit"))
+            elif kind == "stretch":
+                from mail_deduplicate_ray.functions import audio_dsp
+                f = float(rng.uniform(1.05, 1.28))
+                w2 = audio_dsp.resample_linear(wave, sr, int(round(sr * f)))
+                if rng.random() < 0.5:  # leading silence pad
+                    pad = int(sr * rng.uniform(0.05, 0.15))
+                    w2 = np.concatenate([np.zeros(pad, np.float32), w2])
+                b.add(cid, w2.astype(np.float32), sr, codec, "", cts)
+                b.pairs.append((base_id, cid, "stretch"))
             elif kind == "contained":
                 lo = len(wave) // 5
                 hi = lo + (len(wave) * 3) // 5

@@ -612,3 +612,76 @@ class TestQuantileSummary:
         import math
         assert math.isnan(sketch.qs_quantile(
             np.empty((0, 2)), 0.5))
+
+
+class TestStretchMatch:
+    """functions/stretchmatch.py: the stretch channel's peak kernel.
+
+    A resample by factor f scales every component frequency by 1/f, so
+    peak log-frequencies shift by exactly -ln f and amplitude ratios are
+    preserved — keys (log-freq DIFFERENCES) are invariant, and the
+    global-shift consensus verify scores ~1 for true copies."""
+
+    def _peaks(self, pcm, sr):
+        import numpy as np
+        from mail_deduplicate_ray.functions import simhash, stretchmatch
+        W = simhash._FFT_WINDOW
+        buf = np.zeros(W)
+        w = min(len(pcm), W)
+        buf[:w] = pcm[:w]
+        mag = np.abs(np.fft.rfft(buf * stretchmatch._hann(W)))
+        return stretchmatch.peak_table(mag, sr, W, 6, 0.05)
+
+    def _tone(self, freqs, amps, sr=8000, dur_s=1.0, seed=3):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        t = np.arange(int(sr * dur_s)) / sr
+        x = sum(a * np.sin(2 * np.pi * f * t) for f, a in zip(freqs, amps))
+        return (x + rng.normal(0, 0.005, len(t))).astype(np.float32)
+
+    def test_peak_logf_shifts_by_ln_f_under_resample(self):
+        import numpy as np
+        from mail_deduplicate_ray.functions import audio_dsp
+        sr = 8000
+        pcm = self._tone([220.0, 733.0, 1531.0], [0.3, 0.2, 0.15], sr)
+        f = 1.19
+        pcm2 = audio_dsp.resample_linear(pcm, sr, int(sr * f))
+        la, aa = self._peaks(pcm, sr)
+        lb, ab = self._peaks(pcm2, sr)
+        assert len(la) == len(lb) == 3
+        # same amp ordering, log-freqs shifted by exactly ln f
+        shift = la - lb
+        assert np.allclose(shift, np.log(f), atol=0.004)
+        assert np.allclose(np.sort(aa), np.sort(ab), atol=0.15)
+
+    def test_bucket_keys_invariant_and_verify_separates(self):
+        import numpy as np
+        from mail_deduplicate_ray.functions import audio_dsp, stretchmatch
+        sr = 8000
+        pcm = self._tone([190.0, 412.0, 997.0, 2203.0],
+                         [0.3, 0.25, 0.2, 0.1], sr)
+        pcm2 = audio_dsp.resample_linear(pcm, sr, int(sr * 1.27))
+        pcm2 = np.concatenate([np.zeros(640, np.float32), pcm2])  # 80ms pad
+        other = self._tone([251.0, 648.0, 1444.0], [0.3, 0.2, 0.2], sr,
+                           seed=9)
+        pa_, aa = self._peaks(pcm, sr)
+        pb_, ab = self._peaks(pcm2, sr)
+        po_, ao = self._peaks(other, sr)
+        ka = stretchmatch.bucket_keys(pa_, aa, 0.02)
+        kb = stretchmatch.bucket_keys(pb_, ab, 0.02)
+        ko = stretchmatch.bucket_keys(po_, ao, 0.02)
+        assert len(set(ka) & set(kb)) > 0          # stretched copy collides
+        sc, nm = stretchmatch.verify_pair(pa_, aa, pb_, ab, 0.004, 0.59)
+        assert sc >= 0.8 and nm >= 3, (sc, nm)
+        so, _ = stretchmatch.verify_pair(pa_, aa, po_, ao, 0.004, 0.59)
+        assert so < 0.8, so
+
+    def test_pair_key_covers_peak_count_mismatch(self):
+        # a copy that gains a weak 4th peak still shares the top-2 pair key
+        import numpy as np
+        from mail_deduplicate_ray.functions import stretchmatch
+        la = np.log([200.0, 900.0])
+        lb = np.log([200.0, 900.0, 2100.0])
+        ka = stretchmatch.bucket_keys(la, np.array([1.0, 0.8]), 0.02)
+        kb = stretchmatch.bucket_keys(lb, np.array([1.0, 0.8, 0.1]), 0.02)
+        assert len(set(ka) & set(kb)) > 0
