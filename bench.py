@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "images_phash_neardup", "knn_triangles_embeddings",
     "frequent_templates_docs", "similar_docs_topk",
     "order_price_rank_stats", "forecast_revenue",
+    # round-4: unified multimodal cascade
+    "corpus_tiered_dedup",
 ]
 
 

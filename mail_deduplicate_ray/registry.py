@@ -16,7 +16,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from mail_deduplicate_ray.pipelines import (ann, clips, docs, images,
+from mail_deduplicate_ray.pipelines import (ann, clips, corpus, docs, images,
                                              relational, videos)
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -25,6 +25,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship clips family (non-SQL: synthesized audio corpus) ---
         "clips_flagship": clips.flagship_clusters,          # rows-only (planted recall >=0.99)
         "clips_tiered_dedup": clips.clips_tiered_dedup,     # rows-only (tiers 1-2 parity-tested, planted-kind attribution)
+        "corpus_tiered_dedup": corpus.corpus_tiered_dedup,  # rows-only (cross-modal planted-kind attribution test)
         "clips_dtw_pairs": clips.clips_dtw_pairs,           # rows-only (DTW kernel stretch-alignment unit-tested)
         # --- multimodal near-dup (real in-repo codecs) ---
         "images_dhash_neardup": images.images_dhash_neardup,  # rows-only (planted-truth recall test)
@@ -76,8 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": docs.bpe_token_counts,
         "bpe_train_docs": docs.bpe_train_docs,
         "bpe_apply_docs": docs.bpe_apply_docs,  # rows-only (naive-encode parity test)
-        "keep_biggest_per_lang": docs.keep_biggest_per_lang,
         # ================ END DRIVER WINDOW (50) ================
+        "keep_biggest_per_lang": docs.keep_biggest_per_lang,
         # --- remaining dedup / text family ---
         "regexp_filter_docs": docs.regexp_filter_docs,
         "lang_id_docs": docs.lang_id_docs,          # rows-only

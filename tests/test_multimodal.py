@@ -429,3 +429,74 @@ def test_images_phash_neardup_planted_recall():
            im.images_phash_neardup(sf).take_all()}
     hits = sum((min(a, b), max(a, b)) in got for a, b, _k in truth)
     assert hits / len(truth) >= 0.9, (hits, len(truth))
+
+
+def test_corpus_tiered_dedup_cross_modal():
+    """Unified multimodal cascade: disjoint cover over all three
+    corpora, keeper invariants, and planted-kind -> tier attribution
+    per modality (audio recall across tiers mirrors clips_tiered;
+    image/video kinds land in the tier their fingerprint invariance
+    predicts)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from mail_deduplicate_ray.pipelines import clips as cl
+    from mail_deduplicate_ray.pipelines import corpus as co
+    from mail_deduplicate_ray.pipelines import images as im
+    from mail_deduplicate_ray.pipelines import videos as vi
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["asset_id"]: (r["tier"], r["keeper_id"], r["modality"])
+           for r in co.corpus_tiered_dedup(sf).take_all()}
+
+    # disjoint cover: exactly one row per asset, namespaced ids
+    a_ids = {f"a:{i}" for i in pq.read_table(
+        cl.clips_path(sf), columns=["clip_id"])["clip_id"].to_pylist()}
+    i_ids = {f"i:{i}" for i in pq.read_table(
+        im.images_path(sf), columns=["img_id"])["img_id"].to_pylist()}
+    v_ids = {f"v:{i}" for i in pq.read_table(
+        vi.videos_path(sf), columns=["vid_id"])["vid_id"].to_pylist()}
+    assert set(got) == a_ids | i_ids | v_ids
+
+    tiers = {"exact_bytes", "content_key", "neardup", "unique"}
+    for aid, (t, k, m) in got.items():
+        assert t in tiers and m == aid[0]
+        if t == "unique":
+            assert k == aid
+        else:
+            assert k < aid          # keeper = lexicographic min of group
+            assert k[0] == aid[0]   # groups never cross modality here
+
+    # audio: planted duplicate pairs caught at SOME tier (>=0.95 — the
+    # clips_tiered bar; kinds map exact->1, whitespace/reencode->2,
+    # nearedit/contained/stretch->3)
+    a_truth = json.loads(
+        (cl.CACHE_ROOT / f"{cl.clips_path(sf).name}.truth.json")
+        .read_text())["recall_pairs"]
+    dup_ids = {f"a:{b}" for _a, b in a_truth}
+    caught = sum(got[d][0] != "unique" for d in dup_ids)
+    assert caught / len(dup_ids) >= 0.95, (caught, len(dup_ids))
+
+    # images: exact kind = same pixels, other container -> dHash equal
+    # -> ALWAYS tier 2; noisy/lossy kinds may need tier 3; >=0.9 overall
+    i_truth = json.loads(
+        (im.CACHE_ROOT / f"{im.images_path(sf).name}.truth.json")
+        .read_text())["pairs"]
+    assert all(got[f"i:{b}"][0] == "content_key"
+               for _a, b, k in i_truth if k == "exact")
+    i_caught = sum(got[f"i:{b}"][0] != "unique" for _a, b, _k in i_truth)
+    assert i_caught / len(i_truth) >= 0.9, (i_caught, len(i_truth))
+
+    # videos: brightness shift -> mean-centered pooled SRP is invariant
+    # up to 0/255 clipping, so bright copies are ALWAYS caught — usually
+    # tier 2, tier 3 when clipping moved a bit, tier 1 when the drawn
+    # shift was 0; exact (cross-container lossy) / retime may fall to
+    # tier 3; >=0.9 overall
+    v_truth = json.loads(
+        (vi.CACHE_ROOT / f"{vi.videos_path(sf).name}.truth.json")
+        .read_text())["pairs"]
+    assert all(got[f"v:{b}"][0] != "unique"
+               for _a, b, k in v_truth if k == "bright")
+    v_caught = sum(got[f"v:{b}"][0] != "unique" for _a, b, _k in v_truth)
+    assert v_caught / len(v_truth) >= 0.9, (v_caught, len(v_truth))
