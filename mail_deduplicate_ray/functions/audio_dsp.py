@@ -262,6 +262,74 @@ def dtw_cost(a: np.ndarray, b: np.ndarray,
     return float(prev[m] / (n + m))
 
 
+def dtw_cost_batch(A: np.ndarray, na: np.ndarray,
+                   B: np.ndarray, nb: np.ndarray,
+                   radius_frac: float = 0.25,
+                   chunk: int = 4096) -> np.ndarray:
+    """Vectorized :func:`dtw_cost` over K envelope pairs at once — the
+    identical banded recurrence (z-normalize, band r = max(3,
+    radius_frac*max(n,m), |n-m|+1), cost / (n+m)) run as one DP over a
+    (K, N+1, M+1) tensor instead of K Python-loop DPs, so a verify
+    stage with tens of thousands of candidate pairs pays ~N*M numpy
+    ops total rather than K * N * band Python-interpreted cells.
+
+    ``A``/``B``: (K, N)/(K, M) zero-padded envelope rows; ``na``/``nb``
+    their true lengths.  Pairs with an empty side return inf (the
+    scalar kernel's contract).  ``chunk`` bounds the DP tensor's
+    memory (chunk * (N+1) * (M+1) float64)."""
+    A = np.asarray(A, np.float64)
+    B = np.asarray(B, np.float64)
+    na = np.asarray(na, np.int64)
+    nb = np.asarray(nb, np.int64)
+    K, N = A.shape
+    M = B.shape[1]
+    out = np.empty(K, np.float64)
+    if K == 0:
+        return out
+    for lo in range(0, K, chunk):
+        hi = min(K, lo + chunk)
+        out[lo:hi] = _dtw_batch_chunk(A[lo:hi], na[lo:hi],
+                                      B[lo:hi], nb[lo:hi],
+                                      N, M, radius_frac)
+    return out
+
+
+def _dtw_batch_chunk(A, na, B, nb, N, M, radius_frac):
+    k = len(na)
+    iN = np.arange(N)[None, :]
+    iM = np.arange(M)[None, :]
+    am = iN < na[:, None]
+    bm = iM < nb[:, None]
+    ca = np.maximum(na, 1)[:, None]
+    cb = np.maximum(nb, 1)[:, None]
+    mean_a = (A * am).sum(1, keepdims=True) / ca
+    mean_b = (B * bm).sum(1, keepdims=True) / cb
+    std_a = np.sqrt((((A - mean_a) * am) ** 2).sum(1, keepdims=True) / ca)
+    std_b = np.sqrt((((B - mean_b) * bm) ** 2).sum(1, keepdims=True) / cb)
+    Az = (A - mean_a) / (std_a + 1e-9)
+    Bz = (B - mean_b) / (std_b + 1e-9)
+    r = np.maximum(np.maximum(
+        3, (radius_frac * np.maximum(na, nb)).astype(np.int64)),
+        np.abs(na - nb) + 1)
+    INF = np.inf
+    D = np.full((k, N + 1, M + 1), INF)
+    D[:, 0, 0] = 0.0
+    for i in range(1, N + 1):
+        ai = Az[:, i - 1]
+        li = i <= na
+        Dp = D[:, i - 1]
+        Di = D[:, i]
+        for j in range(1, M + 1):
+            c = np.abs(ai - Bz[:, j - 1])
+            best = np.minimum(np.minimum(Dp[:, j - 1], Dp[:, j]),
+                              Di[:, j - 1])
+            v = li & (j <= nb) & (abs(i - j) <= r)
+            Di[:, j] = np.where(v, c + best, INF)
+    res = D[np.arange(k), na, nb] / np.maximum(na + nb, 1)
+    res[(na == 0) | (nb == 0)] = INF
+    return res
+
+
 def clipping_ratio(pcm: np.ndarray, level: float = 0.999) -> float:
     """Fraction of samples at/above ``level`` of full scale — the
     hard-clipping signal an audio quality gate screens on."""

@@ -174,6 +174,89 @@ def score_matrix(L: np.ndarray, A: np.ndarray, tol: float,
     return best, bestn
 
 
+def score_pairs(La: np.ndarray, Aa: np.ndarray,
+                Lb: np.ndarray, Ab: np.ndarray,
+                tol: float, max_shift: float,
+                chunk: int = 65536) -> tuple[np.ndarray, np.ndarray]:
+    """Pair-list form of :func:`score_matrix`: score K explicit pairs
+    (a_k, b_k) instead of an m x m bucket matrix.  Per pair and per
+    DIRECTION, the best (score, matched-count) over the 4 top-2 x top-2
+    anchor hypotheses — returned as (K, 2) arrays (column 0 = a->b,
+    column 1 = b->a), so callers can replay score_matrix's symmetrized
+    per-cell accept test exactly:
+    ``pass = any_direction(sc >= smin and nm >= 2)``.
+
+    Why this form: the verify core collects candidate pairs across ALL
+    buckets (after duration prefilter + cross-bucket dedup) and scores
+    each once — only (pair, anchor) combos whose hypothesised shift is
+    within ``max_shift`` are gathered into the (V, P, P) tolerance
+    tensor, where score_matrix built the full (m, m, P, P) tensor per
+    bucket per anchor (measured 86%% of the stretch stage at sf0.1)."""
+    K, P = La.shape
+    sc = np.zeros((K, 2))
+    nm = np.zeros((K, 2), np.int32)
+    # float32 tensor math: peak log-freqs travel the wire as float32
+    # (explode payload), so the inputs are exactly representable; the
+    # tolerance (4e-3) and score floor (0.8) sit ~4 orders of magnitude
+    # above float32 rounding on values in [ln 50, ln 4000] — and the
+    # (V, P, P) passes are memory-bound, so 4-byte lanes halve the
+    # stage's DRAM traffic.
+    La = np.asarray(La, np.float32)
+    Lb = np.asarray(Lb, np.float32)
+    Aa = np.asarray(Aa, np.float32)
+    Ab = np.asarray(Ab, np.float32)
+    for lo in range(0, K, chunk):
+        hi = min(K, lo + chunk)
+        _score_pairs_chunk(La[lo:hi], Aa[lo:hi], Lb[lo:hi], Ab[lo:hi],
+                           np.float32(tol), np.float32(max_shift),
+                           sc[lo:hi], nm[lo:hi])
+    return sc, nm
+
+
+def _score_pairs_chunk(La, Aa, Lb, Ab, tol, max_shift, sc, nm):
+    P = La.shape[1]
+    pa_ = Aa > 0
+    pb_ = Ab > 0
+    denom = np.maximum(Aa.sum(1), Ab.sum(1)) + np.float32(1e-12)
+    dL = La[:, :, None] - Lb[:, None, :]     # shared by all anchors
+    # wmin doubles as the presence mask: amp == 0 means absent, so
+    # min(Aa, Ab) is 0 exactly where score_matrix's pair_ok was False —
+    # one multiply replaces the bool-tensor AND, and a positive row-max
+    # replaces the separate T.any() matched-count pass
+    wmin = np.minimum(Aa[:, :, None], Ab[:, None, :])
+    wminT = wmin.transpose(0, 2, 1)
+    for i in (0, 1):
+        if i >= P:
+            break
+        for j in (0, 1):
+            if j >= P:
+                break
+            # direction a->b: D = La[i] - Lb[j]; match |dL - D| < tol
+            D = La[:, i] - Lb[:, j]
+            v = np.flatnonzero((np.abs(D) <= max_shift)
+                               & pa_[:, i] & pb_[:, j])
+            if v.size:
+                wr = (wmin[v] * (np.abs(dL[v] - D[v, None, None]) < tol)) \
+                    .max(axis=2)
+                s_ = wr.sum(axis=1) / denom[v]
+                upd = s_ > sc[v, 0]
+                sc[v, 0] = np.where(upd, s_, sc[v, 0])
+                nm[v, 0] = np.where(upd, (wr > 0).sum(axis=1), nm[v, 0])
+            # direction b->a: D2 = Lb[i] - La[j]; the b-side match matrix
+            # is dL transposed with the shift negated
+            D2 = Lb[:, i] - La[:, j]
+            v = np.flatnonzero((np.abs(D2) <= max_shift)
+                               & pb_[:, i] & pa_[:, j])
+            if v.size:
+                wr = (wminT[v] * (np.abs(dL[v].transpose(0, 2, 1)
+                                         + D2[v, None, None]) < tol)) \
+                    .max(axis=2)
+                s_ = wr.sum(axis=1) / denom[v]
+                upd = s_ > sc[v, 1]
+                sc[v, 1] = np.where(upd, s_, sc[v, 1])
+                nm[v, 1] = np.where(upd, (wr > 0).sum(axis=1), nm[v, 1])
+
+
 def verify_pair(logf_a: np.ndarray, amp_a: np.ndarray,
                 logf_b: np.ndarray, amp_b: np.ndarray,
                 tol: float, max_shift: float) -> tuple[float, int]:

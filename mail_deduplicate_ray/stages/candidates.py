@@ -575,11 +575,31 @@ def _audio_core(ids_all: np.ndarray, buckets: np.ndarray, fp_all: np.ndarray,
 def _stretch_core(ids_all: np.ndarray, buckets: np.ndarray,
                   mat: np.ndarray, cfg: DedupConfig) -> pd.DataFrame:
     """Stretch-channel verify (functions/stretchmatch.py): global-shift
-    peak consensus (vectorized score matrix per bucket) + a banded-DTW
-    envelope confirm on surviving pairs.  Bucket keys are already
-    stretch-invariant, so this core only separates whole-peak-set
-    alignments (true stretched/padded copies) from chance key
-    collisions."""
+    peak consensus + a banded-DTW envelope confirm.  Bucket keys are
+    already stretch-invariant, so this core only separates whole-peak-set
+    alignments (true stretched/padded copies) from chance key collisions.
+
+    Execution shape (profiled at sf0.1 — the per-bucket (m, m, P, P)
+    score_matrix was 86% of the stage, and a true stretched copy shares
+    up to ~16 double-cover keys so the SAME pair was re-scored in every
+    shared bucket):
+
+    1. per bucket: payload-fingerprint unique -> distinct-table pair
+       list, pruned by the symmetric duration-ratio gate (<= 3.0, the
+       cheap columns) BEFORE any spectral work;
+    2. globally: pairs deduped across buckets on (min, max) payload
+       fingerprints — each distinct pair is scored and DTW-confirmed
+       exactly ONCE (stretchmatch.score_pairs: only (pair, anchor)
+       combos with a feasible shift are gathered; audio_dsp.
+       dtw_cost_batch: one tensor DP, not K interpreted loops);
+    3. scatter the per-unique-pair verdict back to every bucket and
+       expand member edges (identical payloads link via ``inv``,
+       intra_pass=True — the memoized-verification idiom).
+
+    The accept test replays score_matrix's symmetrized per-cell rule:
+    pass iff EITHER direction has (score >= min AND matched >= 2).
+    The 64-bit payload fold can merge two distinct tables with
+    probability ~2^-64 per pair (same trade as _fold_u64_cols)."""
     from mail_deduplicate_ray.functions import audio_dsp, stretchmatch
     P = cfg.stretch_peaks
     dur_all = np.ascontiguousarray(mat[:, 2:6]).view(np.int32).ravel() \
@@ -591,34 +611,84 @@ def _stretch_core(ids_all: np.ndarray, buckets: np.ndarray,
     nenv_all = mat[:, 1].astype(np.int64)
     env_all = np.ascontiguousarray(mat[:, 6 + 6 * P:]) \
         .view(np.float16).reshape(-1, _STRETCH_ENV_CAP)
-    out: list[pd.DataFrame] = []
+    w8 = (mat.shape[1] + 7) // 8 * 8
+    padded = np.zeros((mat.shape[0], w8), np.uint8)
+    padded[:, :mat.shape[1]] = mat
+    h_all = _fold_u64_cols(np.ascontiguousarray(padded).view(np.uint64))
+    pend: list[tuple] = []          # (idx, dropped, inv, m, iu, ju)
+    gi: list[np.ndarray] = []       # payload row per pair, both sides
+    gj: list[np.ndarray] = []
+    empty = np.empty(0, np.int64)
     for idx, dropped in _bucket_slices(buckets, ids_all, cfg.max_bucket):
-        _, first, inv = np.unique(mat[idx], axis=0, return_index=True,
+        _, first, inv = np.unique(h_all[idx], return_index=True,
                                   return_inverse=True)
         rep = idx[first]
-        sc, nm = stretchmatch.score_matrix(
-            logf_all[rep], amp_all[rep], cfg.stretch_tol,
-            cfg.stretch_max_shift)
-        dur = dur_all[rep]
-        ratio = np.maximum(dur[:, None], dur[None, :]) / np.maximum(
-            np.minimum(dur[:, None], dur[None, :]), 1.0)
-        adj = (sc >= cfg.stretch_score_min) & (nm >= 2) & (ratio <= 3.0)
-        adj |= adj.T  # score sums over the anchor side's peaks: symmetrize
-        np.fill_diagonal(adj, False)
-        if adj.any():
+        m = len(rep)
+        if m > 1:
+            iu, ju = np.triu_indices(m, 1)
+            dur = dur_all[rep]
+            keep = (np.maximum(dur[iu], dur[ju])
+                    <= 3.0 * np.maximum(np.minimum(dur[iu], dur[ju]), 1.0))
+            iu, ju = iu[keep], ju[keep]
+            gi.append(rep[iu])
+            gj.append(rep[ju])
+        else:
+            iu = ju = empty
+        pend.append((idx, dropped, inv, m, iu, ju))
+    ok = np.empty(0, bool)
+    uinv = np.empty(0, np.int64)
+    if gi:
+        li = np.concatenate(gi)
+        rj = np.concatenate(gj)
+        # cross-bucket dedup: one verdict per distinct (table, table) pair,
+        # keyed by an order-canonical 64-bit combine of the two payload
+        # folds — ONE u64 sort, not a 2-key lexsort / np.unique(axis=0)
+        # (both dominated the core when profiled); a cross-pair combine
+        # collision merges two verdicts at ~2^-64 (the _fold_u64_cols trade)
+        pk = (np.minimum(h_all[li], h_all[rj]) * _FOLD_P) \
+            ^ np.maximum(h_all[li], h_all[rj])
+        _, uidx, uinv = np.unique(pk, return_index=True, return_inverse=True)
+        ua, ub = li[uidx], rj[uidx]
+        # exact mass prefilter: score = matched min-amp mass / max(total
+        # mass) in BOTH directions is bounded by min(sum)/max(sum), so a
+        # pair with amp-mass ratio below the floor can never pass — one
+        # compare per pair instead of a (P, P) tensor (row sums computed
+        # once per payload row, gathered per pair)
+        mass = amp_all.sum(axis=1)
+        sa, sb = mass[ua], mass[ub]
+        feasible = np.flatnonzero(
+            np.minimum(sa, sb) >= cfg.stretch_score_min * np.maximum(sa, sb))
+        ok = np.zeros(uidx.size, bool)
+        fa, fb = ua[feasible], ub[feasible]
+        sc, nm = stretchmatch.score_pairs(
+            logf_all[fa], amp_all[fa], logf_all[fb], amp_all[fb],
+            cfg.stretch_tol, cfg.stretch_max_shift)
+        ok[feasible] = ((sc >= cfg.stretch_score_min) & (nm >= 2)).any(axis=1)
+        sel = np.flatnonzero(ok)
+        if sel.size:
             # DTW envelope confirm — temporal alignment check the
             # spectral consensus cannot see (pad/stretch must still be a
             # monotone frame-to-frame warp)
-            iu, ju = np.nonzero(np.triu(adj, 1))
-            for i, j in zip(iu.tolist(), ju.tolist()):
-                ea = env_all[rep[i], :nenv_all[rep[i]]].astype(np.float64)
-                eb = env_all[rep[j], :nenv_all[rep[j]]].astype(np.float64)
-                if audio_dsp.dtw_cost(ea, eb) > cfg.stretch_dtw_max:
-                    adj[i, j] = adj[j, i] = False
-        pairs = _group_expand_edges(ids_all[idx], inv, adj, intra_pass=True)
-        if pairs or dropped:
-            out.append(_edges_df(pairs, "stretch", dropped))
-    return pd.concat(out, ignore_index=True) if out else _EMPTY
+            cost = audio_dsp.dtw_cost_batch(
+                env_all[ua[sel]].astype(np.float64), nenv_all[ua[sel]],
+                env_all[ub[sel]].astype(np.float64), nenv_all[ub[sel]])
+            ok[sel[cost > cfg.stretch_dtw_max]] = False
+    all_pairs: list[tuple[str, str]] = []
+    total_dropped = 0
+    off = 0
+    for idx, dropped, inv, m, iu, ju in pend:
+        total_dropped += dropped
+        adj = np.zeros((m, m), bool)
+        if iu.size:
+            good = ok[uinv[off:off + iu.size]]
+            off += iu.size
+            adj[iu[good], ju[good]] = True
+            adj |= adj.T
+        all_pairs.extend(_group_expand_edges(ids_all[idx], inv, adj,
+                                             intra_pass=True))
+    # one DataFrame for the whole partition (a frame per bucket + concat
+    # measured seconds at sf0.1 over ~11k buckets)
+    return _edges_df(all_pairs, "stretch", total_dropped)
 
 
 def _containment_core(ids_all: np.ndarray, buckets: np.ndarray,

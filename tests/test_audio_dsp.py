@@ -263,6 +263,41 @@ class TestDTW:
         a = np.sin(t)
         assert audio_dsp.dtw_cost(a, 3.0 * a + 7.0) < 1e-9
 
+    def test_batch_matches_scalar_kernel(self):
+        # dtw_cost_batch is the scalar recurrence run as one tensor DP;
+        # it must be bit-comparable to per-pair dtw_cost across varied
+        # lengths (incl. the empty-side inf contract) and chunk splits
+        import numpy as np
+        from mail_deduplicate_ray.functions import audio_dsp
+        rng = np.random.default_rng(31)
+        CAP = 32
+        K = 57
+        na = rng.integers(0, CAP + 1, size=K)   # include empty sides
+        nb = rng.integers(0, CAP + 1, size=K)
+        na[0], nb[0] = 0, 12
+        na[1], nb[1] = 12, 0
+        A = np.zeros((K, CAP))
+        B = np.zeros((K, CAP))
+        for k in range(K):
+            A[k, :na[k]] = rng.normal(size=na[k])
+            B[k, :nb[k]] = rng.normal(size=nb[k])
+        # make a few pairs genuinely similar so thresholds get exercised
+        for k in range(5, 10):
+            n = max(4, min(na[k], CAP))
+            na[k] = nb[k] = n
+            A[k, :n] = np.sin(np.linspace(0, 3, n))
+            B[k, :n] = 2.0 * A[k, :n] + 1.0
+        got = audio_dsp.dtw_cost_batch(A, na, B, nb, chunk=13)
+        for k in range(K):
+            want = audio_dsp.dtw_cost(A[k, :na[k]], B[k, :nb[k]])
+            if np.isinf(want):
+                assert np.isinf(got[k]), k
+            else:
+                assert abs(got[k] - want) < 1e-12, (k, got[k], want)
+        assert audio_dsp.dtw_cost_batch(
+            np.zeros((0, CAP)), np.zeros(0, np.int64),
+            np.zeros((0, CAP)), np.zeros(0, np.int64)).shape == (0,)
+
     def test_envelope_shape_tracks_duration(self):
         import numpy as np
         from mail_deduplicate_ray.functions import audio_dsp

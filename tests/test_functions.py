@@ -676,6 +676,46 @@ class TestStretchMatch:
         so, _ = stretchmatch.verify_pair(pa_, aa, po_, ao, 0.004, 0.59)
         assert so < 0.8, so
 
+    def test_score_pairs_matches_score_matrix(self):
+        # score_pairs is the pair-list form of score_matrix (the stretch
+        # core verifies each distinct pair once instead of per-bucket
+        # m x m); per direction its (score, matched) must agree with the
+        # corresponding matrix cell to float32 rounding, and the
+        # symmetrized accept rule must agree EXACTLY at thresholds away
+        # from the rounding scale
+        import numpy as np
+        from mail_deduplicate_ray.functions import stretchmatch
+        rng = np.random.default_rng(17)
+        m, P = 14, 6
+        # synthetic peak tables in [ln 50, ln 4000], amp-descending,
+        # variable peak counts (zero-padded), a few exact shifted copies
+        L = np.zeros((m, P))
+        A = np.zeros((m, P))
+        for i in range(m):
+            k = rng.integers(2, P + 1)
+            L[i, :k] = np.sort(rng.uniform(np.log(50), np.log(4000), k))[::-1]
+            A[i, :k] = np.sort(rng.uniform(0.05, 1.0, k))[::-1]
+            A[i, 0] = 1.0
+        for src, dst in ((0, 1), (2, 3)):   # plant true stretched copies
+            k = int((A[src] > 0).sum())
+            L[dst], A[dst] = 0.0, 0.0
+            L[dst, :k] = L[src, :k] + rng.uniform(-0.3, 0.3)
+            A[dst, :k] = A[src, :k]
+        tol, max_shift = 0.004, 0.59
+        sc_m, nm_m = stretchmatch.score_matrix(L, A, tol, max_shift)
+        iu, ju = np.triu_indices(m, 1)
+        sc_p, nm_p = stretchmatch.score_pairs(
+            L[iu], A[iu], L[ju], A[ju], tol, max_shift, chunk=7)
+        for d, (r, c) in enumerate(((iu, ju), (ju, iu))):
+            assert np.allclose(sc_p[:, d], sc_m[r, c], atol=1e-5), d
+            assert (nm_p[:, d] == nm_m[r, c]).all(), d
+        smin = 0.8
+        acc_matrix = (sc_m >= smin) & (nm_m >= 2)
+        acc_matrix |= acc_matrix.T
+        acc_pairs = ((sc_p >= smin) & (nm_p >= 2)).any(axis=1)
+        assert (acc_pairs == acc_matrix[iu, ju]).all()
+        assert acc_pairs.sum() >= 2   # the planted copies pass
+
     def test_pair_key_covers_peak_count_mismatch(self):
         # a copy that gains a weak 4th peak still shares the top-2 pair key
         import numpy as np
