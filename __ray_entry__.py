@@ -32,6 +32,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
+# rolling_fingerprint's 8-byte polynomial window expanded to a closed
+# form: h(i) = (OFFS*B^8 + sum_j byte[i+j] * B^(7-j)) mod 2^64 — each
+# power reduced mod 2^64 so the HUGEINT partial products stay < 2^77
+# (functions/textstats.py:80; ASCII corpus makes unicode() == byte)
+_FP_B = 1099511628211
+_FP_MOD = 1 << 64
+_FP_OFFS = 14695981039346656037
+_FP_OFFS_B8 = (_FP_OFFS * pow(_FP_B, 8, _FP_MOD)) % _FP_MOD
+_FP_TERMS = " + ".join(
+    f"unicode(substr(tx, CAST(i+{j} AS INT), 1))::HUGEINT"
+    f" * {pow(_FP_B, 7 - j, _FP_MOD)}::HUGEINT" for j in range(8))
+
+# lang_id's marker-stopword sets (functions/textstats.py:16), one
+# intersect-count per language; the CASE replays the dict-order
+# first-strict-max tie-break (en > de > fr > es)
+_LANG_SQL = {
+    "en": "'the','and','of','is','with','for'",
+    "de": "'der','die','und','ist','mit','das'",
+    "fr": "'le','la','et','est','avec','les'",
+    "es": "'el','la','y','es','con','los'",
+}
+_LANG_SCORES = ",\n                   ".join(
+    f"len(list_intersect(tk, [{v}])) AS s_{k}"
+    for k, v in _LANG_SQL.items())
+
 
 def oracle_sql() -> dict[str, str]:
     d = {
@@ -190,6 +215,87 @@ def oracle_sql() -> dict[str, str]:
             FROM fps a JOIN fps b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.fp, b.fp)) <= 3
             ORDER BY a_id, b_id
+        """,
+        # per-doc SimHash fingerprints — the same HUGEINT replay of the
+        # engine's FNV token fold + per-bit majority as the pairs oracle
+        "simhash_docs": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(
+                         trim(lower(text)), '\s+')) AS tok
+              FROM documents WHERE trim(coalesce(text,'')) <> ''
+            ),
+            th AS (
+              SELECT doc_id,
+                list_reduce(
+                  [14695981039346656037::HUGEINT] ||
+                  list_transform(range(1, length(tok)+1),
+                                 i -> unicode(tok[i])::HUGEINT),
+                  (acc, x) -> (acc * 1099511628211 + x)
+                              % 18446744073709551616::HUGEINT
+                ) AS h
+              FROM toks
+            ),
+            bits AS (
+              SELECT doc_id, b.b AS b,
+                     sum(CASE WHEN (h // (2::HUGEINT ^ b.b)::HUGEINT)
+                                   % 2 = 1
+                              THEN 1 ELSE -1 END) AS vote
+              FROM th, (SELECT unnest(range(64)) AS b) b
+              GROUP BY doc_id, b.b
+            )
+            SELECT d.doc_id, coalesce(f.fp, 0::HUGEINT)::UBIGINT AS simhash
+            FROM documents d LEFT JOIN (
+              SELECT doc_id,
+                     sum(CASE WHEN vote >= 0
+                              THEN (2::HUGEINT ^ b)::HUGEINT
+                              ELSE 0::HUGEINT END) AS fp
+              FROM bits GROUP BY doc_id) f USING (doc_id)
+        """,
+        # winnowing bottom-1 fingerprint: min over all 8-byte windows of
+        # the rolling polynomial hash, closed-form per window (constants
+        # above); texts shorter than the window hash whole via the same
+        # list_reduce idiom as the simhash oracle
+        "doc_fingerprints": f"""
+            WITH t AS (SELECT doc_id, coalesce(text,'') AS tx
+                       FROM documents)
+            SELECT doc_id,
+              CASE WHEN length(tx) = 0 THEN 0::UBIGINT
+                   WHEN length(tx) < 8 THEN
+                     list_reduce(
+                       [{_FP_OFFS}::HUGEINT] ||
+                       list_transform(range(1, length(tx)+1),
+                           i -> unicode(substr(tx, CAST(i AS INT), 1))
+                                ::HUGEINT),
+                       (acc, x) -> (acc * {_FP_B} + x)
+                                   % {_FP_MOD}::HUGEINT)::UBIGINT
+                   ELSE list_min(list_transform(
+                       range(1, length(tx) - 6),
+                       i -> (({_FP_OFFS_B8}::HUGEINT + {_FP_TERMS})
+                             % {_FP_MOD}::HUGEINT)))::UBIGINT
+              END AS fingerprint
+            FROM t
+        """,
+        # n-gram-heuristic language ID: CJK screen on the first 400
+        # chars, else the marker-set intersect counts over the distinct
+        # first-200 tokens, first strict max in dict order
+        "lang_id_docs": f"""
+            WITH t AS (SELECT doc_id, lang, coalesce(text,'') AS tx
+                       FROM documents),
+            tk AS (SELECT doc_id, lang, tx, list_distinct(
+                       regexp_split_to_array(trim(lower(tx)),
+                                             '\\s+')[1:200]) AS tk
+                   FROM t),
+            s AS (SELECT doc_id, lang, tx,
+                   {_LANG_SCORES}
+                  FROM tk)
+            SELECT doc_id, lang,
+              CASE WHEN regexp_matches(substr(tx, 1, 400),
+                        '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                   WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                        THEN 'en'
+                   WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                   WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred
+            FROM s
         """,
         # exact character-trigram-set Jaccard >= 0.6; the size-ratio join
         # predicate is an EXACT bound (J <= min/max set size), pure pruning

@@ -36,7 +36,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivfpq_top10": ann.ann_ivfpq_topk,      # rows-only (recall-gated)
         "knn_triangles_embeddings": ann.knn_triangles_embeddings,
         "kcenter_sample_embeddings": ann.kcenter_sample_embeddings,
-        "semdedup_embeddings": ann.semdedup_embeddings,  # rows-only (brute-force parity-tested)
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
         "embedding_neardup_pairs_lsh": ann.embedding_neardup_pairs_lsh,
         "ann_bruteforce_top10": ann.ann_bruteforce_topk,
@@ -52,8 +51,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": docs.exact_dedup_docs,
         "normalized_dedup_docs": docs.normalized_dedup_docs,
         "bag_dedup_docs": docs.bag_dedup_docs,
-        "doc_hashes": docs.doc_hashes,
-        "dup_group_size_histogram": docs.dup_group_size_histogram,
+        # round-4 oracle conversions (SQL replays of the engine hashes)
+        "simhash_docs": docs.simhash_docs,
+        "doc_fingerprints": docs.doc_fingerprints,
+        "lang_id_docs": docs.lang_id_docs,
         "ngram_jaccard_pairs": docs.ngram_jaccard_pairs,
         "incremental_neardup_docs": docs.incremental_neardup_docs,
         "dup_ngram_fraction_docs": docs.dup_ngram_fraction_docs,
@@ -81,9 +82,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keep_biggest_per_lang": docs.keep_biggest_per_lang,
         # --- remaining dedup / text family ---
         "regexp_filter_docs": docs.regexp_filter_docs,
-        "lang_id_docs": docs.lang_id_docs,          # rows-only
-        "doc_fingerprints": docs.doc_fingerprints,  # rows-only
-        "simhash_docs": docs.simhash_docs,          # rows-only
+        "doc_hashes": docs.doc_hashes,
+        "dup_group_size_histogram": docs.dup_group_size_histogram,
+        "semdedup_embeddings": ann.semdedup_embeddings,  # rows-only (brute-force parity-tested)
         "lang_adaptive_length_filter_docs": docs.lang_adaptive_length_filter_docs,
         "mixture_rebalance_docs": docs.mixture_rebalance_docs,
         "global_shuffle_order_docs": docs.global_shuffle_order_docs,
