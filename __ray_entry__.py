@@ -44,6 +44,98 @@ _FP_TERMS = " + ".join(
     f"unicode(substr(tx, CAST(i+{j} AS INT), 1))::HUGEINT"
     f" * {pow(_FP_B, 7 - j, _FP_MOD)}::HUGEINT" for j in range(8))
 
+def _minhash_clusters_sql() -> str:
+    """Full SQL replay of minhash_clusters_docs: the engine's EXACT
+    MinHash-LSH path (normalize -> unique 8-char shingle polynomial ->
+    128 multiply-add-mod-2^64 permutations -> 16-band XOR-fold bucket
+    keys -> est-Jaccard >= 0.72 on the 1-byte signature fold -> CC with
+    lexicographic-min labels).  The permutation/band constants are read
+    from the SAME MinHasher the pipeline constructs (seed 0xC0FFEE), so
+    the replay is bit-exact; multipliers are split hi/lo 32 bits so the
+    mod-2^64 products stay inside HUGEINT, and the mod is a bitmask
+    (int128 division measured 30x slower in DuckDB).  ASCII corpus
+    assumption as elsewhere (unicode() == utf-8 byte)."""
+    from mail_deduplicate_ray.functions.minhash import MinHasher
+    mh = MinHasher(128, 0xC0FFEE, 16)
+    m64 = _FP_MOD - 1
+    perm_rows = ", ".join(
+        f"({j}, {int(a) >> 32}, {int(a) & 0xFFFFFFFF}, {int(b)})"
+        for j, (a, b) in enumerate(zip(mh.a, mh.b)))
+    bw_rows = ", ".join(
+        f"({bi}, {ri}, {int(w) >> 32}, {int(w) & 0xFFFFFFFF})"
+        for bi in range(16) for ri, w in enumerate(mh.band_w[bi]))
+    norm = (r"trim(regexp_replace(regexp_replace(lower(coalesce(text,'')),"
+            r" '^(?:(?:re|fwd?): +|\[\w[\w_-]*\w?\] +|(?:um|uh|erm) +)+',"
+            r" ''), '\s+', ' ', 'g'))")
+    return f"""
+        WITH RECURSIVE
+        perms(j, a_hi, a_lo, b) AS MATERIALIZED (VALUES {perm_rows}),
+        bw(band, ri, w_hi, w_lo) AS MATERIALIZED (VALUES {bw_rows}),
+        t AS MATERIALIZED (SELECT doc_id, {norm} AS tx FROM documents),
+        sh AS MATERIALIZED (
+          SELECT DISTINCT doc_id,
+            ({_FP_OFFS_B8}::HUGEINT + {_FP_TERMS})
+                & {m64}::HUGEINT AS h
+          FROM t, UNNEST(range(1, greatest(length(tx) - 6, 1))) u(i)
+          WHERE length(tx) >= 8
+          UNION
+          SELECT DISTINCT doc_id,
+            list_reduce([{_FP_OFFS}::HUGEINT] ||
+              list_transform(range(1, length(tx)+1),
+                i -> unicode(substr(tx, CAST(i AS INT), 1))::HUGEINT),
+              (acc, x) -> (acc * {_FP_B} + x) & {m64}::HUGEINT) AS h
+          FROM t WHERE length(tx) BETWEEN 1 AND 7
+        ),
+        sigj AS MATERIALIZED (
+          SELECT doc_id, p.j,
+            min((((h * p.a_hi) & 4294967295) * 4294967296
+                 + h * p.a_lo + p.b) & {m64}::HUGEINT) AS s
+          FROM sh, perms p GROUP BY doc_id, p.j
+        ),
+        sigall AS MATERIALIZED (
+          SELECT t.doc_id,
+                 coalesce(g.sig, list_transform(range(128),
+                                                x -> {m64}::HUGEINT)) AS sig
+          FROM t LEFT JOIN (SELECT doc_id, list(s ORDER BY j) AS sig
+                            FROM sigj GROUP BY doc_id) g USING (doc_id)
+        ),
+        bk AS MATERIALIZED (
+          SELECT doc_id, bw.band,
+            bit_xor((((((sig[bw.band*8 + bw.ri + 1] * bw.w_hi)
+                        & 4294967295) * 4294967296
+                       + sig[bw.band*8 + bw.ri + 1] * bw.w_lo)
+                      & {m64}::HUGEINT)) // 64) AS k
+          FROM sigall, bw GROUP BY doc_id, bw.band
+        ),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bk a JOIN bk b ON a.band = b.band AND a.k = b.k
+                              AND a.doc_id < b.doc_id
+        ),
+        pairs AS MATERIALIZED (
+          SELECT a_id, b_id
+          FROM cand JOIN sigall sa ON sa.doc_id = a_id
+                    JOIN sigall sb ON sb.doc_id = b_id
+          WHERE len(list_filter(range(1, 129),
+                    i -> sa.sig[i] % 255 = sb.sig[i] % 255)) >= 93
+        ),
+        e AS (SELECT CAST(a_id AS VARCHAR) AS u,
+                     CAST(b_id AS VARCHAR) AS v FROM pairs
+              UNION ALL
+              SELECT CAST(b_id AS VARCHAR), CAST(a_id AS VARCHAR)
+              FROM pairs),
+        walk(node, label) AS (
+          SELECT CAST(doc_id AS VARCHAR), CAST(doc_id AS VARCHAR)
+          FROM documents
+          UNION
+          SELECT e.u, walk.label FROM walk JOIN e ON e.v = walk.node),
+        lab AS (SELECT node, min(label) AS cluster_id
+                FROM walk GROUP BY node)
+        SELECT CAST(node AS BIGINT) AS doc_id, cluster_id
+        FROM lab ORDER BY doc_id
+    """
+
+
 # lang_id's marker-stopword sets (functions/textstats.py:16), one
 # intersect-count per language; the CASE replays the dict-order
 # first-strict-max tie-break (en > de > fr > es)
@@ -216,6 +308,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.fp, b.fp)) <= 3
             ORDER BY a_id, b_id
         """,
+        # MinHash-LSH near-dup clustering — the flagship's text channel
+        # replayed end-to-end in SQL (see _minhash_clusters_sql)
+        "minhash_clusters_docs": _minhash_clusters_sql(),
         # per-doc SimHash fingerprints — the same HUGEINT replay of the
         # engine's FNV token fold + per-bit majority as the pairs oracle
         "simhash_docs": r"""

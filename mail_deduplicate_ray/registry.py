@@ -61,7 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup_docs": docs.chunk_dedup_docs,
         "cluster_best_docs": docs.cluster_best_docs,
         "substring_pairs": docs.substring_pairs,
-        "minhash_clusters_docs": docs.minhash_clusters_docs,  # rows-only
+        "minhash_clusters_docs": docs.minhash_clusters_docs,
         "decontaminate_docs": docs.decontaminate_docs,
         "leakage_free_splits_docs": docs.leakage_free_splits_docs,
         "boilerplate_prefix_docs": docs.boilerplate_prefix_docs,
