@@ -53,6 +53,21 @@ from mail_deduplicate_ray.stages import bucketing
 from mail_deduplicate_ray.stages.joins import semi_anti_join
 
 
+def _coalesce(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Block-count control for the cascade's TINY key/edge tables.
+
+    The payload reads arrive in hundreds of small blocks (the decode
+    pools want that parallelism), but every downstream table here is a
+    few dozen bytes per row — and Ray's sort-based shuffles launch
+    map+reduce tasks PER INPUT BLOCK, so letting the key tables inherit
+    payload block counts snowballs through the unions (measured: the
+    final sort over 1,044 inherited blocks spent 241 s of pure task
+    scheduling on 21k rows; coalesced, the whole cascade runs in a
+    fraction of that).  repartition(shuffle=False) is a driver-side
+    block split/merge, not a data shuffle."""
+    return ds.repartition(bucketing.default_nbuckets())
+
+
 def _sha_table(t: pa.Table, id_col: str, prefix: str) -> pa.Table:
     arr = t["bytes"].combine_chunks()
     ids = t[id_col].to_pylist()
@@ -76,7 +91,7 @@ def _dedup_tier(keyed: "ray.data.Dataset", tier: str,
             cols[c] = pa.array(df[c])
         return pa.table(cols)
 
-    grouped = bucketing.grouped(keyed, "key", part).materialize()
+    grouped = bucketing.grouped(_coalesce(keyed), "key", part).materialize()
     caught = grouped.map_batches(
         lambda t: pa.table({
             "asset_id": (m := t.filter(pc.not_equal(
@@ -99,7 +114,8 @@ def _cc_tier(edges: "ray.data.Dataset",
     from mail_deduplicate_ray.stages import components
     labels = components.connected_components(edges)
     labeled = components.attach_cluster_ids(
-        survivors.select_columns(["asset_id"]), labels, key="asset_id")
+        _coalesce(survivors.select_columns(["asset_id"])), labels,
+        key="asset_id")
 
     def part(df) -> pa.Table:
         keep = df.groupby("cluster_id", sort=False)["asset_id"] \
@@ -187,18 +203,19 @@ def corpus_tiered_dedup(sf_dir: str) -> "ray.data.Dataset":
                  for v, i in zip(norm, ids)], pa.string())})
 
     a2 = semi_anti_join(
-        read_clips_fast(str(a_path), columns=["clip_id", "transcript"])
-        .map_batches(a_norm_keys, batch_format="pyarrow"),
+        _coalesce(read_clips_fast(str(a_path),
+                                  columns=["clip_id", "transcript"])
+                  .map_batches(a_norm_keys, batch_format="pyarrow")),
         surv1, "asset_id", "asset_id")
 
     # image/video fingerprints: computed ONCE (the same decode pass
     # feeds tier-2 equality and tier-3 Hamming pairs), materialized
     # small (id + fingerprints + ok flag per asset); decode-failed
     # assets keep flowing via the salted key
-    i_fps = _retag(images_mod.image_hashes(sf_dir), "img_id", "i") \
-        .materialize()
-    v_fps = _retag(videos_mod.video_signatures(sf_dir), "vid_id", "v") \
-        .materialize()
+    i_fps = _coalesce(_retag(images_mod.image_hashes(sf_dir), "img_id",
+                             "i")).materialize()
+    v_fps = _coalesce(_retag(videos_mod.video_signatures(sf_dir), "vid_id",
+                             "v")).materialize()
 
     i2 = semi_anti_join(
         i_fps.map_batches(_fp_key("dhash", "decode_ok"),
@@ -254,10 +271,10 @@ def corpus_tiered_dedup(sf_dir: str) -> "ray.data.Dataset":
     # image/video: reuse the materialized fingerprints; edges only from
     # decode-ok rows, but ALL survivor ids enter CC attribution (failed
     # decodes are edgeless -> unique)
-    i_surv = semi_anti_join(i_fps, surv2, "asset_id", "asset_id") \
-        .materialize()
-    v_surv = semi_anti_join(v_fps, surv2, "asset_id", "asset_id") \
-        .materialize()
+    i_surv = _coalesce(semi_anti_join(i_fps, surv2, "asset_id",
+                                      "asset_id")).materialize()
+    v_surv = _coalesce(semi_anti_join(v_fps, surv2, "asset_id",
+                                      "asset_id")).materialize()
     i_ok = i_surv.map_batches(lambda t: t.filter(t["decode_ok"]),
                               batch_format="pyarrow")
     v_ok = v_surv.map_batches(lambda t: t.filter(t["sig_ok"]),
@@ -273,12 +290,13 @@ def corpus_tiered_dedup(sf_dir: str) -> "ray.data.Dataset":
         .map_batches(as_edges, batch_format="pyarrow")
 
     tier34 = _cc_tier(
-        a_edges.map_batches(lambda t: t.select(["src", "dst"]),
-                            batch_format="pyarrow").union(i_edges, v_edges),
+        _coalesce(a_edges.map_batches(
+            lambda t: t.select(["src", "dst"]),
+            batch_format="pyarrow")).union(i_edges, v_edges),
         a_surv.union(i_surv.select_columns(["asset_id"]),
                      v_surv.select_columns(["asset_id"])))
 
-    out = tier1_caught.union(tier2_caught, tier34)
+    out = _coalesce(tier1_caught.union(tier2_caught, tier34))
     return out.map_batches(
         lambda t: t.append_column("modality", pc.utf8_slice_codeunits(
             t["asset_id"], 0, 1)),
