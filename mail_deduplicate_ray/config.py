@@ -152,6 +152,14 @@ class DedupConfig:
     stretch_score_min: float = 0.8  # matched-mass verify floor
     stretch_max_shift: float = 0.59  # ln(1.8): widest stretch considered
     stretch_dtw_max: float = 0.8   # DTW envelope confirm ceiling
+    # stretch-specific bucket cap (the channel's quantized-ratio keys have
+    # bounded entropy — a tonal corpus concentrates them into mega-buckets
+    # whose salted-chunk pair volume grows with cap^2/2 per member; 64
+    # keeps the planted-recall guarantee of the clip_id-sorted chunk
+    # composition while cutting pair volume 4x vs the global max_bucket.
+    # Cross-chunk pairs not similar to the chunk pivot rely on the ~16
+    # double-cover keys per clip (the standard LSH salting trade).
+    stretch_max_bucket: int = 64
 
     # enabled candidate channels (the dedup_clips default; an explicit
     # channels= argument overrides, e.g. the bench's exact-only run)
@@ -256,6 +264,7 @@ class DedupConfig:
         "stretch_score_min",
         "stretch_max_shift",
         "stretch_dtw_max",
+        "stretch_max_bucket",
     )
 
     # bump whenever the signature FORMAT changes outside config (feature

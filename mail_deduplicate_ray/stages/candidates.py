@@ -579,14 +579,21 @@ def _stretch_core(ids_all: np.ndarray, buckets: np.ndarray,
     already stretch-invariant, so this core only separates whole-peak-set
     alignments (true stretched/padded copies) from chance key collisions.
 
-    Execution shape (profiled at sf0.1 — the per-bucket (m, m, P, P)
-    score_matrix was 86% of the stage, and a true stretched copy shares
-    up to ~16 double-cover keys so the SAME pair was re-scored in every
-    shared bucket):
+    Execution shape (profiled at sf0.1 and at the 391k-clip scale bench —
+    the per-bucket (m, m, P, P) score_matrix was 86% of the stage, the
+    SAME pair was re-scored in every shared double-cover bucket, and the
+    quantized-ratio keys saturate at ~13k distinct values on a tonal
+    corpus so raw per-chunk all-pairs volume grows ~quadratically):
 
-    1. per bucket: payload-fingerprint unique -> distinct-table pair
-       list, pruned by the symmetric duration-ratio gate (<= 3.0, the
-       cheap columns) BEFORE any spectral work;
+    1. per bucket chunk (cfg.stretch_max_bucket salted cap): payload-
+       fingerprint unique -> MASS-WINDOWED pair list — members sorted by
+       total amp mass, each paired only within the window where
+       min(mass) >= score_min * max(mass) (the EXACT feasibility bound of
+       the verify score under the 1-1 match the peak min-separation
+       guarantees: a pair outside it can never reach the score floor) —
+       then the symmetric duration-ratio gate (<= 3.0).  Both gates run
+       on cheap scalars BEFORE any spectral work and cut the generated
+       pair volume ~4x at the 391k-clip scale point;
     2. globally: pairs deduped across buckets on (min, max) payload
        fingerprints — each distinct pair is scored and DTW-confirmed
        exactly ONCE (stretchmatch.score_pairs: only (pair, anchor)
@@ -615,17 +622,36 @@ def _stretch_core(ids_all: np.ndarray, buckets: np.ndarray,
     padded = np.zeros((mat.shape[0], w8), np.uint8)
     padded[:, :mat.shape[1]] = mat
     h_all = _fold_u64_cols(np.ascontiguousarray(padded).view(np.uint64))
+    mass_all = amp_all.sum(axis=1)
+    smin = cfg.stretch_score_min
     pend: list[tuple] = []          # (idx, dropped, inv, m, iu, ju)
     gi: list[np.ndarray] = []       # payload row per pair, both sides
     gj: list[np.ndarray] = []
     empty = np.empty(0, np.int64)
-    for idx, dropped in _bucket_slices(buckets, ids_all, cfg.max_bucket):
+    for idx, dropped in _bucket_slices(buckets, ids_all,
+                                       cfg.stretch_max_bucket):
         _, first, inv = np.unique(h_all[idx], return_index=True,
                                   return_inverse=True)
         rep = idx[first]
         m = len(rep)
         if m > 1:
-            iu, ju = np.triu_indices(m, 1)
+            # mass-windowed pair gen: ascending mass sort, pair i only
+            # with the j-window whose mass can still satisfy the exact
+            # min >= smin * max bound (window padded one ulp wide, then
+            # the exact predicate re-applied so float rounding at the
+            # boundary cannot change semantics vs the all-pairs form)
+            s = mass_all[rep]
+            perm = np.argsort(s, kind="stable")
+            ss = s[perm]
+            hi = np.searchsorted(ss, (ss / smin) * (1.0 + 1e-12),
+                                 side="right")
+            cnt = np.maximum(hi - np.arange(m) - 1, 0)
+            ia = np.repeat(np.arange(m), cnt)
+            off = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            jb = np.arange(cnt.sum()) - np.repeat(off, cnt) + ia + 1
+            keep = ss[ia] >= smin * ss[jb]
+            ia, jb = ia[keep], jb[keep]
+            iu, ju = perm[ia], perm[jb]
             dur = dur_all[rep]
             keep = (np.maximum(dur[iu], dur[ju])
                     <= 3.0 * np.maximum(np.minimum(dur[iu], dur[ju]), 1.0))
@@ -649,21 +675,12 @@ def _stretch_core(ids_all: np.ndarray, buckets: np.ndarray,
             ^ np.maximum(h_all[li], h_all[rj])
         _, uidx, uinv = np.unique(pk, return_index=True, return_inverse=True)
         ua, ub = li[uidx], rj[uidx]
-        # exact mass prefilter: score = matched min-amp mass / max(total
-        # mass) in BOTH directions is bounded by min(sum)/max(sum), so a
-        # pair with amp-mass ratio below the floor can never pass — one
-        # compare per pair instead of a (P, P) tensor (row sums computed
-        # once per payload row, gathered per pair)
-        mass = amp_all.sum(axis=1)
-        sa, sb = mass[ua], mass[ub]
-        feasible = np.flatnonzero(
-            np.minimum(sa, sb) >= cfg.stretch_score_min * np.maximum(sa, sb))
-        ok = np.zeros(uidx.size, bool)
-        fa, fb = ua[feasible], ub[feasible]
+        # every generated pair is already mass-feasible (the in-chunk
+        # window IS the exact min >= smin * max bound): score them all
         sc, nm = stretchmatch.score_pairs(
-            logf_all[fa], amp_all[fa], logf_all[fb], amp_all[fb],
+            logf_all[ua], amp_all[ua], logf_all[ub], amp_all[ub],
             cfg.stretch_tol, cfg.stretch_max_shift)
-        ok[feasible] = ((sc >= cfg.stretch_score_min) & (nm >= 2)).any(axis=1)
+        ok = ((sc >= cfg.stretch_score_min) & (nm >= 2)).any(axis=1)
         sel = np.flatnonzero(ok)
         if sel.size:
             # DTW envelope confirm — temporal alignment check the
