@@ -184,6 +184,9 @@ def test_edge_checkpoint_invalidated_on_channel_change(root):
         ("exact", "minhash"))
     assert DedupConfig(jaccard_threshold=0.9).edge_fingerprint(
         ("minhash",)) != cfg.edge_fingerprint(("minhash",))
+    # the stretch channel's own bucket cap changes which pairs verify
+    assert DedupConfig(stretch_max_bucket=32).edge_fingerprint(
+        ("stretch",)) != cfg.edge_fingerprint(("stretch",))
 
 
 def test_format_version_feeds_fingerprint(monkeypatch):
