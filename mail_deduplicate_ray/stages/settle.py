@@ -75,10 +75,23 @@ def _offending_matrix(df: pd.DataFrame, cfg: DedupConfig) -> "np.ndarray":
         codes, uniq = pd.factorize(texts, sort=True)
         u = len(uniq)
         if u > 1:
-            over = np.zeros((u, u), dtype=bool)
+            # EXACT length-delta prune: every changed line is printed in
+            # full on at least its own side, so diff bytes >= the delta
+            # of the texts' line-content byte totals — a pair whose delta
+            # already exceeds the threshold is offending WITHOUT running
+            # difflib.  This is the hot case in clusters the stretch
+            # channel merges (empty-transcript copies next to full
+            # transcripts): settle grew 4.7x at the 760k scale point on
+            # exactly those, and the prune removes the quadratic difflib
+            # loop for them.  Pairs inside the delta still diff exactly.
+            ln = np.array([sum(len(line) for line in t.splitlines())
+                           for t in uniq], dtype=np.int64)
+            over = np.abs(ln[:, None] - ln[None, :]) > cfg.content_threshold
             for a in range(u):
                 for b in range(a + 1, u):
-                    if _content_diff(uniq[a], uniq[b]) > cfg.content_threshold:
+                    if not over[a, b] and \
+                            _content_diff(uniq[a], uniq[b]) \
+                            > cfg.content_threshold:
                         over[a, b] = over[b, a] = True
             bad |= over[np.ix_(codes, codes)]
     np.fill_diagonal(bad, False)

@@ -154,6 +154,48 @@ def test_dissimilar_pair_skips_whole_set():
     assert (out["set_reason"] == "skipped_threshold").all()
 
 
+def test_offending_matrix_length_prune_parity():
+    # the length-delta prune is an EXACT lower bound (every changed line
+    # prints in full on its own side, so diff bytes >= the delta of the
+    # line-content byte totals): the pruned matrix must equal brute-force
+    # difflib over texts spanning equal-length rewrites, small edits,
+    # empty transcripts (the stretch-merged hot case) and huge deltas
+    import numpy as np
+    import pandas as pd
+
+    from difflib import unified_diff
+
+    from mail_deduplicate_ray.config import DedupConfig
+    from mail_deduplicate_ray.stages.settle import _offending_matrix
+
+    texts = [
+        "",                                    # stretch copy
+        "alpha bravo charlie " * 30,           # long base
+        "alpha bravo charlie " * 30,           # identical dup
+        "alpha bravo charlie " * 29 + "zz ",   # near edit
+        "delta echo " * 3,                     # short, different
+        "delta echo " * 3 + "\nfox trot",      # multi-line variant
+        "x" * 5000,                            # huge single line
+    ]
+    df = pd.DataFrame({
+        "clip_id": [f"c{i}" for i in range(len(texts))],
+        "dur_ms": [1000] * len(texts),
+        "transcript_norm": texts,
+    })
+    cfg = DedupConfig(size_threshold=-1, content_threshold=120)
+    got = _offending_matrix(df, cfg)
+
+    def brute(a, b):
+        return len("".join(unified_diff(
+            a.splitlines(), b.splitlines(), n=0))) > 120
+    want = np.zeros_like(got)
+    for i in range(len(texts)):
+        for j in range(len(texts)):
+            if i != j:
+                want[i, j] = brute(texts[i], texts[j])
+    assert (got == want).all()
+
+
 def test_content_threshold_eviction():
     df = group(transcript_norm=["alpha bravo charlie delta " * 20,
                                 "alpha bravo charlie delta " * 20,
