@@ -207,21 +207,34 @@ def _group_expand_edges(ids: np.ndarray, inv: np.ndarray,
     return pairs
 
 
-def _bucket_slices(buckets: np.ndarray, ids: np.ndarray, cap: int):
+def _bucket_slices(buckets: np.ndarray, ids: np.ndarray, cap: int,
+                   order_key: np.ndarray | None = None):
     """Iterate (index-array, dropped) per multi-member bucket — pure numpy
     sort + boundary slicing; per-bucket cost is O(size), never a pandas
     group object (hundreds of thousands of tiny buckets per partition).
 
     Skew control via SALTED SPLITTING (SURVEY.md §4.2): a bucket larger
     than ``cap`` is split into chunks of <= cap members that all SHARE the
-    bucket's min-clip_id member as a pivot, so in-chunk verification plus
+    bucket's first member as a pivot, so in-chunk verification plus
     the pivot's spanning edges transitively connect every true duplicate of
     the pivot across chunks (the all-identical mega-bucket — 10^6 copies of
     one clip — collapses to one cluster).  Pairwise cost drops from O(m^2)
     to O(m*cap); cross-chunk pairs NOT similar to the pivot rely on other
     buckets/bands (standard LSH salting trade).  Nothing is dropped:
-    ``dropped`` stays 0 and exists only as the accounting seam."""
-    order = np.lexsort((ids, buckets))  # bucket-major, clip_id within
+    ``dropped`` stays 0 and exists only as the accounting seam.
+
+    ``order_key`` makes the within-bucket order CONTENT-DERIVED (the
+    SortingLSH idea — Chierichetti et al.'s sorted-bucket trick): members
+    are sorted by the key (ties by clip_id), so a verify core whose
+    feasibility is monotone in the key (the stretch channel's amp-mass
+    ratio bound) gets its feasible pairs ADJACENT, and chunk composition
+    no longer depends on clip_id assignment at all — a corpus relabeling
+    permutation yields the same chunks up to renaming.  Without it the
+    order is clip_id, which keeps planted-adjacent synthetic corpora
+    flattering but ties real-corpus recall to id locality."""
+    keys = (ids, buckets) if order_key is None else \
+        (ids, order_key, buckets)
+    order = np.lexsort(keys)  # bucket-major, key (or clip_id) within
     b_sorted = buckets[order]
     bounds = np.flatnonzero(np.concatenate(
         ([True], b_sorted[1:] != b_sorted[:-1], [True])))
@@ -233,8 +246,8 @@ def _bucket_slices(buckets: np.ndarray, ids: np.ndarray, cap: int):
             yield idx, 0
             continue
         # salted split: chunk 0 is the first cap members; later chunks are
-        # pivot + (cap-1) fresh members each (all clip_id-sorted, so chunk
-        # composition is deterministic at any parallelism)
+        # pivot + (cap-1) fresh members each (deterministic at any
+        # parallelism: the order key is clip_id or content-derived)
         yield idx[:cap], 0
         pivot = idx[:1]
         for lo in range(cap, len(idx), max(1, cap - 1)):
@@ -629,7 +642,8 @@ def _stretch_core(ids_all: np.ndarray, buckets: np.ndarray,
     gj: list[np.ndarray] = []
     empty = np.empty(0, np.int64)
     for idx, dropped in _bucket_slices(buckets, ids_all,
-                                       cfg.stretch_max_bucket):
+                                       cfg.stretch_max_bucket,
+                                       order_key=mass_all):
         _, first, inv = np.unique(h_all[idx], return_index=True,
                                   return_inverse=True)
         rep = idx[first]

@@ -65,6 +65,65 @@ def test_stretch_channel_required_for_stretch_pairs(small_corpus):
     assert hits == 0, f"legacy channels unexpectedly caught {hits} stretch pairs"
 
 
+def test_bucket_slices_order_key_makes_chunks_id_independent():
+    """Content-ordered chunking (r4 caveat close): with ``order_key``
+    supplied, the chunk compositions of an oversize bucket are a pure
+    function of the (bucket, key) content — relabeling/permuting the id
+    array must yield the SAME chunks as member multisets of keys."""
+    rng = np.random.default_rng(7)
+    n = 300
+    buckets = np.zeros(n, np.uint64)          # one mega-bucket
+    key = rng.random(n)                        # distinct content keys
+    ids = np.array([f"clip-{i:08d}" for i in range(n)])
+
+    def chunks_of(ids_arr, key_arr):
+        out = []
+        for idx, _ in candidates._bucket_slices(
+                buckets, ids_arr, 32, order_key=key_arr):
+            out.append(tuple(sorted(key_arr[idx])))
+        return out
+
+    base = chunks_of(ids, key)
+    perm = rng.permutation(n)                  # rows arrive shuffled AND
+    relab = np.array([f"zz-{rng.integers(1e9)}-{i}" for i in range(n)])
+    other = chunks_of(relab[perm], key[perm])
+    assert base == other
+
+
+def test_stretch_recall_invariant_to_id_relabeling(small_corpus):
+    """BASELINE r4 caveat: stretch-channel chunking used to follow
+    clip_id order, which the synthetic corpus's adjacent group ids
+    flattered.  Chunks are now amp-mass-ordered (SortingLSH), so an
+    adjacency-destroying relabeling must not change which planted
+    stretch pairs the channel catches."""
+    import hashlib
+    tbl, truth = small_corpus
+    pairs = [(a, b) for a, b, k in truth["pairs"] if k == "stretch"]
+    assert pairs
+
+    def run(t):
+        res = neardup.dedup_clips(ray.data.from_arrow(t), DedupConfig(),
+                                  channels=("stretch",))
+        return _pred_clusters(res)
+
+    def relab(cid: str) -> str:
+        return hashlib.sha1(cid.encode()).hexdigest()[:12] + "-" + cid
+
+    pred0 = run(tbl)
+    hits0 = {(a, b) for a, b in pairs
+             if pred0.get(a) is not None and pred0.get(a) == pred0.get(b)}
+
+    new_ids = pa.array([relab(c) for c in tbl["clip_id"].to_pylist()])
+    t2 = tbl.set_column(tbl.schema.get_field_index("clip_id"),
+                        "clip_id", new_ids)
+    pred1 = run(t2)
+    hits1 = {(a, b) for a, b in pairs
+             if pred1.get(relab(a)) is not None
+             and pred1.get(relab(a)) == pred1.get(relab(b))}
+    assert hits0 == set(pairs), "stretch-only run must catch all planted pairs"
+    assert hits1 == hits0
+
+
 def test_clusters_match_truth_closure(small_corpus, result):
     # predicted partition must refine to the truth closure: every truth
     # cluster fully merged, no truth-crossing merges of planted rows
