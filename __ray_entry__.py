@@ -136,6 +136,62 @@ def _minhash_clusters_sql() -> str:
     """
 
 
+def _hll_sql(p: int = 12) -> str:
+    """Bit-exact SQL replay of approx_distinct_users (relational.py:677):
+    SplitMix64 (functions/sketch.py:24) per DISTINCT user (HLL registers
+    are max-folded, so hashing the distinct set gives identical
+    registers), register = leading-zero rank of the (64-p)-bit suffix,
+    and the EXACT-integer harmonic sum 2^64/S the engine's
+    hll_estimate computes (S as HUGEINT here, Python int there) — no
+    float-summation order dependence; floor(est + 0.5) on both sides.
+    Multipliers are split hi/lo 32 bits so mod-2^64 products stay inside
+    HUGEINT (the _minhash_clusters_sql trade); floor(log2(suffix)) is
+    length(format('{:b}', x)) - 1, exact for any 52-bit value."""
+    M = (1 << 64) - 1
+    A = 0x9E3779B97F4A7C15
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+
+    def mul64(x: str, c: int) -> str:
+        ch, cl = c >> 32, c & 0xFFFFFFFF
+        return (f"((((({x}) * {ch}::HUGEINT) & 4294967295::HUGEINT)"
+                f" * 4294967296::HUGEINT + ({x}) * {cl}::HUGEINT)"
+                f" & {M}::HUGEINT)")
+
+    return f"""
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        s0 AS (SELECT ((user_id::HUGEINT + {A}::HUGEINT)
+                       & {M}::HUGEINT) AS z FROM u),
+        x1 AS (SELECT xor(z, z >> 30) AS x FROM s0),
+        s1 AS (SELECT {mul64('x', C1)} AS z FROM x1),
+        x2 AS (SELECT xor(z, z >> 27) AS x FROM s1),
+        s2 AS (SELECT {mul64('x', C2)} AS z FROM x2),
+        hh AS (SELECT xor(z, z >> 31) AS h FROM s2),
+        rk AS (SELECT (h >> {64 - p})::BIGINT AS idx,
+                      (h & {(1 << (64 - p)) - 1}::HUGEINT)::BIGINT
+                          AS suffix FROM hh),
+        regs AS (SELECT idx,
+                   max(CASE WHEN suffix > 0
+                       THEN {64 - p} - (length(format('{{:b}}', suffix)) - 1)
+                       ELSE {64 - p + 1} END) AS r
+                 FROM rk GROUP BY idx),
+        agg AS (SELECT sum((1::HUGEINT << (64 - r))) AS s_present,
+                       count(*) AS n_present FROM regs),
+        est AS (SELECT
+            ((CAST({alpha!r} AS DOUBLE) * {m}) * {m})
+              * 18446744073709551616.0
+              / CAST(s_present + ({m} - n_present) * (1::HUGEINT << 64)
+                     AS DOUBLE) AS e,
+            ({m} - n_present) AS zeros FROM agg)
+        SELECT CAST(floor(CASE WHEN e <= CAST({2.5 * m!r} AS DOUBLE)
+                               AND zeros > 0
+                    THEN {m} * ln(CAST({m} AS DOUBLE) / zeros)
+                    ELSE e END + 0.5) AS BIGINT) AS n_users_approx
+        FROM est
+    """
+
+
 # lang_id's marker-stopword sets (functions/textstats.py:16), one
 # intersect-count per language; the CASE replays the dict-order
 # first-strict-max tie-break (en > de > fr > es)
@@ -311,6 +367,9 @@ def oracle_sql() -> dict[str, str]:
         # MinHash-LSH near-dup clustering — the flagship's text channel
         # replayed end-to-end in SQL (see _minhash_clusters_sql)
         "minhash_clusters_docs": _minhash_clusters_sql(),
+        # HyperLogLog approximate distinct — SplitMix64 + exact-integer
+        # harmonic sum replayed bit-for-bit (see _hll_sql)
+        "approx_distinct_users": _hll_sql(),
         # per-doc SimHash fingerprints — the same HUGEINT replay of the
         # engine's FNV token fold + per-bit majority as the pairs oracle
         "simhash_docs": r"""

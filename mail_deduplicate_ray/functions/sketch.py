@@ -65,14 +65,26 @@ def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def hll_estimate(regs: np.ndarray) -> int:
     """Cardinality estimate with the standard small-range (linear
-    counting) correction."""
+    counting) correction.
+
+    The harmonic sum is computed EXACTLY: every term 2^-reg (reg <= 64)
+    is an integer multiple of 2^-64, so sum(2^-reg) = S / 2^64 with
+    S = sum(2^(64-reg)) a Python int — no float-summation order
+    dependence, which makes the estimate bit-replayable in SQL (the
+    approx_distinct_users oracle builds the same S as a HUGEINT).
+    Rounding is floor(est + 0.5) for the same reason (SQL round() is
+    half-away-from-zero, Python round() half-to-even; floor(+0.5) is
+    identical on both sides)."""
+    import math
     m = len(regs)
     alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
-    zeros = int(np.count_nonzero(regs == 0))
+    counts = np.bincount(regs.astype(np.int64), minlength=65)
+    s_int = sum(int(c) << (64 - r) for r, c in enumerate(counts) if c)
+    est = alpha * m * m * float(1 << 64) / float(s_int)
+    zeros = int(counts[0])
     if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)
-    return int(round(est))
+        est = m * math.log(m / zeros)
+    return int(math.floor(est + 0.5))
 
 
 # --- Count-Min — the mergeable frequency sketch -------------------------

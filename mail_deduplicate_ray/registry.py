@@ -130,7 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_events_per_user_type": relational.cap_events_per_user_type,
         "distinct_users_per_day": relational.distinct_users_per_day,
         "cumulative_new_users": relational.cumulative_new_users,
-        "approx_distinct_users": relational.approx_distinct_users,  # rows-only (HLL sketch, error-bound-tested)
+        "approx_distinct_users": relational.approx_distinct_users,  # SQL-oracled: bit-exact SplitMix64+HLL replay (_hll_sql)
         "purchase_and_error_users": relational.purchase_and_error_users,
         "view_days_no_purchase": relational.view_days_no_purchase,
         "nation_spend_rank": relational.nation_spend_rank,
