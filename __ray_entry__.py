@@ -370,6 +370,54 @@ def oracle_sql() -> dict[str, str]:
         # HyperLogLog approximate distinct — SplitMix64 + exact-integer
         # harmonic sum replayed bit-for-bit (see _hll_sql)
         "approx_distinct_users": _hll_sql(),
+        # Naive-Bayes classifier (docs.nb_lang_classifier_docs): same
+        # tokenization, Laplace counts, micro-nat quantized weights
+        # floor(1e6*ln(.)) and min-lang argmax tie-break — integer
+        # score sums are order-free, so the replay is exact
+        "nb_lang_classifier_docs": r"""
+            WITH toks AS (
+              SELECT doc_id, lang, t AS tok FROM (
+                SELECT doc_id, lang, unnest(regexp_split_to_array(
+                    trim(lower(coalesce(text,''))), '\s+')) AS t
+                FROM documents)
+              WHERE t <> ''
+            ),
+            counts AS (SELECT lang, tok, count(*)::BIGINT AS c
+                       FROM toks GROUP BY lang, tok),
+            nl AS (SELECT lang, count(*)::BIGINT AS n
+                   FROM toks GROUP BY lang),
+            vocab AS (SELECT count(DISTINCT tok) AS v FROM toks),
+            langs AS (SELECT DISTINCT lang FROM documents),
+            prior AS (SELECT lang,
+                        CAST(floor(1000000 * ln(CAST(count(*) AS DOUBLE)
+                             / (SELECT count(*) FROM documents)))
+                             AS BIGINT) AS pw
+                      FROM documents GROUP BY lang),
+            wt AS (SELECT l.lang, vt.tok,
+                     CAST(floor(1000000 * ln(
+                         CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                         / (nl.n + vocab.v))) AS BIGINT) AS w
+                   FROM (SELECT DISTINCT tok FROM toks) vt
+                   CROSS JOIN langs l
+                   JOIN nl ON nl.lang = l.lang
+                   CROSS JOIN vocab
+                   LEFT JOIN counts c
+                     ON c.lang = l.lang AND c.tok = vt.tok),
+            scored AS (
+              SELECT d.doc_id, l.lang, p.pw + coalesce(sum(w.w), 0) AS score
+              FROM documents d
+              CROSS JOIN langs l
+              JOIN prior p ON p.lang = l.lang
+              LEFT JOIN toks dt ON dt.doc_id = d.doc_id
+              LEFT JOIN wt w ON w.lang = l.lang AND w.tok = dt.tok
+              GROUP BY d.doc_id, l.lang, p.pw
+            )
+            SELECT doc_id, lang AS pred_lang, score FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, lang ASC) AS rn
+              FROM scored)
+            WHERE rn = 1 ORDER BY doc_id
+        """,
         # per-doc SimHash fingerprints — the same HUGEINT replay of the
         # engine's FNV token fold + per-bit majority as the pairs oracle
         "simhash_docs": r"""

@@ -3235,3 +3235,129 @@ def similar_docs_topk(sf_dir: str, k: int = 3,
 
     return bucketing.grouped(partials, "doc_id", merge).sort(
         ["doc_id", "rank"])
+
+
+# --- distributed Naive-Bayes classifier (train + apply in one run) -------
+
+def _nb_tokens(t: "pa.Table") -> tuple:
+    """(flat tokens, parent doc index) exactly matching the oracle's
+    ``regexp_split_to_array(trim(lower(coalesce(text,''))), '\\s+')``
+    with empty strings dropped (ASCII corpus: lower() agrees)."""
+    import numpy as np
+    txt = pc.utf8_trim_whitespace(pc.utf8_lower(
+        pc.fill_null(pc.cast(t["text"], pa.string()), "")))
+    toks = pc.split_pattern_regex(txt, pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    par = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    return (flat.filter(keep).to_numpy(zero_copy_only=False),
+            par.filter(keep).to_numpy(zero_copy_only=False))
+
+
+def nb_lang_classifier_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed Naive-Bayes bag-of-words classifier — the
+    fasttext-style language/quality screen of a training-data curation
+    stack (train AND apply in one run, label = ``lang``).
+
+    Scale shape: per-batch (lang, token) counts are pre-aggregated
+    inside ``map_batches`` (combiner) and merged by ONE composite-key
+    partial-sum shuffle (``bucketing.grouped_sum``); the model is built
+    driver-side from the aggregated counts — O(vocab x langs), the same
+    bounded-model-broadcast trade as ``bpe_train_docs`` and the
+    ngram-Jaccard rarity ranks — and ships ONCE via ``ray.put``; apply
+    is a stateless vectorized gather per batch (``pd.Index.get_indexer``
+    -> ``np.add.at``), zero further shuffles.
+
+    Determinism / oracle parity: Laplace-smoothed log-probs are
+    quantized to integer MICRO-NATS, ``floor(1e6 * ln((c+1)/(N_l+V)))``
+    (priors ``floor(1e6 * ln(d_l/D))``), so each doc's score is an
+    ORDER-FREE integer sum and the whole train+apply path replays
+    bit-exact in DuckDB; argmax ties break to the lexicographically
+    smallest lang on both sides.  Output: (doc_id, pred_lang, score),
+    score in micro-nats."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray as _ray
+
+    from mail_deduplicate_ray.stages import bucketing
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        flat, par = _nb_tokens(t)
+        lang = (t["lang"].to_numpy(zero_copy_only=False)[par]
+                if len(flat) else np.empty(0, object))
+        g = (pd.DataFrame({"lang": lang, "tok": flat})
+             .groupby(["lang", "tok"], sort=False).size()
+             .reset_index(name="c"))
+        return pa.table({"lang": pa.array(g["lang"], pa.string()),
+                         "tok": pa.array(g["tok"], pa.string()),
+                         "c": pa.array(g["c"].to_numpy(), pa.int64())})
+
+    counts = bucketing.grouped_sum(
+        docs.map_batches(count_partial, batch_format="pyarrow"),
+        ["lang", "tok"], {"c": "c"}).take_all()
+
+    def lang_partial(t: pa.Table) -> pa.Table:
+        vc = pd.Series(t["lang"].to_numpy(zero_copy_only=False)) \
+            .value_counts()
+        return pa.table({"lang": pa.array(vc.index.to_numpy(), pa.string()),
+                         "d": pa.array(vc.to_numpy(), pa.int64())})
+
+    dl: dict[str, int] = {}
+    for r in docs.map_batches(lang_partial,
+                              batch_format="pyarrow").take_all():
+        dl[r["lang"]] = dl.get(r["lang"], 0) + int(r["d"])
+    D = sum(dl.values())
+
+    langs = sorted(dl)
+    lidx = {l: i for i, l in enumerate(langs)}
+    L = len(langs)
+    vocab = sorted({r["tok"] for r in counts})
+    V = len(vocab)
+    tindex = pd.Index(vocab)
+    C = np.zeros((V + 1, L), np.int64)        # last row stays 0 (OOV)
+    if counts:
+        cf = pd.DataFrame(counts)
+        C[tindex.get_indexer(cf["tok"]),
+          cf["lang"].map(lidx).to_numpy()] = cf["c"].to_numpy()
+    N = C.sum(axis=0)
+    # math.log (C libm), not np.log (SIMD may differ in the last ulp
+    # from DuckDB's ln); distinct counts are few (Zipf), so memoize
+    W = np.empty((V + 1, L), np.int64)
+    for li in range(L):
+        denom = int(N[li]) + V
+        lut = {c: math.floor(1e6 * math.log((c + 1) / denom))
+               for c in np.unique(C[:, li])}
+        W[:, li] = np.vectorize(lut.__getitem__)(C[:, li])
+    priors = np.array([math.floor(1e6 * math.log(dl[l] / D))
+                       for l in langs], np.int64)
+    ref = _ray.put((np.asarray(vocab, object), W, priors,
+                    np.asarray(langs, object)))
+
+    class _Score:
+        def __init__(self, ref=ref):
+            toks, W, pri, langs = _ray.get(ref)
+            self.index = pd.Index(toks)
+            self.W, self.pri, self.langs = W, pri, langs
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            flat, par = _nb_tokens(t)
+            n = t.num_rows
+            S = np.tile(self.pri, (n, 1))
+            if len(flat):
+                ids = self.index.get_indexer(flat)
+                ids[ids < 0] = len(self.index)
+                np.add.at(S, par, self.W[ids])
+            best = S.argmax(axis=1)    # first max = smallest lang
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "pred_lang": pa.array(self.langs[best].tolist(),
+                                      pa.string()),
+                "score": pa.array(S[np.arange(n), best], pa.int64())})
+
+    return docs.map_batches(_Score, batch_format="pyarrow",
+                            concurrency=bucketing.pool_size()) \
+        .sort("doc_id")

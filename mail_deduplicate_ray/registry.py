@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": docs.exact_dedup_docs,
         "normalized_dedup_docs": docs.normalized_dedup_docs,
         "bag_dedup_docs": docs.bag_dedup_docs,
+        # round-4 additions
+        "nb_lang_classifier_docs": docs.nb_lang_classifier_docs,  # SQL-oracled (micro-nat-quantized NB replay)
         # round-4 oracle conversions (SQL replays of the engine hashes)
         "simhash_docs": docs.simhash_docs,
         "doc_fingerprints": docs.doc_fingerprints,

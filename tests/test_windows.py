@@ -239,3 +239,48 @@ class TestCountMin:
             cnt.update((v or "").split())
         want = {k: n for k, n in cnt.items() if n >= 500}
         assert got == want and len(want) > 0
+
+
+class TestNBClassifier:
+    def _corpus(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        rows, did = [], 0
+        marker = {"en": "hello world the", "de": "hallo welt der",
+                  "fr": "bonjour monde le"}
+        for lang, mk in marker.items():
+            for i in range(8):
+                rows.append((did, f"{mk} noise{i % 3} shared token", lang))
+                did += 1
+        rows.append((did, None, "en"))          # null text -> prior argmax
+        rows.append((did + 1, "   ", "de"))     # whitespace-only ditto
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+        })
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        return str(tmp_path), {r[0]: r[2] for r in rows}
+
+    def test_planted_signal_training_accuracy(self, tmp_path):
+        """Lang-distinctive marker tokens -> NB must recover every label
+        on the training set (the signal case the synthetic sf tables
+        cannot exercise: their lang column is independent of text)."""
+        from mail_deduplicate_ray.pipelines import docs as docs_mod
+        d, truth = self._corpus(tmp_path)
+        got = {r["doc_id"]: r["pred_lang"]
+               for r in docs_mod.nb_lang_classifier_docs(d).take_all()}
+        assert len(got) == len(truth)
+        # empty-text docs fall back to the prior argmax: en and de tie
+        # at 9 docs each (8 + one empty-text row), so the deterministic
+        # min-lang tie-break picks 'de' — the tie-break contract itself
+        for did, lang in truth.items():
+            want = "de" if did >= len(truth) - 2 else lang
+            assert got[did] == want, (did, got[did], want)
+
+    def test_deterministic_across_runs(self, tmp_path):
+        from mail_deduplicate_ray.pipelines import docs as docs_mod
+        d, _ = self._corpus(tmp_path)
+        a = docs_mod.nb_lang_classifier_docs(d).take_all()
+        b = docs_mod.nb_lang_classifier_docs(d).take_all()
+        assert a == b
