@@ -651,3 +651,34 @@ def clips_quality_gate(sf_dir: str) -> "ray.data.Dataset":
     return out.select_columns(["clip_id", "audio_ok", "clipping_pm",
                                "flatness_m", "snr_mdb", "dur_ms_true",
                                "keep", "gate_reason"])
+
+
+def clips_speed_perturb(sf_dir: str,
+                        factors: tuple[float, ...] = (0.9, 1.1),
+                        ) -> "ray.data.Dataset":
+    """Speed-perturbation augmentation (the Kaldi 3-way recipe minus the
+    identity copy): every decodable clip re-emitted at each tempo factor
+    via the anti-aliased Kaiser-sinc resampler
+    (functions/audio_dsp.resample_sinc), re-encoded pcm_s16le.  Output
+    rows are CLIPS_SCHEMA-compatible plus (orig_clip_id, factor_milli),
+    so ``original ∪ augmented`` feeds any clips pipeline directly — and
+    the flagship's stretch channel must re-merge each copy with its
+    source (test_pipeline: an INDEPENDENT-resampler validation of that
+    channel).  Scale shape: pure actor-pool map, zero shuffle; output
+    bytes ~= sum(1/f) x input bytes, streamed block by block."""
+    from mail_deduplicate_ray.stages import bucketing
+    from mail_deduplicate_ray.stages.audio_stats import SpeedPerturbStage
+
+    ds = read_clips(sf_dir)
+    _, hi = bucketing.pool_size()
+    return ds.map_batches(
+        SpeedPerturbStage, fn_constructor_kwargs={"factors": factors},
+        batch_format="pyarrow", batch_size=64,
+        concurrency=(max(1, hi // 2), max(1, hi - 1)), num_cpus=1)
+
+
+def clips_speed_perturb_stats(sf_dir: str) -> "ray.data.Dataset":
+    """queries() surface for the augmentation op: payload dropped (the
+    dehydration rule), one metadata row per augmented clip."""
+    return clips_speed_perturb(sf_dir).drop_columns(["bytes"]) \
+        .sort(["clip_id"])

@@ -27,6 +27,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_tiered_dedup": clips.clips_tiered_dedup,     # rows-only (tiers 1-2 parity-tested, planted-kind attribution)
         "corpus_tiered_dedup": corpus.corpus_tiered_dedup,  # rows-only (cross-modal planted-kind attribution test)
         "clips_dtw_pairs": clips.clips_dtw_pairs,           # rows-only (DTW kernel stretch-alignment unit-tested)
+        "clips_speed_perturb": clips.clips_speed_perturb_stats,  # rows-only (sinc-kernel SNR + stretch-channel re-merge tests)
         # --- multimodal near-dup (real in-repo codecs) ---
         "images_dhash_neardup": images.images_dhash_neardup,  # rows-only (planted-truth recall test)
         "images_phash_neardup": images.images_phash_neardup,  # rows-only (planted-truth recall test)

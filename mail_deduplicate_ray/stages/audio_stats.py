@@ -299,3 +299,51 @@ class QualityGateStage:
                 .append_column("keep", pa.array(keep))
                 .append_column("gate_reason", pa.array(reasons,
                                                        pa.string())))
+
+
+class SpeedPerturbStage:
+    """Kaldi-style speed-perturbation augmentation: for every decodable
+    clip, emit one re-encoded copy per tempo factor (playback at the
+    same sample rate, so pitch shifts with speed — the standard 3-way
+    0.9/1.0/1.1 training-data recipe minus the identity copy, which the
+    original row already is).
+
+    ``map_batches(SpeedPerturbStage, concurrency=N)`` actor-pool stage:
+    the Kaiser-sinc kernel (audio_dsp.resample_sinc) is anti-aliased,
+    vectorized, and a different kernel family from the synth
+    generator's resample_linear — augmented copies are INDEPENDENT
+    planted truth for the flagship's stretch channel.  Output rows are
+    CLIPS_SCHEMA-compatible (plus orig_clip_id / factor_milli), so
+    original ∪ augmented feeds any downstream clips pipeline directly.
+    Undecodable rows are dropped (the augmentation analogue of
+    rejection rows: nothing to perturb)."""
+
+    def __init__(self, factors: tuple[float, ...] = (0.9, 1.1)) -> None:
+        self.factors = tuple(factors)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["clip_id"].to_pylist()
+        tr = batch["transcript"].to_pylist()
+        cid, orig, fmilli, payload = [], [], [], []
+        srs, durs, trs = [], [], []
+        for i, pcm, sr in iter_decoded(batch):
+            for f in self.factors:
+                y = audio_dsp.resample_sinc(pcm, f)
+                fm = int(round(f * 1000))
+                cid.append(f"{ids[i]}#sp{fm}")
+                orig.append(ids[i])
+                fmilli.append(fm)
+                payload.append(codecs.encode_pcm16(y, sr))
+                srs.append(sr)
+                durs.append(int(round(len(y) * 1000 / sr)))
+                trs.append(tr[i])
+        return pa.table({
+            "clip_id": pa.array(cid, pa.string()),
+            "orig_clip_id": pa.array(orig, pa.string()),
+            "factor_milli": pa.array(fmilli, pa.int32()),
+            "bytes": pa.array(payload, pa.binary()),
+            "sr_hz": pa.array(srs, pa.int32()),
+            "dur_ms": pa.array(durs, pa.int32()),
+            "codec": pa.array(["pcm_s16le"] * len(cid), pa.string()),
+            "transcript": pa.array(trs, pa.string()),
+        })

@@ -345,3 +345,77 @@ class TestQualityKernels:
         f_noise = audio_dsp.spectral_flatness(noise)
         assert f_tone < 0.01, f_tone
         assert f_noise > 0.5, f_noise
+
+
+class TestSincResampler:
+    def test_pitch_shift_and_snr(self):
+        # speed-up by f shifts a sine's frequency to 440*f at the same
+        # sr; the Kaiser-sinc kernel must stay > 80 dB SNR vs the ideal
+        sr = 16000
+        t = np.arange(sr) / sr
+        x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        for f in (0.9, 1.1, 1.25):
+            y = audio_dsp.resample_sinc(x, f)
+            assert abs(len(y) - round(len(x) / f)) <= 1
+            ti = np.arange(len(y)) / sr
+            ideal = np.sin(2 * np.pi * 440 * f * ti)
+            sl = slice(16, -16)
+            err = y[sl] - ideal[sl]
+            snr = 10 * np.log10(np.mean(ideal[sl] ** 2)
+                                / max(np.mean(err ** 2), 1e-30))
+            assert snr > 80, (f, snr)
+
+    def test_antialiasing_on_speedup(self):
+        # a tone above the post-speedup cutoff must be attenuated, not
+        # folded: 7.6 kHz sped up 1.25x folds at 8 kHz Nyquist; the
+        # 16-tap Blackman-sinc measures -55 dB there (cutoff 6.4 kHz +
+        # one transition band)
+        sr = 16000
+        t = np.arange(sr) / sr
+        x = np.sin(2 * np.pi * 7600 * t).astype(np.float32)
+        y = audio_dsp.resample_sinc(x, 1.25)
+        rms_in = float(np.sqrt(np.mean(x ** 2)))
+        rms_out = float(np.sqrt(np.mean(y[32:-32] ** 2)))
+        assert rms_out < 0.01 * rms_in, (rms_in, rms_out)
+
+    def test_identity_factor(self):
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal(4000).astype(np.float32)
+        y = audio_dsp.resample_sinc(x, 1.0)
+        assert len(y) == len(x)
+        sl = slice(16, -16)
+        err = float(np.sqrt(np.mean((y[sl] - x[sl]) ** 2)))
+        assert err < 1e-3
+
+    def test_edge_cases(self):
+        import pytest
+        assert len(audio_dsp.resample_sinc(np.zeros(0, np.float32), 1.1)) == 0
+        with pytest.raises(ValueError):
+            audio_dsp.resample_sinc(np.zeros(10, np.float32), 0.0)
+
+    def test_polyphase_matches_naive_grid(self):
+        # the rational fast path must agree with the direct evaluation
+        # of the same windowed-sinc on the same t_j grid
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal(8000).astype(np.float32)
+        taps = 16
+        offs = np.arange(1 - taps, taps + 1)
+        for f in (0.9, 1.1, 1.12, 1.25):
+            y1 = audio_dsp.resample_sinc(x, f)
+            n = len(x)
+            n_out = max(int(round(n / f)), 1)
+            t = np.arange(n_out) * f
+            base = np.floor(t).astype(np.int64)
+            frac = (t - base)[:, None] - offs[None, :]
+            c = min(1.0, 1.0 / f)
+            core = c * np.sinc(frac * c)
+            w = frac / taps
+            win = np.where(np.abs(w) <= 1.0,
+                           0.42 + 0.5 * np.cos(np.pi * w)
+                           + 0.08 * np.cos(2 * np.pi * w), 0.0)
+            k = base[:, None] + offs[None, :]
+            kc = np.clip(k, 0, n - 1)
+            val = (k >= 0) & (k < n)
+            y2 = np.sum(np.where(val, x.astype(np.float64)[kc], 0.0)
+                        * core * win, axis=1).astype(np.float32)
+            assert float(np.max(np.abs(y1 - y2))) < 1e-6, f

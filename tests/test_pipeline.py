@@ -4,6 +4,7 @@ partitions, recall vs planted ground truth, and the stats invariants)."""
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 import ray.data
 
@@ -1662,3 +1663,37 @@ def test_order_price_quantiles_sketch_vs_exact():
     again = {r["q_pct"]: r["est_cents"]
              for r in rel.order_price_quantiles_sketch(d).take_all()}
     assert again == got
+
+
+def test_speed_perturb_copies_remerged_by_stretch_channel(small_corpus):
+    """Independent-generator validation of the stretch channel: augment
+    base clips with the speed-perturb op (Blackman-sinc kernel — a
+    different resampler family from the synth generator's
+    resample_linear), blank the transcripts so no text channel can
+    help, and require the stretch channel to re-merge every augmented
+    copy with its source."""
+    from mail_deduplicate_ray.stages.audio_stats import SpeedPerturbStage
+
+    tbl, _ = small_corpus
+    usable = tbl.filter(pc.is_valid(tbl["sr_hz"]))
+    base = usable.slice(0, 24)
+    aug = SpeedPerturbStage(factors=(0.9, 1.12))(base)
+    n_aug = aug.num_rows
+    assert n_aug >= 40, "most base rows must be decodable"
+    aug_clips = pa.table({
+        "clip_id": aug["clip_id"],
+        "bytes": aug["bytes"],
+        "sr_hz": aug["sr_hz"],
+        "dur_ms": aug["dur_ms"],
+        "codec": aug["codec"],
+        "transcript": pa.array([""] * n_aug, pa.string()),
+    })
+    both = pa.concat_tables(
+        [base.select(aug_clips.column_names), aug_clips])
+    res = neardup.dedup_clips(ray.data.from_arrow(both), DedupConfig(),
+                              channels=("stretch",))
+    pred = _pred_clusters(res)
+    missed = [(o, c) for o, c in zip(aug["orig_clip_id"].to_pylist(),
+                                     aug["clip_id"].to_pylist())
+              if pred.get(o) is None or pred.get(o) != pred.get(c)]
+    assert not missed, missed[:5]
