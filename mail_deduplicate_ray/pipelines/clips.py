@@ -58,10 +58,13 @@ def clips_path(sf_dir: str, n_base: int | None = None, seed: int = 42) -> Path:
                            tmp / f"part-{i:04d}.parquet",
                            row_group_size=2048)
         tmp.rename(out)  # atomic publish (resume-safe)
-        # ground truth beside the corpus, for recall checks
+        # ground truth beside the corpus, for recall checks (pairs keep
+        # their duplicate KIND so tools/eval_recall.py can attribute
+        # misses per kind at any scale)
         import json
         (CACHE_ROOT / f"{out.name}.truth.json").write_text(
-            json.dumps({"recall_pairs": truth["recall_pairs"]}))
+            json.dumps({"recall_pairs": truth["recall_pairs"],
+                        "pairs": truth["pairs"]}))
     return out
 
 
