@@ -110,6 +110,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rows to print when --out is not given")
     q.add_argument("--num-cpus", type=int, default=None)
     q.add_argument("--ray-address", default=None)
+    a = sub.add_parser(
+        "augment", help="speed-perturbation augmentation: re-emit every "
+                        "decodable clip at each tempo factor "
+                        "(anti-aliased polyphase Blackman-sinc resampler, "
+                        "pcm_s16le output; Kaldi 3-way recipe)")
+    a.add_argument("--input", action="append", required=True,
+                   help="clips parquet file/dir; repeatable")
+    a.add_argument("--out", required=True,
+                   help="output dir for the augmented clips parquet")
+    a.add_argument("--factors", default="0.9,1.1",
+                   help="comma-separated tempo factors (>0; factor > 1 "
+                        "shortens; default 0.9,1.1)")
+    a.add_argument("--num-cpus", type=int, default=None)
+    a.add_argument("--ray-address", default=None)
     f = sub.add_parser(
         "diff", help="verbose labeled diff of two clips' normalized "
                      "transcripts (≙ pretty_diff, ref: deduplicate.py:384-401)")
@@ -149,6 +163,27 @@ def run_diff(args) -> int:
     a, b_ = rows[args.clip_a], rows[args.clip_b]
     out = pretty_diff(args.clip_a, a[0], a[1], args.clip_b, b_[0], b_[1])
     print(out if out else "(transcripts identical)")
+    return 0
+
+
+def run_augment(args) -> int:
+    from mail_deduplicate_ray.sources import read_clips
+    from mail_deduplicate_ray.stages import bucketing
+    from mail_deduplicate_ray.stages.audio_stats import SpeedPerturbStage
+
+    factors = tuple(float(f) for f in args.factors.split(",") if f)
+    if not factors or any(f <= 0 for f in factors):
+        raise ValueError(f"--factors must be positive floats, "
+                         f"got {args.factors!r}")
+    ds = read_clips(list(args.input))
+    _, hi = bucketing.pool_size()
+    out = ds.map_batches(
+        SpeedPerturbStage, fn_constructor_kwargs={"factors": factors},
+        batch_format="pyarrow", batch_size=64,
+        concurrency=(max(1, hi // 2), max(1, hi - 1)), num_cpus=1)
+    out.write_parquet(args.out)
+    print(f"wrote augmented clips (factors {factors}) -> {args.out}",
+          file=sys.stderr)
     return 0
 
 
@@ -213,6 +248,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "query":
         rc = run_query(args)
+        if owns_session:
+            ray.shutdown()
+        return rc
+
+    if args.cmd == "augment":
+        rc = run_augment(args)
         if owns_session:
             ray.shutdown()
         return rc

@@ -154,12 +154,16 @@ class DedupConfig:
     stretch_dtw_max: float = 0.8   # DTW envelope confirm ceiling
     # stretch-specific bucket cap (the channel's quantized-ratio keys have
     # bounded entropy — a tonal corpus concentrates them into mega-buckets
-    # whose salted-chunk pair volume grows with cap^2/2 per member; 64
-    # keeps the planted-recall guarantee of the clip_id-sorted chunk
-    # composition while cutting pair volume 4x vs the global max_bucket.
-    # Cross-chunk pairs not similar to the chunk pivot rely on the ~16
-    # double-cover keys per clip (the standard LSH salting trade).
-    stretch_max_bucket: int = 64
+    # whose salted-chunk pair volume grows with cap^2/2 per member).
+    # Chunks are sorted by the STRETCH-INVARIANT spectral-shape spread
+    # (candidates._stretch_core), so the cap is the co-location window in
+    # content-rank units and recall is MONOTONE in it — measured at 391k
+    # clips: stretch-kind cluster recall 0.936 / 0.967 / 0.981 at
+    # 64 / 128 / 192, +14 s candidates wall for 64 -> 192.  192 buys the
+    # 90th-percentile pair spread-jitter (~230 ranks in a uniform
+    # mega-bucket); pairs beyond it rely on the ~16 double-cover keys
+    # (the standard LSH salting trade).
+    stretch_max_bucket: int = 192
 
     # enabled candidate channels (the dedup_clips default; an explicit
     # channels= argument overrides, e.g. the bench's exact-only run)

@@ -208,7 +208,7 @@ def _group_expand_edges(ids: np.ndarray, inv: np.ndarray,
 
 
 def _bucket_slices(buckets: np.ndarray, ids: np.ndarray, cap: int,
-                   order_key: np.ndarray | None = None):
+                   order_key: "np.ndarray | tuple | None" = None):
     """Iterate (index-array, dropped) per multi-member bucket — pure numpy
     sort + boundary slicing; per-bucket cost is O(size), never a pandas
     group object (hundreds of thousands of tiny buckets per partition).
@@ -223,17 +223,22 @@ def _bucket_slices(buckets: np.ndarray, ids: np.ndarray, cap: int,
     buckets/bands (standard LSH salting trade).  Nothing is dropped:
     ``dropped`` stays 0 and exists only as the accounting seam.
 
-    ``order_key`` makes the within-bucket order CONTENT-DERIVED (the
-    SortingLSH idea — Chierichetti et al.'s sorted-bucket trick): members
-    are sorted by the key (ties by clip_id), so a verify core whose
-    feasibility is monotone in the key (the stretch channel's amp-mass
-    ratio bound) gets its feasible pairs ADJACENT, and chunk composition
-    no longer depends on clip_id assignment at all — a corpus relabeling
-    permutation yields the same chunks up to renaming.  Without it the
-    order is clip_id, which keeps planted-adjacent synthetic corpora
-    flattering but ties real-corpus recall to id locality."""
-    keys = (ids, buckets) if order_key is None else \
-        (ids, order_key, buckets)
+    ``order_key`` (one array, or a priority-ordered tuple of arrays)
+    makes the within-bucket order CONTENT-DERIVED (the SortingLSH idea —
+    sorted-bucket chunking): members are sorted by the key (ties by
+    clip_id), so a verify core whose true pairs are near-equal in the
+    key (the stretch channel's stretch-invariant spectral-shape scalar)
+    gets them ADJACENT, and chunk composition no longer depends on
+    clip_id assignment at all — a corpus relabeling permutation yields
+    the same chunks up to renaming.  Without it the order is clip_id,
+    which keeps planted-adjacent synthetic corpora flattering but ties
+    real-corpus recall to id locality."""
+    if order_key is None:
+        keys = (ids, buckets)
+    elif isinstance(order_key, tuple):
+        keys = (ids,) + tuple(reversed(order_key)) + (buckets,)
+    else:
+        keys = (ids, order_key, buckets)
     order = np.lexsort(keys)  # bucket-major, key (or clip_id) within
     b_sorted = buckets[order]
     bounds = np.flatnonzero(np.concatenate(
@@ -245,12 +250,22 @@ def _bucket_slices(buckets: np.ndarray, ids: np.ndarray, cap: int,
         if len(idx) <= cap:
             yield idx, 0
             continue
-        # salted split: chunk 0 is the first cap members; later chunks are
+        # salted split: chunk 0 is the first chunk; later chunks are
         # pivot + (cap-1) fresh members each (deterministic at any
-        # parallelism: the order key is clip_id or content-derived)
-        yield idx[:cap], 0
+        # parallelism: the order key is clip_id or content-derived).
+        # With a content order key, chunk BOUNDARIES are additionally
+        # offset per bucket by hash(bucket) % cap: a true pair lands in
+        # every shared double-cover bucket at a similar key-rank
+        # distance, so identical boundaries would make a boundary split
+        # CORRELATED across all of them — the offset de-correlates the
+        # split, leaving the pair co-located in >= one shared bucket
+        # with high probability (measured +recall at 391k clips).
+        r = int(buckets[idx[0]] % np.uint64(cap)) if order_key is not None \
+            else 0
+        first = cap if r in (0, 1) else r
+        yield idx[:first], 0
         pivot = idx[:1]
-        for lo in range(cap, len(idx), max(1, cap - 1)):
+        for lo in range(first, len(idx), max(1, cap - 1)):
             chunk = np.concatenate([pivot, idx[lo:lo + cap - 1]])
             if len(chunk) >= 2:
                 yield chunk, 0
@@ -636,6 +651,19 @@ def _stretch_core(ids_all: np.ndarray, buckets: np.ndarray,
     padded[:, :mat.shape[1]] = mat
     h_all = _fold_u64_cols(np.ascontiguousarray(padded).view(np.uint64))
     mass_all = amp_all.sum(axis=1)
+    # STRETCH-INVARIANT chunk-order key: a time-stretch by f shifts every
+    # peak's log-frequency by -log f UNIFORMLY, so the amp-weighted spread
+    # of centered log-frequencies is identical for a clip and its
+    # stretched copy (and amp-scale cancels).  Sorting oversize buckets by
+    # (spread, mass) co-locates true pairs regardless of where the
+    # saturated quantized-ratio bucket put them — mass alone measured
+    # 0.902 stretch-kind recall at 391k (true pairs straddled the narrow
+    # mass-slice chunks); spread restores the content locality the old
+    # clip_id order only got from the synthetic corpus's adjacent ids.
+    wsum = np.maximum(mass_all, 1e-12)
+    cen = (amp_all * logf_all).sum(axis=1) / wsum
+    spread_all = np.sqrt(
+        (amp_all * (logf_all - cen[:, None]) ** 2).sum(axis=1) / wsum)
     smin = cfg.stretch_score_min
     pend: list[tuple] = []          # (idx, dropped, inv, m, iu, ju)
     gi: list[np.ndarray] = []       # payload row per pair, both sides
@@ -643,7 +671,7 @@ def _stretch_core(ids_all: np.ndarray, buckets: np.ndarray,
     empty = np.empty(0, np.int64)
     for idx, dropped in _bucket_slices(buckets, ids_all,
                                        cfg.stretch_max_bucket,
-                                       order_key=mass_all):
+                                       order_key=(spread_all, mass_all)):
         _, first, inv = np.unique(h_all[idx], return_index=True,
                                   return_inverse=True)
         rep = idx[first]

@@ -322,3 +322,30 @@ def test_cli_query_runs_registry_ops(tmp_path, capsys):
         main(["query", "exact_dedup_doc", "--sf-dir", sf])
     with pytest.raises(ValueError, match="sf-dir"):
         main(["query", "exact_dedup_docs"])
+
+
+def test_augment_subcommand_writes_clips_schema(tmp_path):
+    import pyarrow.parquet as pq
+    from mail_deduplicate_ray.__main__ import main
+    from mail_deduplicate_ray import synth
+    tbl, _ = synth.generate_clips(20, seed=5)
+    src = tmp_path / "in.parquet"
+    pq.write_table(tbl, str(src))
+    out = tmp_path / "aug"
+    rc = main(["augment", "--input", str(src), "--out", str(out),
+               "--factors", "0.9,1.1", "--num-cpus", "4"])
+    assert rc == 0
+    got = pq.read_table(str(out))
+    assert got.num_rows > 0 and got.num_rows % 2 == 0
+    cols = set(got.column_names)
+    assert {"clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript",
+            "orig_clip_id", "factor_milli"} <= cols
+    assert set(got["factor_milli"].to_pylist()) == {900, 1100}
+
+
+def test_augment_rejects_bad_factors(tmp_path):
+    import pytest
+    from mail_deduplicate_ray.__main__ import main
+    with pytest.raises(ValueError, match="factors"):
+        main(["augment", "--input", "x.parquet", "--out", str(tmp_path),
+              "--factors", "-1.0"])

@@ -14,8 +14,11 @@ and stage times.
 from __future__ import annotations
 
 import json
+import pathlib
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:
@@ -23,9 +26,12 @@ def main() -> None:
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     n_base = int(args[1]) if len(args) > 1 else None
     channels = None
+    cfg_over = {}
     for a in sys.argv[1:]:
         if a.startswith("--channels"):
             channels = tuple(a.split("=", 1)[1].split(","))
+        if a.startswith("--stretch-cap"):
+            cfg_over["stretch_max_bucket"] = int(a.split("=", 1)[1])
 
     import ray
     if not ray.is_initialized():
@@ -49,7 +55,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     res = neardup.dedup_clips(clips.read_clips(sf_dir, n_base),
-                              DedupConfig(), channels=channels)
+                              DedupConfig(**cfg_over), channels=channels)
     pred: dict[str, str] = {}
     for b in res.settled.select_columns(["clip_id", "cluster_id"]) \
             .iter_batches(batch_format="pyarrow"):
