@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "order_price_rank_stats", "forecast_revenue",
     # round-4: unified multimodal cascade
     "corpus_tiered_dedup",
+    # round-4 continuation: NB classifier, HLL oracle path, speed perturb
+    "nb_lang_classifier_docs", "approx_distinct_users",
+    "clips_speed_perturb",
 ]
 
 

@@ -419,3 +419,30 @@ class TestSincResampler:
             y2 = np.sum(np.where(val, x.astype(np.float64)[kc], 0.0)
                         * core * win, axis=1).astype(np.float32)
             assert float(np.max(np.abs(y1 - y2))) < 1e-6, f
+
+
+class TestSpeedPerturbStage:
+    def test_emits_per_factor_and_drops_undecodable(self):
+        from mail_deduplicate_ray.stages.audio_stats import SpeedPerturbStage
+        sr = 16000
+        x = _sine(sr=sr, dur=0.5, amp=0.5)
+        t = pa.table({
+            "clip_id": ["good", "bad"],
+            "bytes": pa.array([codecs.encode_pcm16(x, sr), b"notawav"],
+                              pa.binary()),
+            "codec": ["pcm_s16le", "pcm_s16le"],
+            "transcript": ["hello", "world"],
+        })
+        out = SpeedPerturbStage(factors=(0.9, 1.1))(t)
+        assert out.num_rows == 2            # bad row dropped, 2 factors
+        rows = {r["clip_id"]: r for r in out.to_pylist()}
+        assert set(rows) == {"good#sp900", "good#sp1100"}
+        for fm, r in ((900, rows["good#sp900"]), (1100, rows["good#sp1100"])):
+            assert r["orig_clip_id"] == "good"
+            assert r["factor_milli"] == fm
+            assert r["codec"] == "pcm_s16le"
+            assert r["transcript"] == "hello"
+            assert abs(r["dur_ms"] - round(500 * 1000 / fm)) <= 2
+            pcm, sr2 = codecs.decode(r["bytes"], "pcm_s16le")
+            assert sr2 == sr
+            assert abs(len(pcm) - round(len(x) * 1000 / fm)) <= 2
