@@ -699,6 +699,19 @@ def _stretch_core(ids_all: np.ndarray, buckets: np.ndarray,
             keep = (np.maximum(dur[iu], dur[ju])
                     <= 3.0 * np.maximum(np.minimum(dur[iu], dur[ju]), 1.0))
             iu, ju = iu[keep], ju[keep]
+            # spectral-shape gate: true stretched copies have near-equal
+            # spread (the stretch-invariant chunk-order key; |Δ| p99 =
+            # 0.057 on planted pairs at 391k); cheap scalar compare
+            # BEFORE any spectral work.  Measured NEUTRAL on the
+            # saturated synthetic corpus (bit-identical recall, ~same
+            # wall at 783k: spread-sorted chunks are already narrow
+            # spread slices there) — it protects the OTHER regime,
+            # sparse over-cap buckets whose chunks span a wide spread
+            # range, where it prunes cross-shape chance pairs.
+            sp = spread_all[rep]
+            keep = (np.abs(sp[iu] - sp[ju])
+                    <= cfg.stretch_spread_gate)
+            iu, ju = iu[keep], ju[keep]
             gi.append(rep[iu])
             gj.append(rep[ju])
         else:
