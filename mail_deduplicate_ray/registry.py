@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bag_dedup_docs": docs.bag_dedup_docs,
         # round-4 additions
         "nb_lang_classifier_docs": docs.nb_lang_classifier_docs,  # SQL-oracled (micro-nat-quantized NB replay)
+        "approx_distinct_users": relational.approx_distinct_users,  # SQL-oracled: bit-exact SplitMix64+HLL replay (_hll_sql)
         # round-4 oracle conversions (SQL replays of the engine hashes)
         "simhash_docs": docs.simhash_docs,
         "doc_fingerprints": docs.doc_fingerprints,
@@ -78,10 +79,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage_docs": docs.vocab_coverage_docs,
         "quality_scores": docs.quality_scores,
         "token_stats_per_lang": docs.token_stats_per_lang,
+        # ================ END DRIVER WINDOW (50) ================
         "bpe_token_counts": docs.bpe_token_counts,
         "bpe_train_docs": docs.bpe_train_docs,
         "bpe_apply_docs": docs.bpe_apply_docs,  # rows-only (naive-encode parity test)
-        # ================ END DRIVER WINDOW (50) ================
         "keep_biggest_per_lang": docs.keep_biggest_per_lang,
         # --- remaining dedup / text family ---
         "regexp_filter_docs": docs.regexp_filter_docs,
@@ -133,7 +134,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_events_per_user_type": relational.cap_events_per_user_type,
         "distinct_users_per_day": relational.distinct_users_per_day,
         "cumulative_new_users": relational.cumulative_new_users,
-        "approx_distinct_users": relational.approx_distinct_users,  # SQL-oracled: bit-exact SplitMix64+HLL replay (_hll_sql)
         "purchase_and_error_users": relational.purchase_and_error_users,
         "view_days_no_purchase": relational.view_days_no_purchase,
         "nation_spend_rank": relational.nation_spend_rank,
