@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "output dataset (generation-stamped, manifest "
                         "tracked) instead of replacing it (≙ create_box "
                         "append, ref: mail_box.py:490-511)")
+    d.add_argument("--shards", type=int, default=None,
+                   help="copy actions only: write the output as N "
+                        "resumable hive-style shard=NNNN/ dirs keyed by "
+                        "hash(clip_id); a re-run after a failure skips "
+                        "finished shards (sources/sharded.py)")
     d.add_argument("--allow-differing", action="store_true",
                    help="dedup-storage only: link discarded rows whose "
                         "content hash differs from the winner's "
@@ -296,6 +301,13 @@ def main(argv: list[str] | None = None) -> int:
                         or (args.action or "copy-selected").split("-")[0]
                         not in ("copy", "move")):
         raise ValueError("--append applies only to copy/move actions")
+    if args.shards is not None:
+        if args.shards < 1:
+            raise ValueError("--shards must be >= 1")
+        if (args.append or args.export_codec
+                or (args.action or "copy-selected").split("-")[0] != "copy"):
+            raise ValueError("--shards applies only to copy actions "
+                             "(without --append / --export-codec)")
     if args.export_codec:
         from mail_deduplicate_ray import codecs as _codecs
         if args.export_codec not in _codecs.ENCODERS:
@@ -352,6 +364,8 @@ def main(argv: list[str] | None = None) -> int:
             fn = {"copy": actions.copy_action, "move": actions.move_action,
                   "delete": actions.delete_action}[verb]
             kw = {"append": args.append} if verb in ("copy", "move") else {}
+            if verb == "copy" and args.shards:
+                kw["shards"] = args.shards
             rep = fn(res, target, args.out or "", dry_run=args.dry_run,
                      **kw)
         verbed = ("would touch" if rep.dry_run else "wrote")

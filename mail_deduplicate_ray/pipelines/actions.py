@@ -103,10 +103,22 @@ def _append_write(ds: "ray.data.Dataset", out_dir: str | Path) -> int:
 
 
 def copy_action(result: DedupResult, target: str, out_dir: str | Path,
-                dry_run: bool = False, append: bool = False) -> ActionReport:
+                dry_run: bool = False, append: bool = False,
+                shards: int | None = None) -> ActionReport:
+    """``shards``: write via the RESUMABLE sharded writer instead of the
+    atomic whole-directory swap — hive-style ``shard=NNNN/`` dirs keyed
+    by hash(clip_id), finished shards skipped on re-run
+    (sources/sharded.py; the failed-run-resume story at corpus scale)."""
     sub = _subset(result, target)
     if dry_run:  # counters still produced (ref: action.py:66-72)
         return ActionReport("copy", target, sub.count(), True)
+    if shards:
+        from mail_deduplicate_ray.sources.sharded import write_sharded
+        rep = write_sharded(sub, out_dir, "clip_id", nshards=shards)
+        return ActionReport("copy", target, rep["rows_written"], False,
+                            str(out_dir),
+                            {"shards_written": len(rep["written"]),
+                             "shards_skipped": len(rep["skipped"])})
     n = (_append_write if append else _atomic_write)(sub, out_dir)
     return ActionReport("copy", target, n, False, str(out_dir),
                         {"append": append})

@@ -349,3 +349,36 @@ def test_augment_rejects_bad_factors(tmp_path):
     with pytest.raises(ValueError, match="factors"):
         main(["augment", "--input", "x.parquet", "--out", str(tmp_path),
               "--factors", "-1.0"])
+
+
+def test_shards_flag_resumable_copy(tmp_path):
+    import pyarrow.parquet as pq
+    from mail_deduplicate_ray import synth
+    from mail_deduplicate_ray.__main__ import main
+    tbl, _ = synth.generate_clips(30, seed=7)
+    src = tmp_path / "in.parquet"
+    pq.write_table(tbl, str(src))
+    out = tmp_path / "out"
+    rc = main(["dedup", "--input", str(src), "--out", str(out),
+               "--shards", "8", "--num-cpus", "4"])
+    assert rc == 0
+    marks = sorted(out.glob("shard=*/_SUCCESS"))
+    assert marks, "sharded layout with _SUCCESS markers expected"
+    kept = pq.read_table(str(out))
+    assert kept.num_rows > 0 and "clip_id" in kept.column_names
+    # second run over the same input: every shard skipped, nothing rewritten
+    mt = {p: p.stat().st_mtime_ns
+          for p in out.glob("shard=*/part-0000.parquet")}
+    rc = main(["dedup", "--input", str(src), "--out", str(out),
+               "--shards", "8", "--num-cpus", "4"])
+    assert rc == 0
+    for p, m in mt.items():
+        assert p.stat().st_mtime_ns == m
+
+
+def test_shards_flag_validation(tmp_path):
+    import pytest
+    from mail_deduplicate_ray.__main__ import main
+    with pytest.raises(ValueError, match="--shards applies only"):
+        main(["dedup", "--input", "x.parquet", "--out", str(tmp_path),
+              "--shards", "4", "--append"])
