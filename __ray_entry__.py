@@ -404,7 +404,8 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN counts c
                      ON c.lang = l.lang AND c.tok = vt.tok),
             scored AS (
-              SELECT d.doc_id, l.lang, p.pw + coalesce(sum(w.w), 0) AS score
+              SELECT d.doc_id, l.lang,
+                     CAST(p.pw + coalesce(sum(w.w), 0) AS BIGINT) AS score
               FROM documents d
               CROSS JOIN langs l
               JOIN prior p ON p.lang = l.lang

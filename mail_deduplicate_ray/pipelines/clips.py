@@ -661,7 +661,7 @@ def clips_speed_perturb(sf_dir: str,
                         ) -> "ray.data.Dataset":
     """Speed-perturbation augmentation (the Kaldi 3-way recipe minus the
     identity copy): every decodable clip re-emitted at each tempo factor
-    via the anti-aliased Kaiser-sinc resampler
+    via the anti-aliased Blackman-sinc resampler
     (functions/audio_dsp.resample_sinc), re-encoded pcm_s16le.  Output
     rows are CLIPS_SCHEMA-compatible plus (orig_clip_id, factor_milli),
     so ``original ∪ augmented`` feeds any clips pipeline directly — and

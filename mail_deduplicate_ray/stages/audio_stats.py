@@ -309,7 +309,7 @@ class SpeedPerturbStage:
     original row already is).
 
     ``map_batches(SpeedPerturbStage, concurrency=N)`` actor-pool stage:
-    the Kaiser-sinc kernel (audio_dsp.resample_sinc) is anti-aliased,
+    the Blackman-sinc kernel (audio_dsp.resample_sinc) is anti-aliased,
     vectorized, and a different kernel family from the synth
     generator's resample_linear — augmented copies are INDEPENDENT
     planted truth for the flagship's stretch channel.  Output rows are

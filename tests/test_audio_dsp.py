@@ -350,7 +350,7 @@ class TestQualityKernels:
 class TestSincResampler:
     def test_pitch_shift_and_snr(self):
         # speed-up by f shifts a sine's frequency to 440*f at the same
-        # sr; the Kaiser-sinc kernel must stay > 80 dB SNR vs the ideal
+        # sr; the Blackman-sinc kernel must stay > 80 dB SNR vs the ideal
         sr = 16000
         t = np.arange(sr) / sr
         x = np.sin(2 * np.pi * 440 * t).astype(np.float32)

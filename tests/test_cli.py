@@ -368,7 +368,7 @@ def test_shards_flag_resumable_copy(tmp_path):
     assert kept.num_rows > 0 and "clip_id" in kept.column_names
     # second run over the same input: every shard skipped, nothing rewritten
     mt = {p: p.stat().st_mtime_ns
-          for p in out.glob("shard=*/part-0000.parquet")}
+          for p in out.glob("shard=*/part-*.parquet")}
     rc = main(["dedup", "--input", str(src), "--out", str(out),
                "--shards", "8", "--num-cpus", "4"])
     assert rc == 0

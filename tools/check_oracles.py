@@ -36,6 +36,29 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def compare(mine: pd.DataFrame, oracle: pd.DataFrame) -> str:
+    """Driver-style verdict for one query: rows, columns, values AND
+    canonical dtypes must agree.  The dtype leg exists because the
+    driver's value-hash is typed — an oracle that materializes e.g.
+    DuckDB HUGEINT as float64 while the engine emits int64 hash-fails
+    with numerically equal values (this class shipped 4 red rows in
+    round 1 and 1 in round 4)."""
+    if len(mine) != len(oracle):
+        return "FAIL(rows)"
+    if list(mine.columns) != list(oracle.columns):
+        return f"FAIL(cols {list(mine.columns)} vs {list(oracle.columns)})"
+    try:
+        pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+    except AssertionError as e:
+        return f"FAIL(values: {str(e).splitlines()[-1][:120]})"
+    md = [str(t) for t in mine.dtypes]
+    od = [str(t) for t in oracle.dtypes]
+    if md != od:
+        bad = [(c, a, b) for c, a, b in zip(mine.columns, md, od) if a != b]
+        return f"FAIL(dtype {bad})"
+    return "ok  "
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -74,16 +97,7 @@ def main() -> int:
             print(f"ok   {name}: rows={len(mine)} (rows-only) [{dt:.1f}s]")
             continue
         oracle = canon(con.execute(oracles[name]).df())
-        status = "ok  "
-        if len(mine) != len(oracle):
-            status = "FAIL(rows)"
-        elif list(mine.columns) != list(oracle.columns):
-            status = f"FAIL(cols {list(mine.columns)} vs {list(oracle.columns)})"
-        else:
-            try:
-                pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
-            except AssertionError as e:
-                status = f"FAIL(values: {str(e).splitlines()[-1][:120]})"
+        status = compare(mine, oracle)
         if status.startswith("FAIL"):
             failures += 1
         print(f"{status} {name}: rows={len(mine)} vs {len(oracle)} [{dt:.1f}s]")
