@@ -192,6 +192,45 @@ def _hll_sql(p: int = 12) -> str:
     """
 
 
+def _kcenter_sql(k: int = 16) -> str:
+    """SQL replay of kcenter_sample_embeddings (ann.py:590): exact
+    Gonzalez farthest-point as k chained argmax CTEs — seed at the
+    smallest vec_id, then repeatedly take the point maximizing the
+    running prefix-min cosine distance (ties to smallest vec_id), the
+    same double-precision normalize/dot/least the engine computes.
+    Distances are emitted as half-away-rounded integer micro-units
+    (dist_q6) on both sides, so last-ulp summation-order differences
+    between numpy matmul and list_dot_product cannot move the hash."""
+    ctes = ["""u AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                       (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)) AS uv
+            FROM (SELECT vec_id, embedding,
+                         sqrt(list_sum(list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                             AS nrm
+                  FROM embeddings))""",
+            "c0 AS MATERIALIZED (SELECT vec_id, uv FROM u ORDER BY vec_id LIMIT 1)",
+            "m1 AS MATERIALIZED (SELECT u.vec_id, 1.0 - list_dot_product(u.uv, c0.uv)"
+            " AS d FROM u CROSS JOIN c0)"]
+    sel = ["SELECT 0::BIGINT AS rank, vec_id, 0::BIGINT AS dist_q6 FROM c0"]
+    for r in range(1, k):
+        ctes.append(
+            f"c{r} AS MATERIALIZED (SELECT m{r}.vec_id, u.uv, m{r}.d FROM m{r} "
+            f"JOIN u USING (vec_id) ORDER BY m{r}.d DESC, m{r}.vec_id "
+            f"LIMIT 1)")
+        sel.append(f"SELECT {r}::BIGINT AS rank, vec_id, "
+                   f"CAST(round(d * 1000000) AS BIGINT) AS dist_q6 "
+                   f"FROM c{r}")
+        if r < k - 1:
+            ctes.append(
+                f"m{r + 1} AS MATERIALIZED (SELECT m{r}.vec_id, least(m{r}.d, "
+                f"1.0 - list_dot_product(u.uv, c{r}.uv)) AS d FROM m{r} "
+                f"JOIN u USING (vec_id) CROSS JOIN c{r})")
+    return ("WITH " + ",\n        ".join(ctes) + "\n        "
+            + "\n        UNION ALL ".join(sel) + "\n        ORDER BY rank")
+
+
 # lang_id's marker-stopword sets (functions/textstats.py:16), one
 # intersect-count per language; the CASE replays the dict-order
 # first-strict-max tie-break (en > de > fr > es)
@@ -370,6 +409,9 @@ def oracle_sql() -> dict[str, str]:
         # HyperLogLog approximate distinct — SplitMix64 + exact-integer
         # harmonic sum replayed bit-for-bit (see _hll_sql)
         "approx_distinct_users": _hll_sql(),
+        # exact Gonzalez k-center — 16 chained argmax CTEs, micro-unit
+        # quantized distances (see _kcenter_sql)
+        "kcenter_sample_embeddings": _kcenter_sql(),
         # Naive-Bayes classifier (docs.nb_lang_classifier_docs): same
         # tokenization, Laplace counts, micro-nat quantized weights
         # floor(1e6*ln(.)) and min-lang argmax tie-break — integer

@@ -591,10 +591,16 @@ def kcenter_sample_embeddings(sf_dir: str, k: int = 16) -> "ray.data.Dataset":
     """Greedy k-center (farthest-point) DIVERSITY sampling — the coreset
     selection a curation pipeline runs to pick maximally-spread exemplars
     (Gonzalez 1985; Sener & Savarese 2018 for data selection).  Output:
-    (rank, vec_id, dist) — dist = cosine distance to the previously
-    chosen set (rank 0 seeds at the smallest vec_id, dist 0)."""
+    (rank, vec_id, dist_q6) — dist_q6 = cosine distance to the
+    previously chosen set in integer micro-units (half-away rounding,
+    the repo's cents convention, so the deterministic sequence is
+    SQL-replayable and typed-hash-stable; rank 0 seeds at the smallest
+    vec_id, dist 0)."""
     tbl, _passes = _kcenter_certified(sf_dir, k)
-    return ray.data.from_arrow(tbl)
+    q = pc.cast(pc.round(pc.multiply(tbl["dist"], 1e6),
+                         round_mode="half_towards_infinity"), pa.int64())
+    return ray.data.from_arrow(pa.table({
+        "rank": tbl["rank"], "vec_id": tbl["vec_id"], "dist_q6": q}))
 
 
 def _kcenter_certified(sf_dir: str, k: int,

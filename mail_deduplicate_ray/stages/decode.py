@@ -112,9 +112,12 @@ class DecodeStage:
         """Peak table + prefix energy envelope for the stretch channel
         (functions/stretchmatch.py).  ONE extra batched rfft (Hann-
         windowed; the unwindowed FFT above feeds audio_fp and its
-        scalloping makes peak amplitudes useless for matching) + a
-        vectorized per-row envelope."""
-        from mail_deduplicate_ray.functions import audio_dsp, stretchmatch
+        scalloping makes peak amplitudes useless for matching), then
+        BATCHED top-P peak selection and envelope per sample-rate group
+        (VERDICT r4 item 10 — the per-row Python loop ran only the tiny
+        greedy min-separation step; mask, refinement and RMS reduction
+        are whole-matrix ops now)."""
+        from mail_deduplicate_ray.functions import stretchmatch
         cfg = self.cfg
         P = cfg.stretch_peaks
         W = simhash._FFT_WINDOW
@@ -126,16 +129,28 @@ class DecodeStage:
         if rows.size:
             mags = np.abs(np.fft.rfft(pcm_rows[rows]
                                       * stretchmatch._hann(W), axis=1))
-            for r, i in enumerate(rows.tolist()):
-                lf, a = stretchmatch.peak_table(
-                    mags[r], int(srs[i]), W, P, cfg.stretch_amp_floor)
-                k = len(lf)
-                npk[i] = k
-                logf[i, :k] = lf
-                amps[i, :k] = a
-                env_list[i] = audio_dsp.energy_envelope(
-                    pcm_rows[i, :wlens[i]], int(srs[i]),
-                    cfg.stretch_env_frame_ms)
+            for sr in np.unique(srs[rows]).tolist():
+                sub = np.flatnonzero(srs[rows] == sr)   # into mags/rows
+                idx = rows[sub]                          # into batch rows
+                lf, a, k = stretchmatch.peak_table_batch(
+                    mags[sub], int(sr), W, P, cfg.stretch_amp_floor)
+                npk[idx] = k.astype(np.int8)
+                logf[idx] = lf.astype(np.float32)
+                amps[idx] = a.astype(np.float32)
+                # batched envelope: one (g, n_frames, frame) RMS
+                # reduction per sr group; frames are the same contiguous
+                # strips the per-row kernel reduces, so values are
+                # bit-identical — rows truncate to wlen//frame frames
+                frame = max(1, (sr * cfg.stretch_env_frame_ms) // 1000)
+                nmax = W // frame
+                x = pcm_rows[idx][:, : nmax * frame] \
+                    .reshape(len(idx), nmax, frame)
+                env = np.log10(np.sqrt((x * x).mean(axis=2)) + 1e-9) \
+                    .astype(np.float32)
+                nf = (wlens[idx] // frame).astype(np.int64)
+                for r, i in enumerate(idx.tolist()):
+                    env_list[i] = env[r, : nf[r]] if nf[r] \
+                        else np.zeros(1, np.float32)
         return (
             out.append_column("peak_logf", pa.FixedSizeListArray.from_arrays(
                 pa.array(logf.reshape(-1)), P))

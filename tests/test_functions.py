@@ -639,6 +639,35 @@ class TestStretchMatch:
         x = sum(a * np.sin(2 * np.pi * f * t) for f, a in zip(freqs, amps))
         return (x + rng.normal(0, 0.005, len(t))).astype(np.float32)
 
+    def test_peak_table_batch_bit_parity(self):
+        """peak_table_batch must equal row-by-row peak_table BITWISE —
+        same subset argsort, same refinement ops (the decode stage's
+        vectorized path, VERDICT r4 item 10)."""
+        import numpy as np
+        from mail_deduplicate_ray.functions import simhash, stretchmatch
+        W = simhash._FFT_WINDOW
+        sr, P, floor = 8000, 6, 0.05
+        rng = np.random.default_rng(41)
+        mats = []
+        for s in range(12):
+            freqs = rng.uniform(80, 3500, rng.integers(1, 7))
+            amps = rng.uniform(0.1, 1.0, len(freqs))
+            pcm = self._tone(freqs, amps, sr=sr, seed=s)
+            buf = np.zeros(W)
+            w = min(len(pcm), W)
+            buf[:w] = pcm[:w]
+            mats.append(np.abs(np.fft.rfft(buf * stretchmatch._hann(W))))
+        mats.append(np.zeros(W // 2 + 1))      # silent row: zero peaks
+        mags = np.stack(mats)
+        lf_b, a_b, k_b = stretchmatch.peak_table_batch(
+            mags, sr, W, P, floor)
+        for r in range(mags.shape[0]):
+            lf, a = stretchmatch.peak_table(mags[r], sr, W, P, floor)
+            assert k_b[r] == len(lf)
+            np.testing.assert_array_equal(lf_b[r, :len(lf)], lf)
+            np.testing.assert_array_equal(a_b[r, :len(a)], a)
+            assert not lf_b[r, len(lf):].any()
+
     def test_peak_logf_shifts_by_ln_f_under_resample(self):
         import numpy as np
         from mail_deduplicate_ray.functions import audio_dsp

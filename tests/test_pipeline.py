@@ -1328,15 +1328,17 @@ def test_kcenter_sample_bruteforce_parity():
         j = int(np.lexsort((ids, -dmin))[0])
         chosen.append(j)
         want.append((rank, int(ids[j]), float(dmin[j])))
-    got = [(r["rank"], r["vec_id"], r["dist"]) for r in sorted(
+    got = [(r["rank"], r["vec_id"], r["dist_q6"]) for r in sorted(
         ann_mod.kcenter_sample_embeddings(d, k=k).take_all(),
         key=lambda r: r["rank"])]
     assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+    # output distances are integer micro-units (half-away, the repo's
+    # cents convention — SQL-replayable typed-hash-stable)
     np.testing.assert_allclose([g[2] for g in got],
-                               [w[2] for w in want], atol=1e-9)
+                               [w[2] * 1e6 for w in want], atol=0.501)
     # diversity invariant: chosen farthest distances are non-increasing
     ds = [g[2] for g in got][1:]
-    assert all(a >= b - 1e-12 for a, b in zip(ds, ds[1:]))
+    assert all(a >= b - 1 for a, b in zip(ds, ds[1:]))
 
 
 def test_kcenter_certified_scan_count_and_repair():
