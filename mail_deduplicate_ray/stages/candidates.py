@@ -72,7 +72,16 @@ ALL_CHANNELS = ("exact", "minhash", "audio", "containment", "substring",
 # substring-verify regime switch (see verify_substring_edges): broadcast
 # the participating texts when pairs and pruned text bytes are small;
 # fall back to bucketed hash-joins above either cap
-_PAIR_BROADCAST_LIMIT = 4_000_000
+# pair-count gate for the zero-shuffle broadcast verify path.  The REAL
+# memory guard is _TEXT_BYTES_CAP (the id->text map is built with a
+# byte budget and bails to the bucketed joins when pruned texts exceed
+# it); this limit only bounds the driver-side distinct-id scan over the
+# pair list (~2 string refs/pair).  4M was far too conservative — at the
+# 783k-clip scale point 13.3M substring candidates fell off the fast
+# path and the join fallback cost 83.6 s vs ~4 s broadcast (the whole
+# superlinear term of the candidates stage); 32M keeps the driver scan
+# a few GB transient while the byte cap still protects worker heaps.
+_PAIR_BROADCAST_LIMIT = 32_000_000
 _TEXT_BYTES_CAP = 1 << 30
 
 # channel codes in the fused explode (uint8 column)
@@ -290,8 +299,8 @@ def explode_all(batch: pa.Table, cfg: DedupConfig,
         containment  minhash_sig8 (num_perm B) || set_size (8 B LE)
         substring    n_bytes of utf-8 transcript_norm (8 B LE) || tfp
                      minimizer-set fingerprint (8 B LE) || role (1 B:
-                     1 = global-min row) || bot4: the text's 4 SMALLEST
-                     minimizers (4x8 B LE, UINT64_MAX-padded) — the
+                     1 = global-min row) || bot8: the text's 8 SMALLEST
+                     minimizers (8x8 B LE, UINT64_MAX-padded) — the
                      exact subset-prune sketch (see _substring_core)
     """
     n = batch.num_rows
@@ -430,24 +439,30 @@ def explode_all(batch: pa.Table, cfg: DedupConfig,
                 starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
                 pos_in_seg = np.arange(ridx.size) - np.repeat(starts, counts)
                 role = (pos_in_seg < cfg.substring_probes).astype(np.uint8)
-                # bottom-4 minimizer sketch (minimizers() is sorted):
+                # bottom-8 minimizer sketch (minimizers() is sorted):
                 # containment implies minimizer-set SUBSET, so the verify
-                # core can prune candidates exactly (no recall loss)
-                bot4 = np.full((el.size, 4), np.uint64(0xFFFFFFFFFFFFFFFF),
+                # core can prune candidates exactly (no recall loss).
+                # 8 probes, not 4: on bounded-entropy corpora texts
+                # share their smallest shingles, and the chance of a
+                # non-container passing falls ~geometrically per probe
+                # (measured at the 783k scale point: bottom-4 left 13.3M
+                # candidates, 96% false; the wider sketch is the source
+                # fix, +32 B/row on only the substring channel rows)
+                bot8 = np.full((el.size, 8), np.uint64(0xFFFFFFFFFFFFFFFF),
                                np.uint64)
                 for r, m in enumerate(mins):
-                    bot4[r, :min(4, len(m))] = m[:4]
+                    bot8[r, :min(8, len(m))] = m[:8]
                 pay = np.concatenate(
                     [n_bytes[ridx][:, None].view(np.uint8),
                      tfp[:, None].view(np.uint8),
                      role[:, None],
-                     np.repeat(bot4, counts, axis=0).view(np.uint8)],
+                     np.repeat(bot8, counts, axis=0).view(np.uint8)],
                     axis=1)
                 out_idx.append(ridx)
                 out_ch.append(np.full(ridx.size, _CH["substring"], np.uint8))
                 out_bkt.append(flat)
                 out_pay.append(np.ascontiguousarray(pay).tobytes())
-                out_wid.append(np.full(ridx.size, 49, np.int32))
+                out_wid.append(np.full(ridx.size, 81, np.int32))
 
     if "stretch" in channels and n:
         from mail_deduplicate_ray.functions import stretchmatch
@@ -719,6 +734,7 @@ def _stretch_core(ids_all: np.ndarray, buckets: np.ndarray,
         pend.append((idx, dropped, inv, m, iu, ju))
     ok = np.empty(0, bool)
     uinv = np.empty(0, np.int64)
+    _t_score = _t_dtw = 0.0
     if gi:
         li = np.concatenate(gi)
         rj = np.concatenate(gj)
@@ -733,19 +749,28 @@ def _stretch_core(ids_all: np.ndarray, buckets: np.ndarray,
         ua, ub = li[uidx], rj[uidx]
         # every generated pair is already mass-feasible (the in-chunk
         # window IS the exact min >= smin * max bound): score them all
+        import time as _time
+        _t0 = _time.perf_counter()
         sc, nm = stretchmatch.score_pairs(
             logf_all[ua], amp_all[ua], logf_all[ub], amp_all[ub],
             cfg.stretch_tol, cfg.stretch_max_shift)
         ok = ((sc >= cfg.stretch_score_min) & (nm >= 2)).any(axis=1)
+        _t_score = _time.perf_counter() - _t0
+        import os as _os
+        if _os.environ.get("MDR_STRETCH_DUMP"):
+            _dump_pairs(_os.environ["MDR_STRETCH_DUMP"], logf_all, amp_all,
+                        spread_all, mass_all, ua, ub, ok)
         sel = np.flatnonzero(ok)
         if sel.size:
             # DTW envelope confirm — temporal alignment check the
             # spectral consensus cannot see (pad/stretch must still be a
             # monotone frame-to-frame warp)
+            _t0 = _time.perf_counter()
             cost = audio_dsp.dtw_cost_batch(
                 env_all[ua[sel]].astype(np.float64), nenv_all[ua[sel]],
                 env_all[ub[sel]].astype(np.float64), nenv_all[ub[sel]])
             ok[sel[cost > cfg.stretch_dtw_max]] = False
+            _t_dtw = _time.perf_counter() - _t0
     all_pairs: list[tuple[str, str]] = []
     total_dropped = 0
     off = 0
@@ -759,9 +784,58 @@ def _stretch_core(ids_all: np.ndarray, buckets: np.ndarray,
             adj |= adj.T
         all_pairs.extend(_group_expand_edges(ids_all[idx], inv, adj,
                                              intra_pass=True))
+    _stretch_prof(ids_all, pend, uinv, ok, _t_score, _t_dtw)
     # one DataFrame for the whole partition (a frame per bucket + concat
     # measured seconds at sf0.1 over ~11k buckets)
     return _edges_df(all_pairs, "stretch", total_dropped)
+
+
+def _dump_pairs(dirpath, logf_all, amp_all, spread_all, mass_all,
+                ua, ub, ok) -> None:
+    """Profiling aid: dump per-pair features + verdicts for gate design
+    (no-op unless $MDR_STRETCH_DUMP names a directory)."""
+    import os
+    import uuid as _uuid
+    os.makedirs(dirpath, exist_ok=True)
+    # all accepted + a deterministic 1/50 of rejected (volume control)
+    keep = ok | ((np.arange(ok.size) % 50) == 0)
+    ua, ub, ok = ua[keep], ub[keep], ok[keep]
+    np.savez_compressed(
+        os.path.join(dirpath, f"pairs-{_uuid.uuid4().hex[:12]}.npz"),
+        logf_a=logf_all[ua].astype(np.float32),
+        logf_b=logf_all[ub].astype(np.float32),
+        amp_a=amp_all[ua].astype(np.float32),
+        amp_b=amp_all[ub].astype(np.float32),
+        spread_a=spread_all[ua].astype(np.float32),
+        spread_b=spread_all[ub].astype(np.float32),
+        mass_a=mass_all[ua].astype(np.float32),
+        mass_b=mass_all[ub].astype(np.float32),
+        ok=ok)
+
+
+def _stretch_prof(ids_all, pend, uinv, ok,
+                  t_score: float = 0.0, t_dtw: float = 0.0) -> None:
+    """Per-partition stretch-core accounting, appended as one JSON line
+    to $MDR_STRETCH_PROF (profiling aid; no-op unless the env var is
+    set — O_APPEND single-write keeps concurrent task lines intact)."""
+    import os
+    path = os.environ.get("MDR_STRETCH_PROF")
+    if not path:
+        return
+    import json
+    gen = int(sum(p[4].size for p in pend))
+    rec = {
+        "rows": int(len(ids_all)),
+        "buckets_multi": int(sum(1 for p in pend if p[3] > 1)),
+        "chunks": len(pend),
+        "gen_pairs": gen,
+        "distinct_pairs": int(ok.size),
+        "accepted": int(ok.sum()),
+        "score_s": round(t_score, 3),
+        "dtw_s": round(t_dtw, 3),
+    }
+    with open(path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
 
 
 def _containment_core(ids_all: np.ndarray, buckets: np.ndarray,
@@ -892,17 +966,17 @@ def _substring_core(ids_all: np.ndarray, buckets: np.ndarray,
                     bigger = bigger[:8 * cap]
                 if bot4_all is not None and bigger.size:
                     # EXACT subset prune: containment => minimizers(P) ⊆
-                    # minimizers(T), so any of P's 4 smallest minimizers
-                    # that is below T's 4th-smallest MUST appear among
-                    # T's bottom-4.  Kills the random same-minimizer
-                    # collisions that make low-entropy corpora quadratic
-                    # (measured 9.1M -> ~real candidates at 380k clips)
-                    # with zero recall loss.
-                    c4 = bot4_all[rep[gi]]
-                    b4 = bot4_all[rep[bigger]]
-                    ge = c4[None, :] >= b4[:, 3][:, None]
-                    present = (b4[:, :, None]
-                               == c4[None, None, :]).any(axis=1)
+                    # minimizers(T), so any of P's m smallest minimizers
+                    # that is below T's m-th-smallest MUST appear among
+                    # T's bottom-m (m = sketch width, 8 since round 5;
+                    # UINT64_MAX pads pass vacuously).  Kills the random
+                    # same-minimizer collisions that make low-entropy
+                    # corpora quadratic, with zero recall loss.
+                    cm = bot4_all[rep[gi]]
+                    bm = bot4_all[rep[bigger]]
+                    ge = cm[None, :] >= bm[:, -1][:, None]
+                    present = (bm[:, :, None]
+                               == cm[None, None, :]).any(axis=1)
                     bigger = bigger[(ge | present).all(axis=1)]
                 if bigger.size > cap:
                     dropped += int(bigger.size - cap)
@@ -922,63 +996,116 @@ def _payload_matrix(pay: np.ndarray, width: int) -> np.ndarray:
                          dtype=np.uint8).reshape(len(pay), width)
 
 
-def _fused_partition(df: pd.DataFrame, cfg: DedupConfig,
+def _payload_matrix_arrow(arr: "pa.BinaryArray", sel: np.ndarray,
+                          width: int) -> np.ndarray:
+    """Gather ``sel`` rows of a fixed-width-per-channel binary column as
+    a (len(sel), width) uint8 matrix with ZERO per-row Python objects:
+    Arrow take() compacts the selection (contiguous values), then one
+    frombuffer + reshape views the flat buffer.  Replaces the
+    pandas-object-column path (tens of millions of bytes objects +
+    b"".join per partition at the 783k scale point — the GC-bound term
+    that made the candidates stage superlinear while every verify core
+    stayed linear)."""
+    taken = arr.take(pa.array(sel, pa.int64()))
+    odt = np.int64 if pa.types.is_large_binary(taken.type) else np.int32
+    offs = np.frombuffer(taken.buffers()[1], dtype=odt)[
+        taken.offset:taken.offset + len(taken) + 1]
+    flat = np.frombuffer(taken.buffers()[2], np.uint8,
+                         count=int(offs[-1] - offs[0]),
+                         offset=int(offs[0]))
+    return flat.reshape(len(taken), width)
+
+
+def _fused_partition(t: pa.Table, cfg: DedupConfig,
                      channels: tuple[str, ...]) -> pd.DataFrame:
     """Verify every bucket of every channel hashed into this partition.
-    Rows are dispatched per channel code; each core parses its fixed-width
-    payload back into numpy views (zero per-row Python in the hot path)."""
-    ch = df["channel"].to_numpy()
-    ids = df["clip_id"].to_numpy()
-    bkt = df["bucket"].to_numpy().astype(np.uint64)
-    pay = df["payload"].to_numpy()
+    Rows arrive as ONE Arrow table (batch_format="pyarrow" end to end —
+    the pandas conversion used to materialize every payload as a Python
+    bytes object, tens of millions per partition at scale); each core
+    parses its fixed-width payload slice via _payload_matrix_arrow
+    (zero per-row Python in the hot path)."""
+    import os as _os
+    import time as _time
+    _prof = _os.environ.get("MDR_CAND_PROF")
+    _times: dict[str, float] = {}
+    _t00 = _time.perf_counter()
+    ch = t["channel"].to_numpy(zero_copy_only=False)
+    ids = t["clip_id"].to_numpy(zero_copy_only=False)
+    bkt = t["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    pay_arr = t["payload"].combine_chunks()
     out: list[pd.DataFrame] = []
 
+    _t0 = _time.perf_counter()
     sel = np.flatnonzero(ch == _CH["exact"])
     if sel.size:
-        out.append(_exact_core(ids[sel], pay[sel]))
+        # exact keys stay per-row bytes (np.unique on objects) — one
+        # row per clip, not the hot path
+        keys = pay_arr.take(pa.array(sel, pa.int64())) \
+            .to_numpy(zero_copy_only=False)
+        out.append(_exact_core(ids[sel], keys))
+    _times["exact"] = _time.perf_counter() - _t0
 
+    _t0 = _time.perf_counter()
     sel = np.flatnonzero(ch == _CH["minhash"])
     if sel.size:
-        mat = _payload_matrix(pay[sel], cfg.num_perm + 8)
+        mat = _payload_matrix_arrow(pay_arr, sel, cfg.num_perm + 8)
         sig = mat[:, :cfg.num_perm]
         ek = np.ascontiguousarray(mat[:, cfg.num_perm:]) \
             .view(np.uint64).ravel()
         out.append(_minhash_core(ids[sel], bkt[sel], sig, ek, cfg,
                                  exact_enabled="exact" in channels))
+    _times["minhash"] = _time.perf_counter() - _t0
 
+    _t0 = _time.perf_counter()
     sel = np.flatnonzero(ch == _CH["audio"])
     if sel.size:
-        mat = _payload_matrix(pay[sel], 12 + 2 * cfg.spectral_dims)
+        mat = _payload_matrix_arrow(pay_arr, sel,
+                                    12 + 2 * cfg.spectral_dims)
         fp = np.ascontiguousarray(mat[:, :8]).view(np.uint64).ravel()
         dur = (np.ascontiguousarray(mat[:, 8:12]).view(np.int32)
                .ravel().astype(np.int64))
         out.append(_audio_core(ids[sel], bkt[sel], fp, dur,
                                np.ascontiguousarray(mat[:, 12:]), cfg))
+    _times["audio"] = _time.perf_counter() - _t0
 
+    _t0 = _time.perf_counter()
     sel = np.flatnonzero(ch == _CH["containment"])
     if sel.size:
-        mat = _payload_matrix(pay[sel], cfg.num_perm + 8)
+        mat = _payload_matrix_arrow(pay_arr, sel, cfg.num_perm + 8)
         sig = mat[:, :cfg.num_perm]
         sizes = (np.ascontiguousarray(mat[:, cfg.num_perm:])
                  .view(np.int64).ravel().astype(np.float64))
         out.append(_containment_core(ids[sel], bkt[sel], sig, sizes, cfg))
+    _times["containment"] = _time.perf_counter() - _t0
 
+    _t0 = _time.perf_counter()
     sel = np.flatnonzero(ch == _CH["stretch"])
     if sel.size:
-        mat = _payload_matrix(pay[sel], _stretch_payload_width(cfg))
+        mat = _payload_matrix_arrow(pay_arr, sel,
+                                    _stretch_payload_width(cfg))
         out.append(_stretch_core(ids[sel], bkt[sel], mat, cfg))
+    _times["stretch"] = _time.perf_counter() - _t0
 
+    _t0 = _time.perf_counter()
     sel = np.flatnonzero(ch == _CH["substring"])
     if sel.size:
-        mat = _payload_matrix(pay[sel], 49)
+        mat = _payload_matrix_arrow(pay_arr, sel, 81)
         sizes = np.ascontiguousarray(mat[:, :8]).view(np.int64).ravel()
         tfp = np.ascontiguousarray(mat[:, 8:16]).view(np.uint64).ravel()
         roles = mat[:, 16]
-        bot4 = np.ascontiguousarray(mat[:, 17:49]).view(np.uint64) \
-            .reshape(-1, 4)
+        bot8 = np.ascontiguousarray(mat[:, 17:81]).view(np.uint64) \
+            .reshape(-1, 8)
         out.append(_substring_core(ids[sel], bkt[sel], sizes, tfp, roles,
-                                   cfg, bot4))
+                                   cfg, bot8))
+    _times["substring"] = _time.perf_counter() - _t0
 
+    if _prof:
+        import json as _json
+        _times["total"] = _time.perf_counter() - _t00
+        _times["rows"] = t.num_rows
+        with open(_prof, "a") as f:
+            f.write(_json.dumps({k: round(v, 3) if isinstance(v, float)
+                                 else v for k, v in _times.items()}) + "\n")
     return pd.concat(out, ignore_index=True) if out else _EMPTY
 
 
@@ -1017,10 +1144,10 @@ def candidate_edges(sigs: "ray.data.Dataset", cfg: DedupConfig,
 
     bucketed = exploded.map_batches(add_small, batch_format="pyarrow")
     return bucketed.groupby(bucketing.BUCKET_COL).map_groups(
-        lambda df: bucketing.arrow_clean(
-            _fused_partition(df.drop(columns=[bucketing.BUCKET_COL]),
+        lambda t: bucketing.arrow_clean(
+            _fused_partition(t.drop_columns([bucketing.BUCKET_COL]),
                              cfg, channels)),
-        batch_format="pandas")
+        batch_format="pyarrow")
 
 
 def dedup_edges(raw_edges: "ray.data.Dataset",

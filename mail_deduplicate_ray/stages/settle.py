@@ -169,6 +169,11 @@ def make_settle_partition(cfg: DedupConfig):
     import numpy as np
 
     def part(df: pd.DataFrame) -> pd.DataFrame:
+        import os as _os
+        import time as _time
+        _prof = _os.environ.get("MDR_SETTLE_PROF")
+        _t00 = _time.perf_counter()
+        _t_evict = 0.0
         df = df.sort_values(["cluster_id", "clip_id"], ignore_index=True)
         n = len(df)
         cid = df["cluster_id"].to_numpy()
@@ -188,7 +193,9 @@ def make_settle_partition(cfg: DedupConfig):
                 set_reason[s] = "single"
                 continue
             sub = df.iloc[s:e]
+            _t0 = _time.perf_counter()
             core, evicted = _evict(sub, cfg)
+            _t_evict += _time.perf_counter() - _t0
             if evicted == ["__SKIP__"]:
                 reason[s:e] = "skipped"
                 set_reason[s:e] = "skipped_threshold"
@@ -211,6 +218,17 @@ def make_settle_partition(cfg: DedupConfig):
             keep[dis] = False
             set_reason[s:e] = "deduplicated"
             winner[dis] = clip_ids[sel].min()  # ≙ deduplicate.py:1168
+        if _prof:
+            import json as _json
+            sizes = np.diff(bounds)
+            with open(_prof, "a") as f:
+                f.write(_json.dumps({
+                    "rows": int(n), "clusters": int(len(sizes)),
+                    "max_cluster": int(sizes.max(initial=0)),
+                    "multi_rows": int(sizes[sizes > 1].sum()),
+                    "evict_s": round(_t_evict, 3),
+                    "total_s": round(_time.perf_counter() - _t00, 3),
+                }) + "\n")
         out = df.copy()
         out["keep"] = keep
         out["reason"] = reason
