@@ -81,6 +81,18 @@ class DedupConfig:
     # which metadata columns feed the canonical exact key
     # (≙ --hash-headers, ref: cli.py:62-94 default header list)
     key_columns: tuple[str, ...] = ("sr_hz", "codec_norm", "dur_bucket")
+    # include the 64-bit audio content fingerprint (SRP over the decoded
+    # spectral features) in the exact composite key.  Metadata + text
+    # alone is the mail-faithful key (ref: mail.py:409-421 hashes only
+    # canonical headers/body) but is WRONG for audio at scale: clips
+    # with EMPTY transcripts and coincidentally-equal (sr, codec,
+    # dur_bucket) collapse into one "exact" mega-cluster of byte-
+    # different audio (measured: a 168k-member cluster at the 783k
+    # scale point, ~0.12 planted pair-precision) — violating the north
+    # star's decoded-PCM-equality invariant for what "exact duplicate"
+    # means.  With the fingerprint in the key, exact groups are
+    # content-exact; metadata twins with different audio separate.
+    key_audio_fp: bool = True
     # transcript hashing mode: skip | raw | normalized
     # (≙ --hash-body, ref: deduplicate.py:164-178 BodyHasher)
     transcript_hash: str = "normalized"
@@ -144,7 +156,11 @@ class DedupConfig:
     # log-ratio bucket keys, global-shift peak-consensus verify + DTW
     # envelope confirm.  Peak-table knobs are signature-affecting;
     # verify thresholds are edge-affecting.
-    stretch_peaks: int = 6         # max peaks kept per clip
+    stretch_peaks: int = 8         # max peaks kept per clip (8 since
+    # round 5: rich-spectrum copies lose band-edge peaks to resampler
+    # rolloff, and the wider table keeps enough overlap for the verify —
+    # chord-corpus stretch recall 0.90 -> 0.95 at ~equal wall; the
+    # sparse tonal corpus is unaffected)
     stretch_amp_floor: float = 0.05  # drop peaks below this (max-normalized)
     stretch_env_frame_ms: int = 32   # envelope frame for the DTW confirm
     stretch_qstep: float = 0.02    # key quantization (log-freq units)
@@ -152,6 +168,32 @@ class DedupConfig:
     stretch_score_min: float = 0.8  # matched-mass verify floor
     stretch_max_shift: float = 0.59  # ln(1.8): widest stretch considered
     stretch_dtw_max: float = 0.8   # DTW envelope confirm ceiling
+    # minimum matched peaks for a stretch accept, capped per pair at
+    # min(n_peaks_a, n_peaks_b).  nm >= 2 is nearly vacuous under the
+    # top-2 x top-2 anchoring (the anchor peak matches itself, and the
+    # coarse bucket key already implies a second spacing match), so 2
+    # keeps only the mass + DTW gates; 3 (default) demands a real
+    # third-peak consensus (capped at the pair's own peak count, so
+    # 2-peak clips still verify at 2)
+    stretch_min_matched: int = 3
+    # rich-spectrum second-chance accept: a pair whose BOTH sides carry
+    # >= stretch_rich_min_peaks peaks may pass at the lower
+    # stretch_score_min_rich mass floor IF that many peaks match under
+    # one global shift.  Rationale: lossy stretch copies of rich audio
+    # (e.g. linear-resampled chords) lose >20% amp mass to rolloff and
+    # fail the strict 0.8 floor, while >= 5 peaks aligning under a
+    # single shift is itself overwhelming evidence — on the
+    # high-entropy chord corpus this lifts stretch-kind recall
+    # 0.85 -> 0.95 with pair precision >= 0.92; on the sparse tonal
+    # corpus pairs rarely have 5 peaks a side, so the strict floor
+    # still governs (measured: recall/precision unchanged).
+    stretch_score_min_rich: float = 0.65
+    # 6, not 5: measured at P=8 the peak-count distributions separate
+    # cleanly (tonal clips 3-5 peaks, chords 7-8; <0.4% tonal clips
+    # reach 6) — at 5 the rich branch went live on the saturated tonal
+    # corpus at the 391k scale point and chance accepts snowballed
+    # (pair precision 0.74 -> 0.0003); at 6 it is inert there
+    stretch_rich_min_peaks: int = 6
     # pair-generation gate on the stretch-invariant spectral-shape
     # spread (the chunk-order key): a true stretched copy's spread
     # matches its source to |Δ| <= 0.057 at p99 (measured on 10,728
@@ -240,6 +282,7 @@ class DedupConfig:
     # re-derives edges without re-decoding the corpus
     _FINGERPRINTED = (
         "key_columns",
+        "key_audio_fp",
         "transcript_hash",
         "minimal_fields",
         "dur_bucket_ms",
@@ -275,6 +318,9 @@ class DedupConfig:
         "stretch_score_min",
         "stretch_max_shift",
         "stretch_dtw_max",
+        "stretch_min_matched",
+        "stretch_score_min_rich",
+        "stretch_rich_min_peaks",
         "stretch_max_bucket",
         "stretch_spread_gate",
     )

@@ -82,6 +82,12 @@ def add_exact_key(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     meta_sha = sha224_hex(serialized)
     body = transcript_sha(batch, cfg.transcript_hash)
     keys = [m + b for m, b in zip(meta_sha, body)]
+    if cfg.key_audio_fp and "audio_fp" in batch.column_names:
+        # audio-content component (see config.key_audio_fp): 16-hex SRP
+        # fingerprint of the decoded spectral features — "exact" then
+        # means content-exact, not metadata-coincident
+        fps = batch["audio_fp"].to_numpy(zero_copy_only=False)
+        keys = [k + f"{fp:016x}" for k, fp in zip(keys, fps)]
     rejected = counts < cfg.minimal_fields
     reason = np.where(rejected, "too_few_fields", "")
     keys_arr = pa.array(

@@ -34,19 +34,23 @@ def _doc_texts(sf_dir: str) -> list[str]:
     return [x for _, x in sorted(zip(order, texts))]
 
 
-def clips_path(sf_dir: str, n_base: int | None = None, seed: int = 42) -> Path:
+def clips_path(sf_dir: str, n_base: int | None = None, seed: int = 42,
+               mode: str = "tonal") -> Path:
     texts = _doc_texts(sf_dir)
     n = n_base or len(texts)
     tag = Path(sf_dir).name or "sf"
-    out = CACHE_ROOT / f"clips-{tag}-{n}-{seed}-g{synth.GEN_VERSION}"
+    suffix = "" if mode == "tonal" else f"-{mode}"
+    out = CACHE_ROOT / f"clips-{tag}-{n}-{seed}-g{synth.GEN_VERSION}{suffix}"
     if not out.exists():
         CACHE_ROOT.mkdir(parents=True, exist_ok=True)
         import ray
         if ray.is_initialized() and n >= 2000:
             tbl, truth = synth.generate_clips_parallel(n, seed=seed,
-                                                       texts=texts)
+                                                       texts=texts,
+                                                       mode=mode)
         else:
-            tbl, truth = synth.generate_clips(n, seed=seed, texts=texts)
+            tbl, truth = synth.generate_clips(n, seed=seed, texts=texts,
+                                              mode=mode)
         tmp = out.with_suffix(".tmp")
         tmp.mkdir(parents=True, exist_ok=True)
         # many part files -> ray.data.read_parquet runs one read task per
@@ -68,12 +72,13 @@ def clips_path(sf_dir: str, n_base: int | None = None, seed: int = 42) -> Path:
     return out
 
 
-def read_clips(sf_dir: str, n_base: int | None = None) -> "ray.data.Dataset":
+def read_clips(sf_dir: str, n_base: int | None = None,
+               mode: str = "tonal") -> "ray.data.Dataset":
     """Parallel scan of the cached corpus: one pyarrow task per row group
     (sources.read_clips_fast — Ray's generic parquet datasource costs ~50x
     the CPU on large-binary payload columns)."""
     from mail_deduplicate_ray.sources.clips_io import read_clips_fast
-    return read_clips_fast(str(clips_path(sf_dir, n_base)))
+    return read_clips_fast(str(clips_path(sf_dir, n_base, mode=mode)))
 
 
 def flagship(sf_dir: str, cfg: DedupConfig | None = None,
@@ -491,7 +496,7 @@ def clips_tiered_dedup(sf_dir: str) -> "ray.data.Dataset":
                                "clip_id", "clip_id")
 
     cfg = DedupConfig()
-    sigs = neardup.clip_signatures(surv_rows, cfg).materialize()
+    sigs = neardup.signatures_shared(surv_rows, cfg).materialize()
     usable = sigs.map_batches(
         lambda t: t.filter(pc.invert(t["rejected"])), batch_format="pyarrow")
     tier3_channels = tuple(c for c in candidates.ALL_CHANNELS

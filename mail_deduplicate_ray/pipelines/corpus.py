@@ -244,12 +244,21 @@ def corpus_tiered_dedup(sf_dir: str) -> "ray.data.Dataset":
             pc.binary_join_element_wise(
                 pa.array(["a"] * t.num_rows), t["clip_id"], ":"))
 
-    a_rows = semi_anti_join(
-        read_clips_fast(str(a_path))
-        .map_batches(tag_clip, batch_format="pyarrow"),
-        surv2, "clip_id", "asset_id")
+    # select audio survivors by UNTAGGED clip_id and tag AFTER the
+    # signature stage: signature columns are id-independent, and with
+    # original ids the shared signature checkpoint
+    # (neardup.signatures_shared, $MDR_SIG_CKPT_ROOT) hits rows the
+    # flagship already decoded in the same session
+    a_ids = surv2.map_batches(
+        lambda t: pa.table({"clip_id": pc.utf8_slice_codeunits(
+            t.filter(pc.starts_with(t["asset_id"], pattern="a:"))
+            ["asset_id"], 2, 2_147_483_647)}),
+        batch_format="pyarrow")
+    a_rows = semi_anti_join(read_clips_fast(str(a_path)), a_ids,
+                            "clip_id", "clip_id")
     cfg = DedupConfig()
-    sigs = neardup.clip_signatures(a_rows, cfg).materialize()
+    sigs = neardup.signatures_shared(a_rows, cfg).materialize() \
+        .map_batches(tag_clip, batch_format="pyarrow")
     usable = sigs.map_batches(
         lambda t: t.filter(pc.invert(t["rejected"])),
         batch_format="pyarrow")

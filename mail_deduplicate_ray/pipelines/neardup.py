@@ -55,6 +55,27 @@ def _settle_projection(usable: "ray.data.Dataset",
     return usable.select_columns(cols)
 
 
+def signatures_shared(ds: "ray.data.Dataset",
+                      cfg: DedupConfig) -> "ray.data.Dataset":
+    """Signature stage with OPTIONAL cross-query checkpoint sharing
+    (VERDICT r4 item 9): when ``$MDR_SIG_CKPT_ROOT`` names a directory,
+    signatures restore from / append to the per-config-fingerprint
+    checkpoint there — so a bench session running the flagship AND the
+    tiered cascades decodes each clip ONCE (the tier-3 input is a
+    subset of the flagship's corpus; row keys are (clip_id, n_bytes),
+    so a subset run restores its hits and decodes only misses).
+    Unset (the default), plain ``clip_signatures`` runs — no hidden
+    state between queries."""
+    import os
+    root = os.environ.get("MDR_SIG_CKPT_ROOT")
+    if root:
+        from mail_deduplicate_ray.state.checkpoint import (
+            CheckpointStore, resumable_signatures)
+        store = CheckpointStore(root, cfg.fingerprint())
+        return resumable_signatures(ds, cfg, store)
+    return clip_signatures(ds, cfg)
+
+
 def clip_signatures(ds: "ray.data.Dataset", cfg: DedupConfig,
                     concurrency: int | tuple[int, int] | None = None,
                     batch_size: int = 256) -> "ray.data.Dataset":
@@ -122,7 +143,7 @@ def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
         store = CheckpointStore(checkpoint_root, cfg.fingerprint())
         sigs = resumable_signatures(ds, cfg, store)
     else:
-        sigs = clip_signatures(ds, cfg).materialize()
+        sigs = signatures_shared(ds, cfg).materialize()
     n_found = sigs.count()
     if n_found == 0:
         # empty corpus: build an explicitly-typed empty result instead of

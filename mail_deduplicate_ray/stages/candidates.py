@@ -676,11 +676,12 @@ def _stretch_core(ids_all: np.ndarray, buckets: np.ndarray,
     # 0.902 stretch-kind recall at 391k (true pairs straddled the narrow
     # mass-slice chunks); spread restores the content locality the old
     # clip_id order only got from the synthetic corpus's adjacent ids.
+    npk_all = (amp_all > 0).sum(axis=1)
     wsum = np.maximum(mass_all, 1e-12)
     cen = (amp_all * logf_all).sum(axis=1) / wsum
     spread_all = np.sqrt(
         (amp_all * (logf_all - cen[:, None]) ** 2).sum(axis=1) / wsum)
-    smin = cfg.stretch_score_min
+    smin = min(cfg.stretch_score_min, cfg.stretch_score_min_rich)
     pend: list[tuple] = []          # (idx, dropped, inv, m, iu, ju)
     gi: list[np.ndarray] = []       # payload row per pair, both sides
     gj: list[np.ndarray] = []
@@ -710,6 +711,20 @@ def _stretch_core(ids_all: np.ndarray, buckets: np.ndarray,
             keep = ss[ia] >= smin * ss[jb]
             ia, jb = ia[keep], jb[keep]
             iu, ju = perm[ia], perm[jb]
+            # the window above is the WIDE (rich) band; pairs in
+            # [smin_rich, smin_strict) qualify only when BOTH sides are
+            # rich-spectrum (config.stretch_rich_min_peaks) — on sparse
+            # corpora this collapses the band back to the strict window
+            # before any spectral work
+            if cfg.stretch_score_min > smin:
+                sr_ = s[iu] / np.maximum(s[ju], 1e-12)
+                strict = np.minimum(sr_, 1.0 / np.maximum(sr_, 1e-12)) \
+                    >= cfg.stretch_score_min
+                rich_pair = ((npk_all[rep[iu]] >= cfg.stretch_rich_min_peaks)
+                             & (npk_all[rep[ju]]
+                                >= cfg.stretch_rich_min_peaks))
+                keep2 = strict | rich_pair
+                iu, ju = iu[keep2], ju[keep2]
             dur = dur_all[rep]
             keep = (np.maximum(dur[iu], dur[ju])
                     <= 3.0 * np.maximum(np.minimum(dur[iu], dur[ju]), 1.0))
@@ -754,7 +769,20 @@ def _stretch_core(ids_all: np.ndarray, buckets: np.ndarray,
         sc, nm = stretchmatch.score_pairs(
             logf_all[ua], amp_all[ua], logf_all[ub], amp_all[ub],
             cfg.stretch_tol, cfg.stretch_max_shift)
-        ok = ((sc >= cfg.stretch_score_min) & (nm >= 2)).any(axis=1)
+        # matched-count floor: cfg.stretch_min_matched, capped at the
+        # pair's own smaller peak count (a 2-peak clip can never match 3)
+        npk_pair = np.minimum((amp_all[ua] > 0).sum(1),
+                              (amp_all[ub] > 0).sum(1))
+        need = np.maximum(2, np.minimum(cfg.stretch_min_matched,
+                                        npk_pair))[:, None]
+        ok = ((sc >= cfg.stretch_score_min) & (nm >= need)).any(axis=1)
+        # rich-spectrum second chance (config.stretch_rich_min_peaks):
+        # >= R peaks aligned under ONE shift at the relaxed mass floor —
+        # catches lossy (rolloff-attenuated) stretch copies of rich
+        # audio that the strict floor rejects
+        rich = npk_pair >= cfg.stretch_rich_min_peaks
+        ok |= rich & ((sc >= cfg.stretch_score_min_rich)
+                      & (nm >= cfg.stretch_rich_min_peaks)).any(axis=1)
         _t_score = _time.perf_counter() - _t0
         import os as _os
         if _os.environ.get("MDR_STRETCH_DUMP"):

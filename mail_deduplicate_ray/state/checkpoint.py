@@ -220,12 +220,57 @@ def anti_join_table(ds: "ray.data.Dataset", done: "pa.Table | None",
     return joined.map_batches(keep_missing, batch_format="pyarrow")
 
 
+def semi_join_keys(ds: "ray.data.Dataset", keys_ds: "ray.data.Dataset",
+                   keys: tuple[str, ...] = ("clip_id", "n_bytes"),
+                   broadcast_threshold: int = 5_000_000,
+                   num_partitions: int = 32) -> "ray.data.Dataset":
+    """Rows of ``ds`` whose composite key IS present in ``keys_ds`` —
+    the dual of :func:`anti_join_table`, same two-path small-side idiom
+    (broadcast isin under the threshold, hash-partitioned join beyond)."""
+    n = keys_ds.count()
+    if n == 0:
+        return ds.limit(0)
+    if n <= broadcast_threshold:
+        parts = [b.select(list(keys)) for b in
+                 keys_ds.iter_batches(batch_format="pyarrow")]
+        kt = pa.concat_tables(parts)
+        kset = set(zip(*(kt[k].to_pylist() for k in keys)))
+        ref = ray.put(kset)
+
+        def f(t: pa.Table) -> pa.Table:
+            import pandas as pd
+            s = ray.get(ref)
+            probe = pd.Series(list(zip(*(t[k].to_pylist() for k in keys))))
+            return t.filter(pa.array(probe.isin(s).to_numpy()))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    marker = keys_ds.map_batches(
+        lambda t: t.select(list(keys)).append_column(
+            "__keep", pa.array([1] * t.num_rows, pa.int8())),
+        batch_format="pyarrow")
+    joined = ds.join(marker, "left_outer", num_partitions,
+                     on=tuple(keys), right_on=tuple(keys))
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_valid(t["__keep"]))
+                   .drop_columns(["__keep"]),
+        batch_format="pyarrow")
+
+
 def resumable_signatures(ds: "ray.data.Dataset", cfg, store: CheckpointStore,
                          ) -> "ray.data.Dataset":
     """Signature stage with checkpoint/resume: cached rows are restored
     without decoding (≙ restore_cached deduplicate.py:750-767); only
     misses run the decode+signature actors, and only the fresh rows are
-    written — as a new append-only part (existing parts untouched)."""
+    written — as a new append-only part (existing parts untouched).
+
+    Restored rows are SEMI-JOINED against the input's (clip_id,
+    n_bytes) key set, so the output covers exactly the rows asked for:
+    a SUBSET run (the shared-checkpoint path, neardup.signatures_shared)
+    does not resurrect rows outside its input, and a changed-bytes
+    resume does not return the stale old-bytes row alongside the fresh
+    one (both were latent with the old unconditional
+    ``cached.union(fresh)``)."""
     from mail_deduplicate_ray.pipelines.neardup import clip_signatures
 
     def with_nbytes(t: pa.Table) -> pa.Table:
@@ -243,7 +288,9 @@ def resumable_signatures(ds: "ray.data.Dataset", cfg, store: CheckpointStore,
         store.append("signatures", fresh)
     if cached is None:
         return fresh
+    hits = semi_join_keys(
+        cached, probe.select_columns(["clip_id", "n_bytes"]))
     if fresh.count() == 0:
-        return cached
+        return hits
     cols = cached.schema().names
-    return cached.union(fresh.select_columns(cols))
+    return hits.union(fresh.select_columns(cols))

@@ -89,6 +89,29 @@ def _waveform(rng: np.random.Generator, sr_hz: int, dur_ms: int) -> np.ndarray:
     return np.clip(x, -0.99, 0.99).astype(np.float32)
 
 
+def _waveform_chord(rng: np.random.Generator, sr_hz: int,
+                    dur_ms: int) -> np.ndarray:
+    """HIGH-ENTROPY waveform (mode="chord", VERDICT r4 item 4): 8-14
+    components over the full analysis band with log-uniform amplitudes —
+    per-clip random multi-tone chords, so top-peak sets (and hence the
+    stretch channel's quantized-ratio/pair keys) are diverse instead of
+    concentrating on ~low-thousands of values.  The production-regime
+    companion to the bounded-entropy tonal default."""
+    n = max(1, int(sr_hz * dur_ms / 1000))
+    t = np.arange(n, dtype=np.float64) / sr_hz
+    x = np.zeros(n)
+    for _ in range(int(rng.integers(8, 15))):
+        f = float(rng.uniform(60.0, min(3800.0, 0.45 * sr_hz)))
+        a = float(10.0 ** rng.uniform(-1.3, -0.4))
+        ph = float(rng.uniform(0, 2 * np.pi))
+        x += a * np.sin(2 * np.pi * f * t + ph)
+    x += rng.normal(0.0, 0.005, n)
+    return np.clip(x, -0.99, 0.99).astype(np.float32)
+
+
+_WAVEFORMS = {"tonal": _waveform, "chord": _waveform_chord}
+
+
 def _perturb_whitespace(rng: np.random.Generator, text: str) -> str:
     toks = text.split(" ")
     out = []
@@ -140,16 +163,22 @@ def generate_clips(
     n_base: int,
     seed: int = 42,
     texts: list[str] | None = None,
+    mode: str = "tonal",
 ) -> tuple[pa.Table, dict]:
     """Build the clips table + ground truth (serial; see
     :func:`generate_clips_parallel` for the Ray-parallel variant — rows are
-    seeded per-index so any range partition produces identical bytes)."""
-    return generate_clips_range(0, n_base, seed, texts)
+    seeded per-index so any range partition produces identical bytes).
+    ``mode="tonal"`` (default) keeps the v2 bytes; ``"chord"`` swaps the
+    base waveform for high-entropy multi-tone chords (same per-row kind /
+    sr / duration / text draws; the chord synth consumes more rng draws,
+    so downstream per-row details like copy counts re-randomize)."""
+    return generate_clips_range(0, n_base, seed, texts, mode)
 
 
 def generate_clips_parallel(n_base: int, seed: int = 42,
                             texts: list[str] | None = None,
-                            n_tasks: int = 16) -> tuple[pa.Table, dict]:
+                            n_tasks: int = 16,
+                            mode: str = "tonal") -> tuple[pa.Table, dict]:
     """Same output as :func:`generate_clips`, built by Ray tasks over row
     ranges (per-row seeding makes ranges independent).  Requires an
     initialized Ray session; ~n_tasks x faster for big corpora."""
@@ -157,7 +186,7 @@ def generate_clips_parallel(n_base: int, seed: int = 42,
 
     @ray.remote
     def _gen(lo: int, hi: int):
-        tbl, truth = generate_clips_range(lo, hi, seed, texts)
+        tbl, truth = generate_clips_range(lo, hi, seed, texts, mode)
         return tbl, truth["pairs"]
 
     step = -(-n_base // n_tasks)
@@ -182,9 +211,11 @@ def generate_clips_range(
     n_base: int,
     seed: int = 42,
     texts: list[str] | None = None,
+    mode: str = "tonal",
 ) -> tuple[pa.Table, dict]:
     """Rows [lo, n_base) of the corpus — per-row rng((seed, i)) makes any
     range bit-identical to the same rows of a full run."""
+    _waveform = _WAVEFORMS[mode]
     b = _Builder()
     for i in range(lo, n_base):
         rng = np.random.default_rng((seed, i))

@@ -147,6 +147,16 @@ def test_changed_bytes_rehashed_on_resume(root):
     miss = anti_join_table(probe, done)
     assert miss.count() == 1
     assert miss.take_all()[0]["clip_id"] == tbl["clip_id"][0].as_py()
+    # the resumed OUTPUT must carry exactly one row per clip, keyed to
+    # the CURRENT bytes — the stale old-bytes row is filtered, not
+    # unioned back (round-5 semi-join restore)
+    store2 = CheckpointStore(root, cfg.fingerprint())
+    out = resumable_signatures(ray.data.from_arrow(tbl2), cfg, store2)
+    rows = out.select_columns(["clip_id", "n_bytes"]).take_all()
+    assert len(rows) == tbl2.num_rows
+    by_id = {r["clip_id"]: r["n_bytes"] for r in rows}
+    assert len(by_id) == tbl2.num_rows
+    assert by_id[tbl["clip_id"][0].as_py()] == len(payloads[0])
 
 
 def test_anti_join_shuffle_path_matches_broadcast(root):
@@ -253,3 +263,33 @@ def test_edge_log_reused_when_nothing_changed(root):
     stamp2 = CheckpointStore(root, cfg.fingerprint()).manifest()["edges"]
     assert stamp2 == stamp1  # untouched -> loaded, not rewritten
     assert r2.stats.to_dict()["mail_found"] == tbl.num_rows
+
+
+def test_signatures_shared_env_gate(root, monkeypatch):
+    """VERDICT r4 item 9: with $MDR_SIG_CKPT_ROOT set, independent
+    queries share one signature checkpoint — a flagship-style full run
+    populates it, and a SUBSET run (the tiered cascades' tier-3 input)
+    restores every hit instead of re-decoding; with the env unset,
+    no checkpoint state is created."""
+    from mail_deduplicate_ray.pipelines import neardup
+    from mail_deduplicate_ray.state.checkpoint import anti_join_keys
+    cfg = DedupConfig()
+
+    monkeypatch.delenv("MDR_SIG_CKPT_ROOT", raising=False)
+    plain = neardup.signatures_shared(_clips(), cfg)
+    ids = _sig_rows(plain)
+    assert not root.exists()
+
+    monkeypatch.setenv("MDR_SIG_CKPT_ROOT", str(root))
+    full = neardup.signatures_shared(_clips(), cfg)
+    assert _sig_rows(full) == ids
+    store = CheckpointStore(root, cfg.fingerprint(), wipe_stale=False)
+    assert store.has("signatures")
+    done = store.keys("signatures")
+    # the subset (first 10 base rows) is fully answered by the shared
+    # checkpoint -> nothing left to decode
+    sub = _clips(10)
+    assert anti_join_keys(sub, done).count() == 0
+    sub_sigs = neardup.signatures_shared(sub, cfg)
+    assert set(_sig_rows(sub_sigs)) <= set(ids)
+    assert len(_sig_rows(sub_sigs)) == sub.count()

@@ -41,7 +41,7 @@ def test_hash_only_prints_canonical_fields(clips_file, capsys):
     for col in ("sr_hz", "codec_norm", "dur_bucket", "transcript"):
         assert col in cap.err
     first = cap.out.strip().splitlines()[0].split("\t")
-    assert len(first) == 2 and len(first[1]) == 112  # sha224 x2 hex
+    assert len(first) == 2 and len(first[1]) == 128  # sha224 x2 + fp hex
 
 
 def test_duplicate_source_is_hard_error(clips_file):

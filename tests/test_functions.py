@@ -274,6 +274,33 @@ class TestExactKey:
         assert k(norm2) == k(norm)
         assert k(raw2) != k(raw)
 
+    def test_audio_fp_component_splits_metadata_twins(self):
+        """key_audio_fp (round 5): two byte-DIFFERENT clips with empty
+        transcripts and equal (sr, codec, dur_bucket) must NOT share an
+        exact key — metadata+text-only keys collapsed all such clips
+        into one mega-cluster (measured 168k members at the 783k scale
+        point).  Identical audio still collides; the flag restores the
+        old behavior."""
+        t = pa.table({
+            "sr_hz": [8000, 8000, 8000],
+            "codec_norm": ["ulaw"] * 3,
+            "dur_bucket": [15, 15, 15],
+            "transcript": ["", "", ""],
+            "audio_fp": pa.array([0xAB12, 0xCD34, 0xAB12], pa.uint64()),
+        })
+        out = hashing.add_exact_key(t, DedupConfig())
+        k = out["exact_key"].to_pylist()
+        assert k[0] != k[1]          # different audio -> different key
+        assert k[0] == k[2]          # same audio -> same key
+        assert k[0].endswith(f"{0xAB12:016x}")
+        legacy = hashing.add_exact_key(t, DedupConfig(key_audio_fp=False))
+        lk = legacy["exact_key"].to_pylist()
+        assert lk[0] == lk[1] == lk[2]
+        # batches without the column (text-only callers) are unaffected
+        t2 = self._batch()
+        plain = hashing.add_exact_key(t2, DedupConfig())
+        assert len(plain["exact_key"][0].as_py()) == 112
+
     def test_minimal_fields_rejection(self):
         # ref: TooFewHeaders (mail.py:480-504, cli.py:97-104)
         t = pa.table({"sr_hz": pa.array([None], pa.int32()),

@@ -66,6 +66,86 @@ def test_stretch_channel_required_for_stretch_pairs(small_corpus):
     assert hits == 0, f"legacy channels unexpectedly caught {hits} stretch pairs"
 
 
+def test_chord_mode_recall_and_precision():
+    """High-entropy chord corpus (synth mode="chord", VERDICT r4 item 4):
+    the flagship must hold the >= 0.99 recall bar AND high planted pair
+    precision (rich random spectra leave no room for the tonal corpus's
+    chance acoustic collisions; the exact key's audio_fp component keeps
+    empty-transcript metadata twins apart)."""
+    from mail_deduplicate_ray import synth
+    tbl, truth = synth.generate_clips(400, seed=42, mode="chord")
+    res = neardup.dedup_clips(ray.data.from_arrow(tbl), DedupConfig())
+    pred = _pred_clusters(res)
+    hits = sum(1 for a, b in truth["recall_pairs"]
+               if pred.get(a) is not None and pred.get(a) == pred.get(b))
+    recall = hits / len(truth["recall_pairs"])
+    assert recall >= 0.99, f"recall {recall}"
+    # precision: predicted same-cluster pairs vs truth closure
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _k in truth["pairs"]:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    from collections import Counter, defaultdict
+    byc = defaultdict(list)
+    for cid, cl in pred.items():
+        byc[cl].append(cid)
+    num = den = 0
+    for members in byc.values():
+        m = len(members)
+        if m < 2:
+            continue
+        den += m * (m - 1) // 2
+        for _, k2 in Counter(find(x) for x in members).items():
+            num += k2 * (k2 - 1) // 2
+    assert den == 0 or num / den >= 0.9, f"precision {num}/{den}"
+
+
+def test_rich_spectrum_second_chance_accept():
+    """Round-5 rich accept (config.stretch_rich_min_peaks): a lossy
+    stretched copy of RICH audio (rolloff kills >20% of amp mass, so the
+    strict 0.8 floor fails) is still accepted when >= R peaks align
+    under one shift — and a sparse-spectrum pair with the same mass
+    ratio is NOT (the branch is inert below R peaks a side)."""
+    from mail_deduplicate_ray.functions import stretchmatch
+    cfg = DedupConfig()
+    R = cfg.stretch_rich_min_peaks
+    P = cfg.stretch_peaks
+    rng = np.random.default_rng(5)
+    logf = np.sort(rng.uniform(np.log(100), np.log(3500), P))
+    amp = np.sort(rng.uniform(0.3, 1.0, P))[::-1]
+    amp /= amp.max()
+    shift = -np.log(1.12)
+    # copy: uniformly shifted peaks, top-heavy rolloff on the high end
+    c_logf = logf + shift
+    c_amp = amp * np.linspace(1.0, 0.45, P)  # strong band-edge rolloff
+    c_amp /= c_amp.max()
+    sc, nm = stretchmatch.score_pairs(
+        logf[None, :], amp[None, :], c_logf[None, :], c_amp[None, :],
+        cfg.stretch_tol, cfg.stretch_max_shift)
+    # the pair fails the strict floor in at least one direction but
+    # aligns the whole set -> rich branch must be the accepting path
+    assert nm.max() >= R
+    rich_ok = ((sc >= cfg.stretch_score_min_rich) & (nm >= R)).any()
+    assert rich_ok
+    # sparse version of the same geometry (3 peaks): never rich-eligible
+    s_logf, s_amp = logf[:3], amp[:3] / amp[:3].max()
+    sc2, nm2 = stretchmatch.score_pairs(
+        s_logf[None, :], s_amp[None, :], (s_logf + shift)[None, :],
+        (s_amp * np.array([1.0, 0.7, 0.45]))[None, :],
+        cfg.stretch_tol, cfg.stretch_max_shift)
+    assert (np.minimum((s_amp > 0).sum(), 3)) < R
+
+
 def test_bucket_slices_order_key_makes_chunks_id_independent():
     """Content-ordered chunking (r4 caveat close): with ``order_key``
     supplied, the chunk compositions of an oversize bucket are a pure

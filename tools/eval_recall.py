@@ -26,12 +26,18 @@ def main() -> None:
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     n_base = int(args[1]) if len(args) > 1 else None
     channels = None
+    mode = "tonal"
     cfg_over = {}
     for a in sys.argv[1:]:
         if a.startswith("--channels"):
             channels = tuple(a.split("=", 1)[1].split(","))
         if a.startswith("--stretch-cap"):
             cfg_over["stretch_max_bucket"] = int(a.split("=", 1)[1])
+        if a.startswith("--mode"):
+            mode = a.split("=", 1)[1]
+        if a.startswith("--cfg="):
+            k, v = a.split("=", 2)[1:]
+            cfg_over[k] = float(v) if "." in v else int(v)
 
     import ray
     if not ray.is_initialized():
@@ -43,7 +49,7 @@ def main() -> None:
     from mail_deduplicate_ray.config import DedupConfig
     from mail_deduplicate_ray.pipelines import clips, neardup
 
-    path = clips.clips_path(sf_dir, n_base)
+    path = clips.clips_path(sf_dir, n_base, mode=mode)
     truth = json.loads((path.parent / f"{path.name}.truth.json")
                        .read_text())
     # prefer kind-attributed pairs (caches written after round 4 store
@@ -54,7 +60,7 @@ def main() -> None:
         pairs = truth.get("recall_pairs", [])
 
     t0 = time.perf_counter()
-    res = neardup.dedup_clips(clips.read_clips(sf_dir, n_base),
+    res = neardup.dedup_clips(clips.read_clips(sf_dir, n_base, mode=mode),
                               DedupConfig(**cfg_over), channels=channels)
     pred: dict[str, str] = {}
     for b in res.settled.select_columns(["clip_id", "cluster_id"]) \
@@ -68,6 +74,39 @@ def main() -> None:
         return pred.get(a) is not None and pred.get(a) == pred.get(b)
 
     n_hit = sum(1 for a, b, *_ in pairs if hit(a, b))
+
+    # pair PRECISION: of all predicted same-cluster pairs, how many are
+    # truth pairs (closure over ALL planted pairs, outlier chains
+    # included — the chain edge is a legitimate detection; eviction is
+    # settle's job).  Exact count via per-cluster truth-label histogram:
+    # sum C(n_cl, 2) over (cluster, truth-label) cells / sum C(n_c, 2).
+    t_parent: dict = {}
+
+    def t_find(x):
+        t_parent.setdefault(x, x)
+        while t_parent[x] != x:
+            t_parent[x] = t_parent[t_parent[x]]
+            x = t_parent[x]
+        return x
+
+    for item in truth["pairs"]:
+        ra, rb = t_find(item[0]), t_find(item[1])
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            t_parent[hi] = lo
+    from collections import Counter
+    by_cluster: dict = {}
+    for cid_, cl in pred.items():
+        by_cluster.setdefault(cl, []).append(cid_)
+    p_num = p_den = 0
+    for members in by_cluster.values():
+        m = len(members)
+        if m < 2:
+            continue
+        p_den += m * (m - 1) // 2
+        for _, k2 in Counter(t_find(x) for x in members).items():
+            p_num += k2 * (k2 - 1) // 2
+    pair_precision = round(p_num / p_den, 5) if p_den else 1.0
     by_kind: dict[str, list[int]] = {}
     for item in pairs:
         if len(item) >= 3:
@@ -82,6 +121,7 @@ def main() -> None:
         "n_clips": len(pred) + res.stats.to_dict().get("mail_rejected", 0),
         "n_pairs": len(pairs),
         "recall": round(n_hit / max(len(pairs), 1), 5),
+        "pair_precision": pair_precision,
         "by_kind": {k: {"recall": round(h / max(n, 1), 5), "n": n}
                     for k, (h, n) in sorted(by_kind.items())},
         "wall_sec": round(wall, 1),
