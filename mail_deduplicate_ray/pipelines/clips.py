@@ -95,6 +95,17 @@ def flagship_clusters(sf_dir: str) -> "ray.data.Dataset":
                                        "reason"])
 
 
+def flagship_clusters_chord(sf_dir: str) -> "ray.data.Dataset":
+    """Flagship over the HIGH-ENTROPY chord corpus (synth mode="chord" —
+    the production-regime companion to the worst-case tonal corpus;
+    round-5 matrix in BASELINE.md: recall >= 0.99, planted pair
+    precision ~0.996 at 391k/783k)."""
+    res = neardup.dedup_clips(read_clips(sf_dir, mode="chord"),
+                              DedupConfig())
+    return res.settled.select_columns(["clip_id", "cluster_id", "keep",
+                                       "reason"])
+
+
 def clips_exact_dedup(sf_dir: str) -> "ray.data.Dataset":
     """Exact-only fast path (= reference with --hash-body normalized and no
     near-dup detectors)."""

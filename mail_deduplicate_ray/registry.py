@@ -36,7 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": relational.approx_distinct_users,  # SQL-oracled: bit-exact SplitMix64+HLL replay (_hll_sql)
         "kcenter_sample_embeddings": ann.kcenter_sample_embeddings,  # SQL-oracled r5: 16 chained argmax CTEs (_kcenter_sql)
         "minhash_clusters_docs": docs.minhash_clusters_docs,  # SQL-oracled: 128-perm replay + recursive-CTE CC
-        "simhash_docs": docs.simhash_docs,  # SQL-oracled: HUGEINT FNV replay
+        "clips_flagship_chord": clips.flagship_clusters_chord,  # rows-only (high-entropy corpus; recall+precision e2e test)
         # --- first-time driver rows: never in CORRECTNESS r1-r4 ---
         "semdedup_embeddings": ann.semdedup_embeddings,  # rows-only (brute-force parity-tested)
         "rare_bigram_docs": docs.rare_bigram_docs,
@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ================ END DRIVER WINDOW (50) ================
         # previously driver-evidenced (green rows in r1-r4); still
         # swept by tools/check_oracles.py every round
+        "simhash_docs": docs.simhash_docs,  # SQL-oracled: HUGEINT FNV replay
         "images_dhash_neardup": images.images_dhash_neardup,  # rows-only (planted-truth recall test)
         "images_phash_neardup": images.images_phash_neardup,  # rows-only (planted-truth recall test)
         "videos_frame_neardup": videos.videos_frame_neardup,  # rows-only (planted-truth recall test)
