@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     # round-4 continuation: NB classifier, HLL oracle path, speed perturb
     "nb_lang_classifier_docs", "approx_distinct_users",
     "clips_speed_perturb",
+    # round-5: high-entropy chord-corpus flagship
+    "clips_flagship_chord",
 ]
 
 
