@@ -293,3 +293,25 @@ def test_signatures_shared_env_gate(root, monkeypatch):
     sub_sigs = neardup.signatures_shared(sub, cfg)
     assert set(_sig_rows(sub_sigs)) <= set(ids)
     assert len(_sig_rows(sub_sigs)) == sub.count()
+
+
+def test_semi_join_keys_shuffle_path_matches_broadcast(root):
+    # the dual of anti_join_table: both paths agree, restored set exact
+    import pyarrow as pa
+    from mail_deduplicate_ray.state.checkpoint import semi_join_keys
+    tbl = pa.table({"clip_id": [f"c{i}" for i in range(20)],
+                    "n_bytes": pa.array([100 + i for i in range(20)],
+                                        pa.int64()),
+                    "x": list(range(20))})
+    keys = ray.data.from_arrow(
+        tbl.select(["clip_id", "n_bytes"]).slice(0, 12))
+    ds = ray.data.from_arrow(tbl)
+    a = sorted(r["clip_id"] for r in semi_join_keys(ds, keys).take_all())
+    b = sorted(r["clip_id"] for r in
+               semi_join_keys(ds, keys, broadcast_threshold=0,
+                              num_partitions=4).take_all())
+    assert a == b == sorted(f"c{i}" for i in range(12))
+    # empty key set -> empty result on both paths
+    empty = ray.data.from_arrow(tbl.select(["clip_id", "n_bytes"])
+                                .slice(0, 0))
+    assert semi_join_keys(ds, empty).count() == 0
