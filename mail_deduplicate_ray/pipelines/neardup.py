@@ -215,8 +215,30 @@ def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
     st["candidates"] = _time.time() - _t0
     _t0 = _time.time()
 
-    labels = components.connected_components(edges, cfg.cc_max_rounds,
-                                              method=cfg.cc_method)
+    # union-find STATE checkpoint (north star: "checkpoints
+    # per-partition signature and union-find state"): labels are valid
+    # only for the exact edge set they were derived from — keyed by the
+    # same (for_rows, edge_fp) pair as the edge log plus the CC method,
+    # so a partial signature resume or channel change invalidates both
+    label_mf = store.manifest().get("labels", {}) if store is not None \
+        else {}
+    labels_fresh = (store is None or edges_fresh
+                    or not store.has("labels")
+                    or label_mf.get("for_rows") != n_found
+                    or label_mf.get("edge_fp") != edge_fp
+                    or label_mf.get("cc_method") != cfg.cc_method)
+    if labels_fresh:
+        labels = components.connected_components(edges, cfg.cc_max_rounds,
+                                                  method=cfg.cc_method)
+        if store is not None:
+            labels = labels.materialize()
+            if store.write("labels", labels):
+                store._update_manifest("labels", {
+                    **store.manifest().get("labels", {}),
+                    "for_rows": n_found, "edge_fp": edge_fp,
+                    "cc_method": cfg.cc_method})
+    else:
+        labels = store.load("labels")
     st["components"] = _time.time() - _t0
     _t0 = _time.time()
     rows = _settle_projection(usable, cfg)
@@ -231,6 +253,22 @@ def dedup_clips(ds: "ray.data.Dataset", cfg: DedupConfig | None = None,
     stats = collect_stats(settled, n_found)
     stats.check()
     st["stats"] = _time.time() - _t0
+    if store is not None:
+        # run-metrics lineage record beside the checkpoints (north star:
+        # "... with lineage + metrics for resumable execution"): what
+        # config produced this run, what each stage cost, what the
+        # counters said — appended per run so an operator can audit a
+        # resumed job without re-running anything
+        hist = store.manifest().get("runs", {}).get("log", [])
+        store._update_manifest("runs", {"log": (hist + [{
+            "config_fp": cfg.fingerprint(),
+            "edge_fp": edge_fp,
+            "channels": list(channels),
+            "rows": n_found,
+            "stage_times": {k: round(v, 3) for k, v in st.items()},
+            "stats": stats.to_dict(),
+            "overflow_dropped": dropped,
+        }])[-20:]})  # bounded history
     return DedupResult(settled=settled, rejected=rejected, edges=edges,
                        stats=stats, overflow_dropped=dropped,
                        stage_times={k: round(v, 3) for k, v in st.items()})

@@ -315,3 +315,51 @@ def test_semi_join_keys_shuffle_path_matches_broadcast(root):
     empty = ray.data.from_arrow(tbl.select(["clip_id", "n_bytes"])
                                 .slice(0, 0))
     assert semi_join_keys(ds, empty).count() == 0
+
+
+def test_labels_checkpoint_reused_and_invalidated(root):
+    """Union-find STATE checkpoint (north star: "signature and
+    union-find state ... resumable"): an unchanged resume ANSWERS
+    cluster labels from the store (same manifest stamp, same clusters);
+    a channel change (different edge_fp) recomputes them."""
+    from mail_deduplicate_ray.pipelines import neardup
+
+    tbl, _ = synth.generate_clips(30, seed=7)
+    cfg = DedupConfig()
+    r1 = neardup.dedup_clips(ray.data.from_arrow(tbl), cfg,
+                             checkpoint_root=str(root))
+    store = CheckpointStore(root, cfg.fingerprint(), wipe_stale=False)
+    mf1 = store.manifest()
+    assert "labels" in mf1 and mf1["labels"]["edge_fp"] \
+        == cfg.edge_fingerprint(tuple(cfg.channels))
+    clusters1 = {r["clip_id"]: r["cluster_id"] for r in
+                 r1.settled.select_columns(["clip_id", "cluster_id"])
+                 .take_all()}
+
+    r2 = neardup.dedup_clips(ray.data.from_arrow(tbl), cfg,
+                             checkpoint_root=str(root))
+    mf2 = CheckpointStore(root, cfg.fingerprint(),
+                          wipe_stale=False).manifest()
+    assert mf2["labels"] == mf1["labels"]  # loaded, not rewritten
+    clusters2 = {r["clip_id"]: r["cluster_id"] for r in
+                 r2.settled.select_columns(["clip_id", "cluster_id"])
+                 .take_all()}
+    assert clusters2 == clusters1
+
+    # channel change -> different edge_fp -> labels recomputed
+    neardup.dedup_clips(ray.data.from_arrow(tbl), cfg,
+                        channels=("exact", "minhash"),
+                        checkpoint_root=str(root))
+    mf3 = CheckpointStore(root, cfg.fingerprint(),
+                          wipe_stale=False).manifest()
+    assert mf3["labels"]["edge_fp"] \
+        == cfg.edge_fingerprint(("exact", "minhash"))
+    assert mf3["labels"]["edge_fp"] != mf1["labels"]["edge_fp"]
+
+    # run-metrics lineage: every dedup_clips with a store appends one
+    # audit record (config fp, stage times, counters)
+    runs = mf3["runs"]["log"]
+    assert len(runs) == 3
+    assert all(r["config_fp"] == cfg.fingerprint() for r in runs)
+    assert runs[-1]["channels"] == ["exact", "minhash"]
+    assert runs[0]["stats"]["mail_found"] == tbl.num_rows
