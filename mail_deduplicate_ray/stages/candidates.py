@@ -698,17 +698,25 @@ def _stretch_core(ids_all: np.ndarray, buckets: np.ndarray,
             # with the j-window whose mass can still satisfy the exact
             # min >= smin * max bound (window padded one ulp wide, then
             # the exact predicate re-applied so float rounding at the
-            # boundary cannot change semantics vs the all-pairs form)
+            # boundary cannot change semantics vs the all-pairs form).
+            # CHUNK-LEVEL short-circuit: the wide (rich) band can only
+            # admit pairs when the chunk has >= 2 rich members — with
+            # fewer, generate at the strict floor directly instead of
+            # enumerating the wide band and filtering it back (sparse
+            # corpora take this path for essentially every chunk)
+            c_smin = smin if (npk_all[rep]
+                              >= cfg.stretch_rich_min_peaks).sum() >= 2 \
+                else cfg.stretch_score_min
             s = mass_all[rep]
             perm = np.argsort(s, kind="stable")
             ss = s[perm]
-            hi = np.searchsorted(ss, (ss / smin) * (1.0 + 1e-12),
+            hi = np.searchsorted(ss, (ss / c_smin) * (1.0 + 1e-12),
                                  side="right")
             cnt = np.maximum(hi - np.arange(m) - 1, 0)
             ia = np.repeat(np.arange(m), cnt)
             off = np.concatenate(([0], np.cumsum(cnt)[:-1]))
             jb = np.arange(cnt.sum()) - np.repeat(off, cnt) + ia + 1
-            keep = ss[ia] >= smin * ss[jb]
+            keep = ss[ia] >= c_smin * ss[jb]
             ia, jb = ia[keep], jb[keep]
             iu, ju = perm[ia], perm[jb]
             # the window above is the WIDE (rich) band; pairs in
@@ -716,7 +724,7 @@ def _stretch_core(ids_all: np.ndarray, buckets: np.ndarray,
             # rich-spectrum (config.stretch_rich_min_peaks) — on sparse
             # corpora this collapses the band back to the strict window
             # before any spectral work
-            if cfg.stretch_score_min > smin:
+            if cfg.stretch_score_min > c_smin:
                 sr_ = s[iu] / np.maximum(s[ju], 1e-12)
                 strict = np.minimum(sr_, 1.0 / np.maximum(sr_, 1e-12)) \
                     >= cfg.stretch_score_min
